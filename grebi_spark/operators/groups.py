@@ -1,0 +1,126 @@
+"""N3 — equivalence grouping: connected components + canonical-id election.
+
+The reference runs a single-threaded union-find needing up to 300 GB RAM
+(02_assign_ids/grebi_identifiers2groups/src/main.rs:24-158,
+nextflow/codon_nextflow.config:3-6). That is the one stage of the pipeline
+that fundamentally does not scale; here it becomes a distributed
+fixed-point label propagation:
+
+    label(v) ← min(label(v), min over neighbours' labels)
+
+iterated until no label changes. Identifier-equivalence graphs are unions
+of near-cliques (every entity contributes a star over its aliases), so the
+effective diameter is tiny (≈2–4) and the loop converges in a handful of
+iterations; each iteration is one shuffle join + aggregate, and
+``localCheckpoint`` truncates the plan lineage so the loop stays O(1) per
+round. For adversarial high-diameter graphs the same API could swap in
+large-star/small-star (Kiveris et al., "Connected Components in MapReduce
+and Beyond") — not needed for this workload.
+
+Canonical id per component = argmin by the reference's readability score
+(grebi:* wins, then biolink:*, then CURIE-ish, then most-alphabetic —
+main.rs:163-193) — implemented as a pure column expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import SubgraphConfig
+
+
+def id_score(col: Column) -> Column:
+    """Lower is better; mirrors grebi_identifiers2groups::id_score."""
+    curie_like = col.contains(":") & ~col.startswith("http")
+    alpha_count = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return (
+        F.when(col.startswith("grebi:"), F.lit(-2147483648))
+        .when(col.startswith("biolink:"), F.lit(-2147483648 + 1000))
+        .otherwise(F.when(curie_like, F.lit(-1000)).otherwise(F.lit(0)) - alpha_count)
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """(src, dst) undirected edges → (id, component) with component = the
+    min vertex id (by string order) in each component."""
+    sym = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .unionAll(sym.select(F.col("dst").alias("id")))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(max_iterations):
+        # candidate labels flowing along edges: neighbour's current label
+        propagated = (
+            sym.join(labels, sym.dst == labels.id)
+            .select(sym.src.alias("id"), "component")
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionAll(propagated)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def build_groups(
+    identifier_edges: DataFrame,
+    config: SubgraphConfig | None = None,
+    clique_warn_size: int = 50,
+) -> DataFrame:
+    """→ (id, group_id): every alias mapped to its clique's canonical id.
+
+    Seed groups from config (which may merge *property names* —
+    ebi_full_monarch.json:35-43) are added as extra edges. Only ids that
+    belong to a ≥2-member group appear (the reference emits only such
+    groups; singletons map to themselves downstream).
+    """
+    edges = identifier_edges
+    spark = identifier_edges.sparkSession
+    if config and config.additional_equivalence_groups:
+        seed_pairs = [
+            (g[0], other) for g in config.additional_equivalence_groups for other in g[1:]
+        ]
+        seeds = spark.createDataFrame(seed_pairs, ["src", "dst"])
+        edges = edges.unionAll(seeds)
+
+    comps = connected_components(edges)
+    canon = (
+        comps.withColumn("score", id_score(F.col("id")))
+        .groupBy("component")
+        .agg(
+            F.min_by("id", F.struct(F.col("score"), F.col("id"))).alias("group_id"),
+            F.count("*").alias("n_members"),
+        )
+    )
+    groups = comps.join(canon, "component").select("id", "group_id", "n_members")
+    oversized = groups.filter(F.col("n_members") > clique_warn_size)
+    n_big = oversized.limit(1).count()
+    if n_big:
+        # the reference's correctness canary (main.rs:131-133)
+        print(
+            f"WARNING: equivalence group(s) larger than {clique_warn_size} members detected"
+        )
+    return groups.select("id", "group_id")

@@ -1,0 +1,83 @@
+"""J4 — global index aggregates + the node metadata side table.
+
+Reference: one streaming pass computing per-prop counts, per-reified-prop
+counts, per-type counts, the distinct name set, the distinct id set, and a
+metadata.jsonl side table (04_index/grebi_index/src/main.rs:45-245).
+
+Spark design: four small aggregate jobs over one cached merged DataFrame —
+each is a map-side-combined hash aggregate; no custom code.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import VALUE_PROPS
+from .merge import node_table
+
+NAME_PROPS = ("grebi:name", "grebi:synonym")
+
+
+@dataclass
+class GraphIndex:
+    prop_counts: DataFrame      # (prop_key, n_values)
+    edge_prop_counts: DataFrame # (prop_key, n_values) inside reified values
+    type_counts: DataFrame      # (type, n_nodes)
+    names: DataFrame            # (name) distinct
+    ids: DataFrame              # (id) distinct — every source id
+    metadata: DataFrame         # (node_id, subgraph, datasources, source_ids, types, names)
+
+
+def build_index(merged: DataFrame) -> GraphIndex:
+    prop_counts = merged.groupBy("prop_key").agg(F.count("*").alias("n_values"))
+
+    edge_prop_counts = (
+        merged.filter(F.col("value_props").isNotNull())
+        .select(
+            F.explode(F.map_keys(F.from_json("value_props", VALUE_PROPS))).alias(
+                "prop_key"
+            )
+        )
+        .groupBy("prop_key")
+        .agg(F.count("*").alias("n_values"))
+    )
+
+    type_counts = (
+        merged.filter(F.col("prop_key") == "grebi:type")
+        .select("node_id", F.col("value").alias("type"))
+        .distinct()
+        .groupBy("type")
+        .agg(F.count("*").alias("n_nodes"))
+    )
+
+    names = (
+        merged.filter(F.col("prop_key").isin(list(NAME_PROPS)))
+        .select(F.col("value").alias("name"))
+        .distinct()
+    )
+
+    ids = merged.select(F.explode("source_ids").alias("id")).distinct()
+
+    node_names = (
+        merged.filter(F.col("prop_key").isin(list(NAME_PROPS)))
+        .groupBy("node_id")
+        .agg(F.array_sort(F.collect_set("value")).alias("names"))
+    )
+    metadata = (
+        node_table(merged)
+        .join(node_names, "node_id", "left")
+        .withColumn("names", F.coalesce("names", F.array().cast("array<string>")))
+        .select("node_id", "subgraph", "datasources", "source_ids", "types", "names")
+    )
+
+    return GraphIndex(
+        prop_counts=prop_counts,
+        edge_prop_counts=edge_prop_counts,
+        type_counts=type_counts,
+        names=names,
+        ids=ids,
+        metadata=metadata,
+    )

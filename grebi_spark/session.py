@@ -1,0 +1,87 @@
+"""SparkSession builders.
+
+Local test sessions run on ``local[N]`` (one JVM); the same configs are
+what we would set fleet-wide on a 1000-executor cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow for the
+Pandas-UDF slow path, and shuffle partitions sized to the parallelism at
+hand rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "grebi_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    Defaults come from the environment the driver harness sets:
+    ``SPARK_GRAFT_CPUS`` threads on local mode. On a real cluster you
+    would pass ``master=None`` and let spark-submit supply it.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    # Make this package importable in executor Python workers regardless of
+    # the driver script's cwd (cluster equivalent: ship a wheel via
+    # spark-submit --py-files).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{pkg_root}:{existing}" if existing else pkg_root
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: coalesce post-shuffle partitions, split skewed ones, and
+        # convert to broadcast joins at runtime — essential at 100 TB where
+        # static planning cannot know per-key cardinalities.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow batches for the (rare) Pandas-UDF path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
+    """Load the harness parquet tables as a dict of DataFrames and register
+    them as temp views (the engine's native batch-query mode, cf. GrEBI
+    stage 08 which runs *.cypher against the built Neo4j —
+    08_run_queries/run_queries.slurm.py:20-60)."""
+    all_names = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+    out = {}
+    for name in names or all_names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

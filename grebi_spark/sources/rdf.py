@@ -1,0 +1,205 @@
+"""RDF ingest (reference S8, 01_ingest/grebi_rdf2jsonl/src/main.rs:87-427).
+
+The reference loads an entire RDF graph into RAM with the sophia crate and
+re-groups triples by subject. That cannot scale past one machine; here the
+line-oriented N-Triples / N-Quads serialisations are parsed *distributed*
+with built-in regexp expressions (splittable text input, no Python in the
+loop), grouped by subject with an ordinary shuffle. RDF/XML and Turtle are
+accepted only via pre-conversion to N-Quads (ubergraph ships as .nq.gz —
+configs/datasource_configs/ubergraph.yaml:4-8), which the SURVEY flags as
+the pragmatic boundary.
+
+Also implemented: OWL Axiom / rdf:Statement reification folding
+(main.rs:340-404) — an owl:Axiom subject annotating (source, property,
+target) is folded into a reified value on the source entity; the axiom
+node itself disappears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RDF_TYPE = "rdf:type"
+_IRI = r"<([^>]*)>"
+# IRI | blank node | literal (with optional datatype/lang tag)
+_TERM = r'(<[^>]*>|_:[^\s]+|"(?:[^"\\]|\\.)*"(?:\^\^<[^>]*>|@[A-Za-z0-9-]+)?)'
+
+OWL_AXIOM_PROPS = {
+    "source": "owl:annotatedSource",
+    "property": "owl:annotatedProperty",
+    "target": "owl:annotatedTarget",
+    "type_value": "owl:Axiom",
+}
+RDF_STATEMENT_PROPS = {
+    "source": "rdf:subject",
+    "property": "rdf:predicate",
+    "target": "rdf:object",
+    "type_value": "rdf:Statement",
+}
+
+
+def _clean_term(col: Column) -> Column:
+    """IRI → bare string; literal → lexical form; blank node verbatim."""
+    iri = F.regexp_extract(col, r"^<(.*)>$", 1)
+    lit = F.regexp_extract(col, r'^"((?:[^"\\]|\\.)*)"', 1)
+    return (
+        F.when(col.startswith("<"), iri)
+        .when(col.startswith('"'), F.regexp_replace(lit, r'\\(["\\])', "$1"))
+        .otherwise(col)
+    )
+
+
+def read_nquads(
+    spark: SparkSession, path: str, graph: str | None = None
+) -> DataFrame:
+    """Parse N-Triples/N-Quads text → (s, p, o, g) DataFrame.
+
+    ``graph`` filters quads to one named graph (--rdf-graph option).
+    """
+    lines = spark.read.text(path).filter(
+        ~F.col("value").startswith("#") & (F.trim("value") != "")
+    )
+    pat = rf"^\s*{_TERM}\s+{_TERM}\s+{_TERM}(?:\s+{_TERM})?\s*\.\s*$"
+    parsed = lines.select(
+        F.regexp_extract("value", pat, 1).alias("s_raw"),
+        F.regexp_extract("value", pat, 2).alias("p_raw"),
+        F.regexp_extract("value", pat, 3).alias("o_raw"),
+        F.regexp_extract("value", pat, 4).alias("g_raw"),
+    ).filter(F.col("s_raw") != "")
+    out = parsed.select(
+        _clean_term(F.col("s_raw")).alias("s"),
+        _clean_term(F.col("p_raw")).alias("p"),
+        _clean_term(F.col("o_raw")).alias("o"),
+        _clean_term(F.col("g_raw")).alias("g"),
+    )
+    if graph:
+        out = out.filter(F.col("g") == graph)
+    return out
+
+
+def fold_reification(
+    triples: DataFrame,
+    type_prop: str = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    axiom_shapes: tuple[dict, ...] = (
+        {
+            "source": "http://www.w3.org/2002/07/owl#annotatedSource",
+            "property": "http://www.w3.org/2002/07/owl#annotatedProperty",
+            "target": "http://www.w3.org/2002/07/owl#annotatedTarget",
+            "type_value": "http://www.w3.org/2002/07/owl#Axiom",
+        },
+        {
+            "source": "http://www.w3.org/1999/02/22-rdf-syntax-ns#subject",
+            "property": "http://www.w3.org/1999/02/22-rdf-syntax-ns#predicate",
+            "target": "http://www.w3.org/1999/02/22-rdf-syntax-ns#object",
+            "type_value": "http://www.w3.org/2000/01/rdf-schema#Statement",
+        },
+    ),
+) -> tuple[DataFrame, DataFrame]:
+    """Split triples into (plain triples, folded reified statements).
+
+    Returns ``(plain, reified)`` where ``reified`` has columns
+    (s, p, o, props_json): the annotated (source, property, target) plus the
+    axiom's remaining annotation triples as canonical JSON. Implemented as a
+    grouped pivot over the axiom subjects then re-join — two shuffles on the
+    (small) axiom subset, zero Python.
+    """
+    shape = axiom_shapes[0]
+    axiom_subjects = triples.filter(
+        (F.col("p") == type_prop) & F.col("o").isin([s["type_value"] for s in axiom_shapes])
+    ).select(F.col("s").alias("ax"))
+    ax_triples = triples.join(
+        F.broadcast(axiom_subjects), triples.s == axiom_subjects.ax, "left_semi"
+    )
+    plain = triples.join(
+        F.broadcast(axiom_subjects), triples.s == axiom_subjects.ax, "left_anti"
+    )
+
+    core_props = set()
+    for sh in axiom_shapes:
+        core_props |= {sh["source"], sh["property"], sh["target"]}
+    grouped = ax_triples.groupBy("s").agg(
+        F.collect_list(F.struct("p", "o")).alias("pairs")
+    )
+
+    def first_of(props: list[str]) -> Column:
+        arr = F.filter(F.col("pairs"), lambda x: x.p.isin(props))
+        return F.element_at(arr, 1)["o"]
+
+    anno = F.array_sort(
+        F.filter(
+            F.col("pairs"),
+            lambda x: ~x.p.isin(list(core_props) + [type_prop]),
+        )
+    )
+    props_json = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                anno,
+                lambda x: F.concat(
+                    F.lit('"'),
+                    F.regexp_replace(x.p, r'(["\\])', r"\\$1"),
+                    F.lit('":["'),
+                    F.regexp_replace(x.o, r'(["\\])', r"\\$1"),
+                    F.lit('"]'),
+                ),
+            ),
+            ",",
+        ),
+        F.lit("}"),
+    )
+    reified = grouped.select(
+        first_of([sh["source"] for sh in axiom_shapes]).alias("s"),
+        first_of([sh["property"] for sh in axiom_shapes]).alias("p"),
+        first_of([sh["target"] for sh in axiom_shapes]).alias("o"),
+        props_json.alias("props_json"),
+    ).filter(F.col("s").isNotNull() & F.col("p").isNotNull())
+    return plain, reified
+
+
+def rdf_to_nodes(
+    spark: SparkSession,
+    path: str,
+    datasource: str,
+    subgraph: str = "default",
+    graph: str | None = None,
+    type_to_grebi: bool = True,
+) -> DataFrame:
+    """N-Quads file → long-form INGESTED rows, reification folded."""
+    triples = read_nquads(spark, path, graph=graph)
+    plain, reified = fold_reification(triples)
+    type_prop = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows = plain.select(
+        F.lit(subgraph).alias("subgraph"),
+        F.lit(datasource).alias("datasource"),
+        F.col("s").alias("entity_id"),
+        (
+            F.when(F.col("p") == type_prop, F.lit("grebi:type")).otherwise(F.col("p"))
+            if type_to_grebi
+            else F.col("p")
+        ).alias("prop_key"),
+        F.col("o").alias("value"),
+        F.lit(None).cast("string").alias("value_props"),
+    )
+    reified_rows = reified.select(
+        F.lit(subgraph).alias("subgraph"),
+        F.lit(datasource).alias("datasource"),
+        F.col("s").alias("entity_id"),
+        F.col("p").alias("prop_key"),
+        F.col("o").alias("value"),
+        F.col("props_json").alias("value_props"),
+    )
+    ids = (
+        plain.select("s")
+        .distinct()
+        .select(
+            F.lit(subgraph).alias("subgraph"),
+            F.lit(datasource).alias("datasource"),
+            F.col("s").alias("entity_id"),
+            F.lit("id").alias("prop_key"),
+            F.col("s").alias("value"),
+            F.lit(None).cast("string").alias("value_props"),
+        )
+    )
+    return rows.unionAll(reified_rows).unionAll(ids)

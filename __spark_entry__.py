@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship 3-hop ranked join on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 plus the
+training-data operator families, one callable per query.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for each (omitted only for
+genuinely FP-order-sensitive or non-SQL ops; those get rows-only checks).
 """
 
 from __future__ import annotations
@@ -13,26 +13,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from grebi_spark.functions import dedup as _dedup
+from grebi_spark.functions import multimodal as _multimodal
+from grebi_spark.functions import similarity as _similarity
+from grebi_spark.functions import text as _text
+from grebi_spark.plans import closure as _closure
+from grebi_spark.plans import parity as _parity
+from grebi_spark.plans import relational as _relational
+from grebi_spark.plans import search as _search
+
+_MODULES = (_relational, _search, _closure, _parity, _text, _dedup, _similarity, _multimodal)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the 3-hop ranked join
+    (customer → orders → lineitem → part, revenue-ranked) — the relational
+    shape of queries/mouse_genes_to_human_diseases.cypher."""
+    return _relational.q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLES)
+    return out

@@ -1,0 +1,363 @@
+"""Deduplication operator family: exact, fingerprint (in text.py),
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+All variants are pure built-in expression pipelines (md5 + array lambdas)
+— deterministic across engines, which is what makes them DuckDB-oracle
+checkable, and JVM-codegen'd, which is what makes them scale.
+
+Scale design: every variant is *blocked* — candidate pairs come from
+joining on a short key (hash band / signature / rare shingle), never from
+an all-pairs product. At 100 TB the band join shuffles on the band key and
+AQE handles hot bands; the final verification join touches only candidate
+pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+from .text import tokens
+
+N_MINHASH = 8          # minhash signature length
+BAND_ROWS = 2          # rows per LSH band -> N_MINHASH/BAND_ROWS bands
+# fixed odd coefficients for the universal hash family (engine-portable
+# integer arithmetic; p = 2^31 - 1)
+MINHASH_P = 2147483647
+MINHASH_A = (1299721, 15485863, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939)
+MINHASH_B = (7368787, 9576890, 3628273, 5398891, 8388617, 1299709, 2750159, 4256233)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Overlapping word n-gram shingles (distinct)."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _hash32(col: Column, seed: int) -> Column:
+    """Deterministic 32-bit hash via md5 prefix (portable across engines)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def minhash_signature(shingles: Column, k: int = N_MINHASH) -> list[Column]:
+    """k min-hash values over the shingle set."""
+    def min_hash(i):
+        return F.array_min(F.transform(shingles, lambda s: _hash32(s, i))).alias(f"h{i}")
+
+    return [min_hash(i) for i in range(k)]
+
+
+# --- harness queries --------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash; keeps min doc_id.
+    One shuffle on the md5 key; partial agg map-side."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("kept_doc_id"))
+        .orderBy("content_hash")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS kept_doc_id
+FROM documents GROUP BY md5(text) ORDER BY content_hash
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates.
+
+    shingle (word 3-grams) → 8 minhashes → 4 bands of 2 → join docs
+    sharing any band key → distinct (doc_a < doc_b) pairs. Collision
+    probability per band ≈ J², so only genuinely similar docs surface.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    # one pass: explode shingles, aggregate all k minhashes together —
+    # tokenisation and hashing happen exactly once per shingle; the
+    # signature build is a single shuffle on doc_id
+    # the documents file arrives as a single input split; the shingle
+    # expansion is CPU-bound, so spread it across cores first. Partitioning
+    # by doc_id also makes the signature aggregation shuffle-free.
+    par = spark.sparkContext.defaultParallelism
+    shingle_rows = d.repartition(par, "doc_id").select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    )
+    # universal-hash family: one md5 per shingle, k affine transforms
+    # h_i = (a_i·h + b_i) mod p — 8× cheaper than k independent md5s
+    base = _hash32(F.col("sh"), 0)
+    sig = shingle_rows.select("doc_id", base.alias("hb")).groupBy("doc_id").agg(
+        *[
+            F.min((F.col("hb") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P)).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    # band keys via explode — the signature is computed once, not per band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * BAND_ROWS + r}").cast("string")
+                            for r in range(BAND_ROWS)
+                        ],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(N_MINHASH // BAND_ROWS)
+        ]
+    )
+    bands = (
+        sig.select("doc_id", F.explode(band_structs).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        # both sides of the self-join read this — persist or the whole
+        # signature pipeline executes twice (band table is tiny: 4 rows/doc)
+        .persist()
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        left.join(right, ["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _oracle_minhash() -> str:
+    minhashes = ",\n         ".join(
+        "list_min(list_transform(sh, s -> (('0x' || substr(md5('0:' || s), 1, 8))::bigint * {a} + {b}) % {p})) AS h{i}".format(
+            i=i, a=MINHASH_A[i], b=MINHASH_B[i], p=MINHASH_P
+        )
+        for i in range(N_MINHASH)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(h{h0}::varchar || ',' || h{h1}::varchar) AS bkey FROM sig".format(
+            b=b, h0=b * BAND_ROWS, h1=b * BAND_ROWS + 1
+        )
+        for b in range(N_MINHASH // BAND_ROWS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+), shingled AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE [] END AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         {minhashes}
+  FROM shingled WHERE len(sh) > 0
+), bands AS (
+  {band_rows}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash over the distinct token set: bit j is the sign of
+    Σ_tokens (±1 by bit j of md5(token)). Docs sharing a signature are
+    near-dup candidates."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    nib = [
+        F.when(
+            F.conv(F.substring(F.md5("tok"), j + 1, 1), 16, 10).cast("int") >= 8, 1
+        ).otherwise(-1)
+        for j in range(16)
+    ]
+    sums = toks.groupBy("doc_id").agg(
+        *[F.sum(nib[j]).alias(f"b{j}") for j in range(16)]
+    )
+    sig = sums.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(16)],
+            F.lit(0),
+        ).cast("int").alias("simhash"),
+    )
+    counts = sig.groupBy("simhash").agg(F.count("*").alias("n_same"))
+    return (
+        sig.join(counts, "simhash")
+        .select("doc_id", "simhash", "n_same")
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_simhash() -> str:
+    bitsums = ",\n         ".join(
+        "sum(CASE WHEN ('0x' || substr(md5(tok), {p}, 1))::int >= 8 THEN 1 ELSE -1 END) AS b{j}".format(
+            p=j + 1, j=j
+        )
+        for j in range(16)
+    )
+    sigexpr = " + ".join(
+        "(CASE WHEN b{j} >= 0 THEN {v} ELSE 0 END)".format(j=j, v=1 << j) for j in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS tok
+  FROM documents
+), sums AS (
+  SELECT doc_id,
+         {bitsums}
+  FROM toks GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, ({sigexpr})::int AS simhash FROM sums
+), counts AS (
+  SELECT simhash, count(*) AS n_same FROM sig GROUP BY simhash
+)
+SELECT s.doc_id, s.simhash, c.n_same
+FROM sig s JOIN counts c ON s.simhash = c.simhash
+ORDER BY s.doc_id
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs: docs sharing a shingle
+    (the blocking join) get their true Jaccard computed from shingle-set
+    sizes; pairs ≥ 0.5 survive. Restricted to a doc_id window to bound the
+    quadratic blow-up at harness scale — at production scale the blocking
+    key would be a rare-shingle (low document frequency) filter instead."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
+        F.col("doc_id") < 200
+    )
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+ORACLE_NGRAM_JACCARD = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents WHERE doc_id < 200
+), shingled AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [] END) AS sh
+  FROM docs
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine ≥ 0.95 within a doc window
+    (all-pairs here; the scale path is the LSH-bucketed variant in
+    similarity.py)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
+        F.col("vec_id") < 200
+    )
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e2 = e.select("vec_id", vec.alias("v"))
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = e2.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e2.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= 0.95)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+ORACLE_EMBEDDING_COSINE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_simhash": _oracle_simhash(),
+    "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
+}

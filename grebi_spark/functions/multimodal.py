@@ -1,0 +1,88 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` payloads
+with typed metadata, processed by Arrow-batched Pandas UDFs.
+
+The container ships no image/audio libraries, so the *decode* step is a
+clearly-marked stub (`decode_image_stub` raises NotImplementedError unless
+the deterministic fake is requested); everything Spark-side — schema,
+binary column handling, ``mapInPandas`` batch shape, partition sizing — is
+real and tested. Swapping the stub for PIL/torchaudio is a one-function
+change that does not touch the plan.
+
+Scale notes: binary payloads ride in their own column so column pruning
+keeps metadata-only queries from reading bytes at all; feature extraction
+is a narrow mapInPandas stage (no shuffle), and
+``spark.sql.files.maxPartitionBytes`` bounds per-task memory against fat
+payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..session import load_tables
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("header_hex", T.StringType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes, fake: bool = True) -> dict:
+    """STUB decode step. With ``fake=True`` returns deterministic pseudo
+    features (so the distributed plumbing is testable); a real deployment
+    replaces this body with PIL/libvips and keeps the signature."""
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "container; wire PIL/libvips here"
+        )
+    return {
+        "n_bytes": len(payload),
+        "header_hex": payload[:4].hex().upper(),
+        "content_md5": hashlib.md5(payload).hexdigest(),
+    }
+
+
+def extract_features(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """mapInPandas feature extraction over a binary column — the real
+    Arrow-batched slow-path plumbing a production decode would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = [decode_image_stub(p, fake=True) for p in batch[payload_col]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", batch[id_col].values)
+            yield out
+
+    return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Treat document text bytes as an opaque payload: binary column →
+    mapInPandas decode-stub → typed features."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    binary = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return extract_features(binary).orderBy("doc_id")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       hex(encode(substr(text, 1, 4))) AS header_hex,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+QUERIES = {"multimodal_features": multimodal_features}
+ORACLES = {"multimodal_features": ORACLE_MULTIMODAL}

@@ -1,0 +1,175 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two physical strategies for the same logical top-k-by-cosine query:
+
+- ``ann_cosine_topk`` — brute force: one narrow scan, per-row dot product
+  with the broadcast query vector, TakeOrdered top-k. The correctness
+  baseline; O(N·d) but embarrassingly parallel (no shuffle at all).
+- ``ann_lsh_topk`` — the scale path: deterministic sign-bit LSH buckets
+  (hyperplanes = coordinate axes of the leading dimensions). Each vector
+  lands in one bucket; the query probes only its own bucket. At 100 TB the
+  table is written bucketed/partitioned by this key, so a query reads one
+  partition — partition pruning does the candidate selection. (An IVF
+  variant would learn centroids instead; the plumbing is identical.)
+
+The dot product is a fold over zip_with in pure built-in expressions —
+sequential, deterministic, engine-portable (matches the DuckDB oracle
+bit-for-bit before rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+N_PLANES = 4  # sign bits -> 16 buckets
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, n_planes: int = N_PLANES) -> Column:
+    """Deterministic LSH bucket: sign bits of the first n_planes dims."""
+    bits = [
+        F.when(F.element_at(vec, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def _query_vector(df: DataFrame, vec_id: int = 0):
+    row = df.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [float(x) for x in row["embedding"]]
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for the query vector (vec_id 0)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = F.array(*[F.lit(x) for x in _query_vector(e)])
+    v = as_double(F.col("embedding"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round(cosine(v, as_double(q)), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+ORACLE_ANN_BRUTE = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label::int AS label,
+       round(list_dot_product(embedding::DOUBLE[], qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv, qv))), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: probe only the query's sign-bit bucket, top-5 there."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = _query_vector(e)
+    q = F.array(*[F.lit(x) for x in qv])
+    q_bucket = sum((1 << i) for i in range(N_PLANES) if qv[i] >= 0)
+    v = as_double(F.col("embedding"))
+    return (
+        e.withColumn("bucket", sign_bucket(v))
+        .filter((F.col("bucket") == q_bucket) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "bucket",
+            F.round(cosine(v, as_double(q)), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+def _oracle_ann_lsh() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(N_PLANES)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT v AS qv, ({bits})::int AS qb FROM v WHERE vec_id = 0
+), bucketed AS (
+  SELECT vec_id, v, ({bits})::int AS bucket FROM v
+)
+SELECT b.vec_id, b.bucket,
+       round(list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM bucketed b, q
+WHERE b.bucket = q.qb AND b.vec_id != 0
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 5
+"""
+
+
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine coherence: avg cosine of each vector to
+    its label centroid — a clustering-quality aggregate (exercises
+    array aggregation + rescaled fold)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = as_double(F.col("embedding"))
+    dim = 64
+    sums = e.select(F.col("label").cast("int").alias("label"), v.alias("v")).groupBy(
+        "label"
+    ).agg(
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+        F.count("*").alias("n"),
+    )
+    centroid = F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)])
+    cents = sums.select("label", centroid.alias("c"), "n")
+    joined = e.select(F.col("label").cast("int").alias("label"), v.alias("v")).join(
+        F.broadcast(cents), "label"
+    )
+    return (
+        joined.select("label", cosine(F.col("v"), F.col("c")).alias("cs"), "n")
+        .groupBy("label")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.round(F.avg("cs"), 4).alias("avg_centroid_cosine"),
+        )
+        .orderBy("label")
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "knn_label_purity": knn_label_purity,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ORACLE_ANN_BRUTE,
+    "ann_lsh_topk": _oracle_ann_lsh(),
+    # knn_label_purity: centroid averaging is FP-order-sensitive across
+    # engines (parallel vs serial sum) — driver runs the rows-only check.
+}

@@ -1,0 +1,251 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All pure built-in expressions (regexp + array functions) — zero Python in
+the hot path, so they run inside whole-stage codegen and scale linearly
+with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+TOKEN_RE = r"\S+"
+WORD_RE = "[a-z']+"
+
+# tiny deterministic marker lexicons for the language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with", "fast"),
+    "de": ("der", "und", "das", "mit", "schnell"),
+    "fr": ("le", "et", "la", "avec", "vite"),
+    "es": ("el", "y", "la", "con", "rapido"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenisation — array of non-space runs."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """A BPE-flavoured token estimate: alphanumeric runs + each
+    punctuation mark counts as a token (regex segmentation — the standard
+    cheap proxy when no tokenizer model is shippable)."""
+    return F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    stops = F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    return F.when(F.size(toks) > 0, F.size(stops) / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(text) > 0, n_punct / F.length(text)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: enough tokens, sane mean word
+    length, some stopwords, little punctuation — the Gopher-rules shape."""
+    toks = tokens(text)
+    n = F.size(toks)
+    mean_len = F.when(n > 0, F.length(F.concat_ws("", toks)) / n).otherwise(F.lit(0.0))
+    len_ok = F.when((n >= 10) & (n <= 10000), F.lit(0.25)).otherwise(F.lit(0.0))
+    word_ok = F.when((mean_len >= 3) & (mean_len <= 10), F.lit(0.25)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(text) >= 0.05, F.lit(0.25)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) <= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+    return len_ok + word_ok + stop_ok + punct_ok
+
+
+def predict_lang(text: Column) -> Column:
+    """Marker-word language ID: score each language by marker hits, take
+    the argmax (ties → lexicographically first language; no hits → 'und')."""
+    toks = tokens(text)
+
+    def marker_hits(ms):
+        # NB: single-arg lambda — a default-arg lambda would be invoked in
+        # pyspark's two-arg (element, index) form
+        return F.size(F.filter(toks, lambda t: t.isin(*ms)))
+
+    scored = F.array(
+        *[
+            F.struct(
+                (-marker_hits(markers)).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, markers in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_min(scored)
+    return F.when(best["neg_hits"] < 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the casefolded, punctuation-stripped,
+    whitespace-collapsed text — whitespace/case/punct-insensitive exact
+    dedup key."""
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "), r"\s+", " ")
+    )
+    return F.md5(norm)
+
+
+# --- harness queries --------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.select(
+            "lang",
+            token_count(F.col("text")).alias("n_tok"),
+            bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TOKEN_STATS = """
+WITH per_doc AS (
+  SELECT lang,
+         length(regexp_extract_all(lower(text), '\\S+')) AS n_tok,
+         length(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       sum(n_tok)::bigint AS total_tokens,
+       sum(n_bpe)::bigint AS total_bpe_tokens,
+       round(avg(n_tok), 4) AS avg_tokens
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.select("source", F.round(quality_score(F.col("text")), 4).alias("q"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality"))
+        .orderBy("source")
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+WITH toks AS (
+  SELECT source, text,
+         regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), feat AS (
+  SELECT source,
+         len(t) AS n,
+         CASE WHEN len(t) > 0
+              THEN length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0 / len(t)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio
+  FROM toks
+), q AS (
+  SELECT source,
+         round((CASE WHEN n >= 10 AND n <= 10000 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END), 4) AS q
+  FROM feat
+)
+SELECT source, count(*) AS n_docs, round(avg(q), 4) AS avg_quality
+FROM q GROUP BY source ORDER BY source
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        d.select("lang", predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _lang_case_sql() -> str:
+    hit = lambda ms: (  # noqa: E731
+        "len(list_filter(t, x -> x IN ({})))".format(
+            ",".join(f"'{m}'" for m in ms)
+        )
+    )
+    # argmax by (-hits, lang): mirror the array_min over (neg_hits, lang)
+    structs = ", ".join(
+        f"{{'neg_hits': -{hit(ms)}, 'lang': '{lang}'}}"
+        for lang, ms in sorted(LANG_MARKERS.items())
+    )
+    return f"""
+WITH toks AS (
+  SELECT lang, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+), scored AS (
+  SELECT lang, list_sort([{structs}]) AS cand FROM toks
+), best AS (
+  SELECT lang,
+         CASE WHEN cand[1].neg_hits < 0 THEN cand[1].lang ELSE 'und' END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, count(*) AS n_docs
+FROM best GROUP BY lang, predicted ORDER BY lang, predicted
+"""
+
+
+def text_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    counts = fp.groupBy("fp").agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("kept_doc_id")
+    )
+    return counts.select("fp", "n_copies", "kept_doc_id").orderBy("fp")
+
+
+ORACLE_FINGERPRINT = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT fp, count(*) AS n_copies, min(doc_id) AS kept_doc_id
+FROM fp GROUP BY fp ORDER BY fp
+"""
+
+
+QUERIES = {
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_lang_id": text_lang_id,
+    "text_fingerprint_dups": text_fingerprint_dups,
+}
+
+ORACLES = {
+    "text_token_stats": ORACLE_TOKEN_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_lang_id": _lang_case_sql(),
+    "text_fingerprint_dups": ORACLE_FINGERPRINT,
+}

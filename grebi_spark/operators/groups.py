@@ -24,6 +24,8 @@ main.rs:163-193) — implemented as a pure column expression.
 
 from __future__ import annotations
 
+import sys
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -119,8 +121,10 @@ def build_groups(
     oversized = groups.filter(F.col("n_members") > clique_warn_size)
     n_big = oversized.limit(1).count()
     if n_big:
-        # the reference's correctness canary (main.rs:131-133)
+        # the reference's correctness canary (main.rs:131-133); stderr —
+        # stdout is reserved for the bench JSON contract
         print(
-            f"WARNING: equivalence group(s) larger than {clique_warn_size} members detected"
+            f"WARNING: equivalence group(s) larger than {clique_warn_size} members detected",
+            file=sys.stderr,
         )
     return groups.select("id", "group_id")

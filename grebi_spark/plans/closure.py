@@ -1,0 +1,90 @@
+"""Q4 — transitive closure / variable-length paths.
+
+The reference delegates `[:R*1..]` to Neo4j (notebooks/ic_scores.ipynb:
+descendant counts → IC scores). Spark has no recursive CTE; the engine
+provides a bounded iterative expansion: frontier ⋈ edges per round,
+accumulated with union + distinct, lineage truncated via localCheckpoint.
+
+Scale: each round is one shuffle join on the edge key. For deep graphs
+this is O(depth) rounds — the standard distributed BFS; for the reference
+workload (ontology hierarchies, depth ≲ 20) this is exactly the right
+physical plan, and double-hop squaring (path doubling) could halve rounds
+if ever needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 30,
+) -> DataFrame:
+    """All (ancestor, descendant) pairs reachable via 1..max_depth hops.
+
+    ``edges`` rows are child→parent (src=child, dst=parent); output rows
+    are (ancestor, descendant).
+    """
+    e = edges.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
+    # paths: (descendant, ancestor)
+    paths = e.select(F.col("child").alias("descendant"), F.col("parent").alias("ancestor"))
+    frontier = paths
+    for _ in range(max_depth - 1):
+        nxt = (
+            frontier.join(e, frontier.ancestor == e.child)
+            .select("descendant", F.col("parent").alias("ancestor"))
+            .distinct()
+        )
+        # keep only newly discovered pairs
+        nxt = nxt.exceptAll(paths).localCheckpoint()
+        if nxt.limit(1).count() == 0:
+            break
+        paths = paths.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return paths
+
+
+def part_tree_descendant_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IC-score-style descendant counts over a deterministic hierarchy:
+    part k's parent is k/2 (a binary tree over the part keys). Counts
+    distinct descendants for ancestors with key < 8 — the
+    `(anc)<-[:broad_match*1..]-(sub)` + count(DISTINCT sub) shape."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    keys = p.select(F.col("p_partkey").cast("long").alias("k"))
+    edges = (
+        keys.filter(F.col("k") >= 1)
+        .select(F.col("k").alias("src"), (F.col("k") / 2).cast("long").alias("dst"))
+    )
+    closure = transitive_closure(edges)
+    return (
+        closure.filter(F.col("ancestor") < 8)
+        .groupBy("ancestor")
+        .agg(F.countDistinct("descendant").alias("n_descendants"))
+        .select(F.col("ancestor").cast("long").alias("ancestor"), "n_descendants")
+        .orderBy("ancestor")
+    )
+
+
+ORACLE_PART_TREE = """
+WITH RECURSIVE up(descendant, ancestor) AS (
+  SELECT p_partkey::bigint, (p_partkey // 2)::bigint FROM part WHERE p_partkey >= 1
+  UNION
+  SELECT u.descendant, (u.ancestor // 2)::bigint
+  FROM up u WHERE u.ancestor >= 1
+)
+SELECT ancestor, count(DISTINCT descendant) AS n_descendants
+FROM up
+WHERE ancestor < 8
+GROUP BY ancestor
+ORDER BY ancestor
+"""
+
+
+QUERIES = {"part_tree_descendant_counts": part_tree_descendant_counts}
+ORACLES = {"part_tree_descendant_counts": ORACLE_PART_TREE}

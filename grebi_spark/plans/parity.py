@@ -1,0 +1,235 @@
+"""Pipeline-operator parity queries: run the *actual graph pipeline
+operators* (melt → assign → merge → materialise; equivalence grouping) on
+relational inputs, with plain-SQL DuckDB oracles.
+
+This is how the graph engine's own operators — not just generic
+relational queries — get hash-checked against an independent engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import SubgraphConfig
+from ..operators.assign_ids import assign_ids
+from ..operators.groups import build_groups
+from ..operators.materialise import materialise_edges
+from ..operators.merge import merge_nodes, node_table
+from ..session import load_tables
+
+PARITY_CONFIG = SubgraphConfig(
+    name="parity",
+    identifier_props=("id",),
+    exclude_edges=("id",),
+)
+
+
+def _star_graph_long(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Melt customer/nation/region into the long entity form: the star
+    schema viewed as a property graph (c)-[crm:nation]->(n)-[geo:region]->(r)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+
+    def row(ds, eid, key, val):
+        return (
+            F.lit("star").alias("subgraph"),
+            F.lit(ds).alias("datasource"),
+            eid.alias("entity_id"),
+            F.lit(key).alias("prop_key") if isinstance(key, str) else key.alias("prop_key"),
+            val.alias("value"),
+            F.lit(None).cast("string").alias("value_props"),
+        )
+
+    c = t["customer"]
+    cid = F.concat(F.lit("c:"), F.col("c_custkey").cast("string"))
+    customers = (
+        c.select(*row("crm", cid, "id", cid))
+        .unionAll(c.select(*row("crm", cid, "grebi:type", F.lit("crm:Customer"))))
+        .unionAll(c.select(*row("crm", cid, "grebi:name", F.col("c_name"))))
+        .unionAll(c.select(*row("crm", cid, "crm:segment", F.col("c_mktsegment"))))
+        .unionAll(
+            c.select(
+                *row(
+                    "crm",
+                    cid,
+                    "crm:nation",
+                    F.concat(F.lit("n:"), F.col("c_nationkey").cast("string")),
+                )
+            )
+        )
+    )
+    n = t["nation"]
+    nid = F.concat(F.lit("n:"), F.col("n_nationkey").cast("string"))
+    nations = (
+        n.select(*row("geo", nid, "id", nid))
+        .unionAll(n.select(*row("geo", nid, "grebi:type", F.lit("geo:Nation"))))
+        .unionAll(n.select(*row("geo", nid, "grebi:name", F.col("n_name"))))
+        .unionAll(
+            n.select(
+                *row(
+                    "geo",
+                    nid,
+                    "geo:region",
+                    F.concat(F.lit("r:"), F.col("n_regionkey").cast("string")),
+                )
+            )
+        )
+    )
+    r = t["region"]
+    rid = F.concat(F.lit("r:"), F.col("r_regionkey").cast("string"))
+    regions = (
+        r.select(*row("geo", rid, "id", rid))
+        .unionAll(r.select(*row("geo", rid, "grebi:type", F.lit("geo:Region"))))
+        .unionAll(r.select(*row("geo", rid, "grebi:name", F.col("r_name"))))
+    )
+    return [customers, nations, regions]
+
+
+def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    long_dfs = _star_graph_long(spark, sf_dir)
+    all_rows = long_dfs[0]
+    for df in long_dfs[1:]:
+        all_rows = all_rows.unionByName(df)
+    empty_groups = spark.createDataFrame([], "id string, group_id string")
+    assigned = assign_ids(all_rows, empty_groups, PARITY_CONFIG)
+    # downstream consumers (node_table + materialise) both read this
+    return merge_nodes(assigned, PARITY_CONFIG).persist()
+
+
+def graph_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt → assign → merge; per node: distinct prop count + provenance."""
+    merged = _merged(spark, sf_dir)
+    return (
+        merged.groupBy("node_id")
+        .agg(
+            F.count("*").alias("n_props"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("datasources")))),
+                ",",
+            ).alias("datasources"),
+        )
+        .orderBy("node_id")
+    )
+
+
+ORACLE_MERGE_NODES = """
+WITH long_form AS (
+  SELECT 'c:' || c_custkey::varchar AS node_id, 'id' AS prop_key,
+         'c:' || c_custkey::varchar AS value, 'crm' AS ds FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:type', 'crm:Customer', 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:name', c_name, 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:segment', c_mktsegment, 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:nation',
+                   'n:' || c_nationkey::varchar, 'crm' FROM customer
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'id', 'n:' || n_nationkey::varchar, 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:type', 'geo:Nation', 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:name', n_name, 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'geo:region',
+                   'r:' || n_regionkey::varchar, 'geo' FROM nation
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'id', 'r:' || r_regionkey::varchar, 'geo' FROM region
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'grebi:type', 'geo:Region', 'geo' FROM region
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'grebi:name', r_name, 'geo' FROM region
+), merged AS (
+  SELECT node_id, prop_key, value,
+         string_agg(DISTINCT ds, ',' ORDER BY ds) AS datasources
+  FROM long_form GROUP BY node_id, prop_key, value
+)
+SELECT node_id, count(*) AS n_props,
+       string_agg(DISTINCT datasources, ',' ORDER BY datasources) AS datasources
+FROM merged GROUP BY node_id ORDER BY node_id
+"""
+
+
+def graph_edges_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialised edges of the star graph: property values that are ids
+    of existing nodes become edges (J5's semi-join-with-payload), counted
+    by (edge_type, to_id)."""
+    merged = _merged(spark, sf_dir)
+    meta = node_table(merged)
+    edges = materialise_edges(merged, meta, PARITY_CONFIG)
+    return (
+        edges.groupBy("edge_type", "to_id")
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("edge_type", "to_id")
+    )
+
+
+ORACLE_EDGES_FK = """
+SELECT * FROM (
+  SELECT 'crm:nation' AS edge_type, 'n:' || n_nationkey::varchar AS to_id,
+         count(*) AS n_edges
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_nationkey
+  UNION ALL
+  SELECT 'geo:region', 'r:' || r_regionkey::varchar, count(*)
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_regionkey
+) ORDER BY edge_type, to_id
+"""
+
+
+def equivalence_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The equivalence-grouping operator (N3: distributed connected
+    components + canonical-id election) on a real graph: high-value events
+    link user vertices to prop-k vertices; every vertex maps to its
+    group's canonical id. Oracle: recursive-CTE reachability + the same
+    readability score in SQL."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    pairs = (
+        e.filter(F.col("value") > 180)
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("dst"),
+        )
+        .distinct()
+    )
+    groups = build_groups(pairs, None)
+    return groups.orderBy("id")
+
+
+ORACLE_EQUIV_GROUPS = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT 'u:' || user_id::varchar AS src,
+         'k:' || json_extract_string(props, '$.k') AS dst
+  FROM events WHERE value > 180
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), vertices AS (
+  SELECT DISTINCT src AS v FROM sym
+), reach AS (
+  SELECT v, v AS r FROM vertices
+  UNION
+  SELECT reach.v, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+), comp AS (
+  SELECT v AS id, min(r) AS component FROM reach GROUP BY v
+), scored AS (
+  SELECT id, component,
+         (CASE WHEN id LIKE 'grebi:%' THEN -2147483648
+               WHEN id LIKE 'biolink:%' THEN -2147482648
+               ELSE (CASE WHEN contains(id, ':') AND NOT id LIKE 'http%'
+                          THEN -1000 ELSE 0 END)
+                    - length(regexp_replace(id, '[^A-Za-z]', '', 'g'))
+          END) AS score
+  FROM comp
+), canon AS (
+  SELECT component, id AS group_id,
+         row_number() OVER (PARTITION BY component ORDER BY score, id) AS rn
+  FROM scored
+)
+SELECT s.id, c.group_id
+FROM scored s JOIN canon c ON s.component = c.component AND c.rn = 1
+ORDER BY s.id
+"""
+
+
+QUERIES = {
+    "graph_merge_nodes": graph_merge_nodes,
+    "graph_edges_fk": graph_edges_fk,
+    "equivalence_groups_events": equivalence_groups_events,
+}
+
+ORACLES = {
+    "graph_merge_nodes": ORACLE_MERGE_NODES,
+    "graph_edges_fk": ORACLE_EDGES_FK,
+    "equivalence_groups_events": ORACLE_EQUIV_GROUPS,
+}

@@ -1,0 +1,453 @@
+"""Generic relational operator coverage (SURVEY.md §2.2/§2.3/§2.6) on the
+harness star schema, each with an ANSI-SQL DuckDB oracle.
+
+Every query aliases computed columns identically to the oracle; numeric
+aggregates are rounded/cast so FP and integer-width differences between
+engines cannot flip the value hash.
+
+Scale notes are per-query docstrings: what shuffles, what broadcasts,
+what pushes down.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_tables(spark, sf_dir, (name,))[name]
+
+
+# --- Q3-analog aggregation (J2's groupBy-agg is the same physical op) ----
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side partial agg → single shuffle on a 2-key group; filter is
+    pushed to the parquet scan (PushedFilters in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                              AS sum_qty,
+       round(sum(l_extendedprice), 2)                         AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+       round(avg(l_quantity), 4)                              AS avg_qty,
+       round(avg(l_discount), 4)                              AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k. customer is the small side → Catalyst
+    broadcasts it; orders⋈lineitem shuffles on the order key. Top-k is a
+    TakeOrderedAndProject — no global sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d')                      AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)      AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join through two dimension chains (region→nation→{customer,
+    supplier}); all dims broadcast, one shuffle for the final group."""
+    t = load_tables(spark, sf_dir)
+    li, o, c, s, n, r = (
+        t["lineitem"], t["orders"], t["customer"], t["supplier"], t["nation"], t["region"]
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "REGION_0")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+ORACLE_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'REGION_0'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# --- semi/anti joins (J5's existence probe; N7's group-level drop) -------
+
+def semi_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): parts that were ever shipped, per brand.
+    The probe side is the big table; Spark builds the hash table on the
+    distinct part keys — same shape as edge materialisation's existence
+    check (J5)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_parts"))
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_SEMI = """
+SELECT p_brand, count(*) AS n_parts
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers who never ordered — the same
+    group-level elimination shape as untyped-node removal (N7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ANTI = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- top-k / distinct / set ops ------------------------------------------
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT over an aggregate (Q3 semantics in SURVEY §2.5)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+             F.count("*").alias("n_orders"))
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(F.col("c_name"), "total_spent", "n_orders")
+        .orderBy(F.desc("total_spent"), "c_name")
+        .limit(10)
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+SELECT c_name,
+       round(sum(o_totalprice), 2) AS total_spent,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name
+ORDER BY total_spent DESC, c_name
+LIMIT 10
+"""
+
+
+def union_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union + distinct: nation keys present in either customers or
+    suppliers (multi-datasource unionByName in the pipeline, §2.6)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.union(s).distinct().orderBy("nationkey")
+        .select(F.col("nationkey").cast("int").alias("nationkey"))
+    )
+
+
+ORACLE_UNION_DISTINCT = """
+SELECT DISTINCT nationkey::int AS nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey FROM supplier
+) ORDER BY nationkey
+"""
+
+
+# --- the merge / provenance aggregation shape (J2) ------------------------
+
+def group_collect_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge operator's core: group by key, collect the sorted distinct
+    value set with its provenance — rendered as a join-string so the hash
+    comparison is array-representation-agnostic (J2,
+    03_merge/grebi_merge/src/main.rs:214-218,287-371)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
+            F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
+            F.count("*").alias("n_orders"),
+        )
+        .select(F.col("o_custkey").cast("long").alias("custkey"), "priorities", "statuses", "n_orders")
+        .orderBy("custkey")
+    )
+
+
+ORACLE_GROUP_COLLECT = """
+SELECT o_custkey::bigint AS custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities,
+       string_agg(DISTINCT o_orderstatus,  ',' ORDER BY o_orderstatus)  AS statuses,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY custkey
+"""
+
+
+# --- the edge-summary cube shape (J8) --------------------------------------
+
+def edge_summary_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed multi-key hash aggregate (J8's 4-key nested count,
+    05_materialise/grebi_materialise/src/main.rs:70-82)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            "l_returnflag",
+            "l_linestatus",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("l_returnflag", "l_linestatus", "ship_year")
+    )
+
+
+ORACLE_EDGE_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       year(l_shipdate)::int AS ship_year,
+       count(*) AS n_edges
+FROM lineitem
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# --- argmin display-type (J7) ----------------------------------------------
+
+def rarest_segment_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7's displayType semantics: per nation, the customer segment that is
+    *globally rarest* (argmin by (global count, name)) — min_by over a
+    broadcast count table."""
+    c = _t(spark, sf_dir, "customer")
+    seg_counts = c.groupBy("c_mktsegment").agg(F.count("*").alias("n_global"))
+    return (
+        c.join(F.broadcast(seg_counts), "c_mktsegment")
+        .groupBy("c_nationkey")
+        .agg(
+            F.min_by(
+                "c_mktsegment", F.struct(F.col("n_global"), F.col("c_mktsegment"))
+            ).alias("display_segment")
+        )
+        .select(F.col("c_nationkey").cast("int").alias("nationkey"), "display_segment")
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_RAREST = """
+WITH seg_counts AS (
+  SELECT c_mktsegment, count(*) AS n_global FROM customer GROUP BY 1
+), ranked AS (
+  SELECT c_nationkey, c.c_mktsegment,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY n_global, c.c_mktsegment) AS rn
+  FROM customer c JOIN seg_counts s ON c.c_mktsegment = s.c_mktsegment
+)
+SELECT c_nationkey::int AS nationkey, c_mktsegment AS display_segment
+FROM ranked WHERE rn = 1 ORDER BY nationkey
+"""
+
+
+# --- id resolution lookup (Q5 in §2.5) -------------------------------------
+
+def id_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias → entity lookup: resolve supplier keys through the supplier
+    table and hydrate (the resolver-service semantics, RocksDB multiGet →
+    broadcast hash join)."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    wanted = li.filter(F.col("l_orderkey") < 100).select("l_suppkey").distinct()
+    return (
+        wanted.join(F.broadcast(s), wanted.l_suppkey == s.s_suppkey)
+        .select(F.col("s_suppkey").cast("long").alias("suppkey"), "s_name",
+                F.col("s_nationkey").cast("int").alias("nationkey"))
+        .orderBy("suppkey")
+    )
+
+
+ORACLE_ID_RESOLUTION = """
+SELECT DISTINCT s_suppkey::bigint AS suppkey, s_name, s_nationkey::int AS nationkey
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_orderkey < 100
+ORDER BY suppkey
+"""
+
+
+# --- JSON prop extraction + cast-at-query-time (Q2 semantics) --------------
+
+def json_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference stores everything as strings and casts at query time
+    (toFloat(o.`otar:score`[0]) — §2.6 numeric row). Here: JSON prop
+    extraction, cast, filter, aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_JSON_FILTER = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       max(json_extract_string(props, '$.k')::int) AS max_k
+FROM events
+WHERE json_extract_string(props, '$.k')::int >= 50
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- graph stats (Q9) -------------------------------------------------------
+
+def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total node/edge counts (stats.cypher)."""
+    t = load_tables(spark, sf_dir)
+    rows = [
+        t["customer"].select(F.lit("customer").alias("entity"), F.count("*").alias("n")),
+        t["orders"].select(F.lit("orders").alias("entity"), F.count("*").alias("n")),
+        t["lineitem"].select(F.lit("lineitem").alias("entity"), F.count("*").alias("n")),
+        t["part"].select(F.lit("part").alias("entity"), F.count("*").alias("n")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("entity")
+
+
+ORACLE_STATS = """
+SELECT * FROM (
+  SELECT 'customer' AS entity, count(*) AS n FROM customer
+  UNION ALL SELECT 'orders',   count(*) FROM orders
+  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+  UNION ALL SELECT 'part',     count(*) FROM part
+) ORDER BY entity
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "semi_join_parts": semi_join_parts,
+    "anti_join_customers": anti_join_customers,
+    "top_customers": top_customers,
+    "union_distinct_nations": union_distinct_nations,
+    "group_collect_merge": group_collect_merge,
+    "edge_summary_cube": edge_summary_cube,
+    "rarest_segment_per_nation": rarest_segment_per_nation,
+    "id_resolution": id_resolution,
+    "json_filter_events": json_filter_events,
+    "stats_counts": stats_counts,
+}
+
+ORACLES = {
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_shipping_priority": ORACLE_Q3,
+    "q5_local_supplier_volume": ORACLE_Q5,
+    "semi_join_parts": ORACLE_SEMI,
+    "anti_join_customers": ORACLE_ANTI,
+    "top_customers": ORACLE_TOP_CUSTOMERS,
+    "union_distinct_nations": ORACLE_UNION_DISTINCT,
+    "group_collect_merge": ORACLE_GROUP_COLLECT,
+    "edge_summary_cube": ORACLE_EDGE_SUMMARY,
+    "rarest_segment_per_nation": ORACLE_RAREST,
+    "id_resolution": ORACLE_ID_RESOLUTION,
+    "json_filter_events": ORACLE_JSON_FILTER,
+    "stats_counts": ORACLE_STATS,
+}

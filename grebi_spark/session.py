@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def get_spark(
@@ -51,6 +52,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the harness events table stores TIMESTAMP(NANOS) which the Spark
+        # parquet reader rejects by default; read as long (nanos since epoch)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():
@@ -82,6 +86,11 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
+            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+                # nanos-as-long (see get_spark) → real timestamp column
+                df = df.withColumn(
+                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                )
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

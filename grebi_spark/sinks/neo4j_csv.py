@@ -1,0 +1,112 @@
+"""K1/K2/J10 — Neo4j bulk-import CSV export.
+
+Reference: 06_prepare_db_import/grebi_make_neo_csv/src/main.rs:49-427 —
+long→wide pivot with the column universe taken from the global summary
+(main.rs:62-70): header = union of all property keys; ``:LABEL`` =
+GraphNode + types (:184-193); multi-values joined with the 0x1F unit
+separator (neo4j_import.dockersh:19-27); plus (:GraphNode)-[:id]->(:Id)
+rows from sourceIds (grebi_make_neo_ids_csv/src/main.rs:13-31).
+
+Spark design: the "dynamic schema" problem is two passes — (1) aggregate
+the property-key universe (tiny), (2) driver-side build the select list
+and pivot via map lookup. The pivot itself is one groupBy(node) over the
+long form, then a select of map_from_entries lookups — no per-column
+shuffle, one pass over the data regardless of column count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ARRAY_SEP = ""  # the reference's --array-delimiter U+001F
+
+
+def node_prop_universe(merged: DataFrame) -> list[str]:
+    """Pass 1: the global property-key list (sorted, stable header)."""
+    return sorted(
+        r["prop_key"] for r in merged.select("prop_key").distinct().collect()
+    )
+
+
+def neo4j_node_rows(merged: DataFrame, node_meta: DataFrame, prop_keys: list[str] | None = None) -> DataFrame:
+    """Pass 2: one CSV-ready row per node: grebi:nodeId:ID, :LABEL, one
+    column per property key with 0x1F-joined values."""
+    keys = prop_keys or node_prop_universe(merged)
+    per_node = (
+        merged.groupBy("node_id", "prop_key")
+        .agg(F.array_join(F.array_sort(F.collect_set("value")), ARRAY_SEP).alias("joined"))
+        .groupBy("node_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("prop_key", "joined"))).alias("props"))
+    )
+    labeled = per_node.join(
+        node_meta.select(
+            "node_id",
+            F.concat(
+                F.lit("GraphNode"),
+                F.when(
+                    F.size("types") > 0,
+                    F.concat(F.lit(";"), F.array_join(F.col("types"), ";")),
+                ).otherwise(F.lit("")),
+            ).alias(":LABEL"),
+            F.array_join(F.col("datasources"), ARRAY_SEP).alias("grebi:datasources"),
+            F.array_join(F.col("source_ids"), ARRAY_SEP).alias("grebi:sourceIds"),
+        ),
+        "node_id",
+    )
+    cols = [
+        F.col("node_id").alias("grebi:nodeId:ID"),
+        F.col(":LABEL"),
+        F.col("grebi:datasources"),
+        F.col("grebi:sourceIds"),
+    ] + [
+        F.element_at(F.col("props"), k).alias(k) for k in keys if not k.startswith("grebi:")
+    ]
+    return labeled.select(*cols)
+
+
+def neo4j_edge_rows(edges: DataFrame) -> DataFrame:
+    """:START_ID,:TYPE,:END_ID + fixed edge columns (main.rs:105-111)."""
+    return edges.select(
+        F.col("from_id").alias(":START_ID"),
+        F.col("edge_type").alias(":TYPE"),
+        F.col("to_id").alias(":END_ID"),
+        F.col("edge_id").alias("grebi:edgeId"),
+        F.array_join("datasources", ARRAY_SEP).alias("grebi:datasources"),
+        F.col("subgraph").alias("grebi:subgraph"),
+        F.array_join("from_source_ids", ARRAY_SEP).alias("grebi:fromSourceIds"),
+        F.col("value_props").alias("grebi:edgeProps"),
+    )
+
+
+def neo4j_id_rows(node_meta: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """J10 — the id-resolution star: every sourceId becomes an (:Id) node
+    and a (GraphNode)-[:id]->(Id) edge (grebi_make_neo_csv/src/main.rs:
+    234-237,390-413; grebi_make_neo_ids_csv/src/main.rs:13-31)."""
+    id_edges = node_meta.select(
+        F.col("node_id").alias(":START_ID"),
+        F.lit("id").alias(":TYPE"),
+        F.explode("source_ids").alias(":END_ID"),
+    )
+    id_nodes = id_edges.select(F.col(":END_ID").alias("id:ID")).distinct().select(
+        "id:ID", F.lit("Id").alias(":LABEL")
+    )
+    return id_nodes, id_edges
+
+
+def write_neo4j_csvs(
+    merged: DataFrame,
+    node_meta: DataFrame,
+    edges: DataFrame,
+    out_dir: str,
+) -> None:
+    """Write the four CSV sets for `neo4j-admin database import full`."""
+    neo4j_node_rows(merged, node_meta).write.mode("overwrite").option(
+        "header", True
+    ).csv(f"{out_dir}/nodes")
+    neo4j_edge_rows(edges).write.mode("overwrite").option("header", True).csv(
+        f"{out_dir}/edges"
+    )
+    id_nodes, id_edges = neo4j_id_rows(node_meta)
+    id_nodes.write.mode("overwrite").option("header", True).csv(f"{out_dir}/id_nodes")
+    id_edges.write.mode("overwrite").option("header", True).csv(f"{out_dir}/id_edges")

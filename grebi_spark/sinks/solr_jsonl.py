@@ -1,0 +1,95 @@
+"""K4 — Solr-import JSONL flattening.
+
+Reference: 06_prepare_db_import/grebi_make_solr/src/main.rs:52-219 —
+provenance wrappers stripped (each value → its grebi:value only,
+:167-206), property keys escaped ``:`` → ``__`` (:208-219), and for
+id-valued strings the referenced node's *names* are indexed alongside
+(:184-203) so the search core can match edges by endpoint label.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def solr_key(col):
+    return F.regexp_replace(col, ":", "__")
+
+
+def solr_node_docs(merged: DataFrame, node_meta: DataFrame) -> DataFrame:
+    """One flat JSON document per node: grebi__nodeId, grebi__datasources,
+    per-prop value arrays (provenance stripped), plus <prop>_names arrays
+    holding referenced-node labels."""
+    # referenced names: value → names of the node it points to
+    ref_names = node_meta.select(
+        F.col("node_id").alias("ref_id"), F.col("names").alias("ref_names")
+    )
+    vals = (
+        merged.join(ref_names, merged.value == ref_names.ref_id, "left")
+        .select(
+            "node_id",
+            solr_key(F.col("prop_key")).alias("k"),
+            "value",
+            F.coalesce("ref_names", F.array().cast("array<string>")).alias("ref_names"),
+        )
+    )
+    per_key = vals.groupBy("node_id", "k").agg(
+        F.array_sort(F.collect_set("value")).alias("values"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("ref_names")))).alias(
+            "names"
+        ),
+    )
+    entries = per_key.select(
+        "node_id",
+        F.explode(
+            F.when(
+                F.size("names") > 0,
+                F.array(
+                    F.struct(F.col("k"), F.col("values")),
+                    F.struct(
+                        F.concat(F.col("k"), F.lit("_names")).alias("k"),
+                        F.col("names").alias("values"),
+                    ),
+                ),
+            ).otherwise(F.array(F.struct(F.col("k"), F.col("values"))))
+        ).alias("e"),
+    )
+    docs = entries.groupBy("node_id").agg(
+        F.map_from_entries(F.array_sort(F.collect_list("e"))).alias("fields")
+    )
+    return docs.join(node_meta, "node_id").select(
+        F.col("node_id").alias("grebi__nodeId"),
+        F.col("datasources").alias("grebi__datasources"),
+        F.col("types").alias("grebi__type"),
+        F.col("names").alias("grebi__name"),
+        "fields",
+    )
+
+
+def solr_edge_docs(edges: DataFrame) -> DataFrame:
+    return edges.select(
+        F.col("edge_id").alias("grebi__edgeId"),
+        F.col("edge_type").alias("grebi__type"),
+        F.col("from_id").alias("grebi__from"),
+        F.col("to_id").alias("grebi__to"),
+        F.col("datasources").alias("grebi__datasources"),
+        F.col("subgraph").alias("grebi__subgraph"),
+    )
+
+
+def solr_autocomplete_docs(names: DataFrame) -> DataFrame:
+    """The autocomplete core: the distinct name list with edge-ngram-ish
+    keys (whitespace token prefixes), cf. make_solr_autocomplete_config.py."""
+    return names.select(
+        F.col("name").alias("label"),
+        F.split(F.lower("name"), r"\s+").alias("whitespace_edge_label"),
+    )
+
+
+def write_solr_jsonl(
+    merged: DataFrame, node_meta: DataFrame, edges: DataFrame, names: DataFrame, out_dir: str
+) -> None:
+    solr_node_docs(merged, node_meta).write.mode("overwrite").json(f"{out_dir}/nodes")
+    solr_edge_docs(edges).write.mode("overwrite").json(f"{out_dir}/edges")
+    solr_autocomplete_docs(names).write.mode("overwrite").json(f"{out_dir}/autocomplete")

@@ -1,0 +1,152 @@
+"""Streaming operators.
+
+Design: ingest transforms are *shared* with batch — ``jsonl_to_nodes``
+is called on a streaming text DataFrame and produces the same long form
+(Structured Streaming's incrementalization handles the rest). Stateful
+ops use watermarks so state is bounded: at scale, unbounded streaming
+state is the thing that kills a job on day three.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.jsonl import JsonlTransform, jsonl_to_nodes
+
+
+def stream_jsonl_nodes(
+    spark: SparkSession,
+    path: str,
+    datasource: str,
+    subgraph: str = "default",
+    transform: JsonlTransform | None = None,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
+    """Streaming twin of sources.jsonl.read_jsonl_nodes: a file-source
+    stream of JSONL → the canonical long form, incrementally."""
+    lines = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return jsonl_to_nodes(lines, datasource, subgraph, transform)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type with late-data handling."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(
+    entities: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup over a stream, state bounded by the watermark —
+    the streaming twin of dedup_exact."""
+    return entities.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+_STATE_SCHEMA = "start_ts double, end_ts double, n long"
+
+
+def _session_fn(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState session builder: 30-minute inactivity gap.
+
+    Emits a row per *closed* session (on timeout); open sessions are held
+    in state. This is the custom-stateful-operator pattern the engine
+    offers where built-in ``session_window`` is not expressive enough
+    (e.g. per-key dynamic gaps)."""
+    if state.hasTimedOut:
+        (start_ts, end_ts, n) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_ts, unit="s")],
+                "session_end": [pd.Timestamp(end_ts, unit="s")],
+                "n_events": [n],
+            }
+        )
+        return
+    rows = pd.concat(list(batches))
+    ts = rows["ts"].astype("int64") / 1e9
+    lo, hi, n = float(ts.min()), float(ts.max()), len(rows)
+    if state.exists:
+        (start_ts, end_ts, n0) = state.get
+        lo, hi, n = min(lo, start_ts), max(hi, end_ts), n + n0
+    state.update((lo, hi, n))
+    state.setTimeoutDuration(30 * 60 * 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "session_start": pd.Series([], dtype="datetime64[ns]"),
+            "session_end": pd.Series([], dtype="datetime64[ns]"),
+            "n_events": pd.Series([], dtype="int64"),
+        }
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState."""
+    return (
+        events.withWatermark("ts", gap)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def batch_session_windows(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Batch twin using the built-in session_window — preferred when the
+    gap is static (pure built-in, no Python state)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,105 @@
+"""Sink tests on a hand-built merged graph: Neo4j CSV pivot, Solr JSONL,
+KV resolution."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from grebi_spark.operators.merge import node_table
+from grebi_spark.sinks.kv import kv_alias_table, kv_node_table, resolve, write_kv
+from grebi_spark.sinks.neo4j_csv import (
+    neo4j_edge_rows,
+    neo4j_id_rows,
+    neo4j_node_rows,
+    node_prop_universe,
+)
+from grebi_spark.sinks.solr_jsonl import solr_autocomplete_docs, solr_node_docs
+
+MERGED_ROWS = [
+    # node_id, subgraph, prop_key, value, value_props, datasources, source_ids
+    ("g:1", "s", "grebi:type", "Gene", None, ["dsA"], ["g:1"]),
+    ("g:1", "s", "grebi:name", "BRCA2", None, ["dsA", "dsB"], ["g:1", "x:9"]),
+    ("g:1", "s", "rel:disease", "d:2", None, ["dsA"], ["g:1"]),
+    ("d:2", "s", "grebi:type", "Disease", None, ["dsB"], ["d:2"]),
+    ("d:2", "s", "grebi:name", "breast cancer", None, ["dsB"], ["d:2"]),
+]
+
+
+@pytest.fixture(scope="module")
+def merged(spark):
+    from grebi_spark.schema import MERGED
+
+    return spark.createDataFrame(MERGED_ROWS, MERGED).cache()
+
+
+@pytest.fixture(scope="module")
+def meta(spark, merged):
+    from grebi_spark.operators.index import build_index
+
+    return build_index(merged).metadata.cache()
+
+
+def test_neo4j_nodes(merged, meta):
+    keys = node_prop_universe(merged)
+    assert "rel:disease" in keys
+    rows = {r["grebi:nodeId:ID"]: r for r in neo4j_node_rows(merged, meta, keys).collect()}
+    assert rows["g:1"][":LABEL"] == "GraphNode;Gene"
+    assert rows["g:1"]["grebi:sourceIds"] == "g:1\x1fx:9"
+    assert rows["g:1"]["rel:disease"] == "d:2"
+    assert rows["d:2"]["rel:disease"] is None
+
+
+def test_neo4j_id_star(meta):
+    id_nodes, id_edges = neo4j_id_rows(meta)
+    assert {r["id:ID"] for r in id_nodes.collect()} == {"g:1", "x:9", "d:2"}
+    assert (
+        id_edges.filter(
+            (F.col(":START_ID") == "g:1") & (F.col(":END_ID") == "x:9")
+        ).count()
+        == 1
+    )
+
+
+def test_solr_docs_strip_provenance_and_expand_names(merged, meta):
+    docs = {r["grebi__nodeId"]: r for r in solr_node_docs(merged, meta).collect()}
+    g = docs["g:1"]
+    assert g["fields"]["grebi__name"] == ["BRCA2"]
+    # the id-valued rel:disease also indexes the referenced node's names
+    assert g["fields"]["rel__disease"] == ["d:2"]
+    assert g["fields"]["rel__disease_names"] == ["breast cancer"]
+    assert g["grebi__type"] == ["Gene"]
+
+
+def test_autocomplete_docs(spark):
+    names = spark.createDataFrame([("Breast Cancer",)], ["name"])
+    row = solr_autocomplete_docs(names).collect()[0]
+    assert row["label"] == "Breast Cancer"
+    assert row["whitespace_edge_label"] == ["breast", "cancer"]
+
+
+def test_kv_roundtrip(spark, merged, meta, tmp_path):
+    out = str(tmp_path / "kv")
+    write_kv(merged, meta, out, buckets=2)
+    hit = resolve(spark, ["x:9"], out).collect()
+    assert len(hit) == 1
+    assert hit[0]["node_id"] == "g:1"
+    obj = json.loads(hit[0]["json"])
+    assert obj["properties"]["grebi:name"][0]["value"] == "BRCA2"
+
+
+def test_kv_tables(merged, meta):
+    assert kv_node_table(merged).count() == 2
+    aliases = {r["alias"] for r in kv_alias_table(meta).collect()}
+    assert aliases == {"g:1", "x:9", "d:2"}
+
+
+def test_edge_rows(spark, merged, meta):
+    from grebi_spark.config import SubgraphConfig
+    from grebi_spark.operators.materialise import materialise_edges
+
+    edges = materialise_edges(merged, meta, SubgraphConfig())
+    rows = neo4j_edge_rows(edges).collect()
+    assert len(rows) == 1
+    assert rows[0][":START_ID"] == "g:1" and rows[0][":END_ID"] == "d:2"
+    assert rows[0][":TYPE"] == "rel:disease"

@@ -1,0 +1,207 @@
+"""Source-scan tests: GWAS, RDF n-quads (+reification folding), SQLite,
+Reactome, OLS, XML."""
+
+import json
+import sqlite3
+
+import pytest
+from pyspark.sql import functions as F
+
+from grebi_spark.sources.gwas import gwas_associations_to_nodes, gwas_studies_to_nodes
+from grebi_spark.sources.ols import ols_to_nodes
+from grebi_spark.sources.rdf import fold_reification, read_nquads, rdf_to_nodes
+from grebi_spark.sources.reactome import reactome_to_nodes
+from grebi_spark.sources.sqlite import sqlite_to_nodes
+from grebi_spark.sources.xmlsrc import xml_entries_to_nodes
+
+
+def test_gwas_associations(spark):
+    df = spark.createDataFrame(
+        [
+            ("rs123", "efo:0000537, efo:0001360", "5e-8", "1.2", "GCST001", "BRCA2", "ENSG1"),
+            ("rs999", "", "1e-6", "0.9", "GCST002", "", ""),
+        ],
+        ["SNPS", "MAPPED_TRAIT_URI", "P-VALUE", "OR or BETA", "STUDY ACCESSION", "MAPPED_GENE", "SNP_GENE_IDS"],
+    )
+    rows = gwas_associations_to_nodes(df).collect()
+    assoc = [r for r in rows if r["prop_key"] == "gwas:associated_with"]
+    assert {(r["entity_id"], r["value"]) for r in assoc} == {
+        ("rs123", "efo:0000537"),
+        ("rs123", "efo:0001360"),
+    }
+    vp = json.loads(assoc[0]["value_props"])
+    assert vp["gwas:P-VALUE"] == ["5e-8"]
+    assert vp["gwas:STUDY ACCESSION"] == ["GCST001"]
+    # rs999 still gets id+type rows even with no traits
+    assert ("rs999", "gwas:SNP") in {
+        (r["entity_id"], r["value"]) for r in rows if r["prop_key"] == "grebi:type"
+    }
+
+
+def test_gwas_header_check(spark):
+    bad = spark.createDataFrame([("x",)], ["WRONG"])
+    with pytest.raises(ValueError, match="missing expected columns"):
+        gwas_associations_to_nodes(bad)
+
+
+def test_gwas_studies(spark):
+    df = spark.createDataFrame(
+        [("GCST001", "123456", "breast cancer", "efo:0000537")],
+        ["STUDY ACCESSION", "PUBMEDID", "DISEASE/TRAIT", "MAPPED_TRAIT_URI"],
+    )
+    rows = {(r["prop_key"], r["value"]) for r in gwas_studies_to_nodes(df).collect()}
+    assert ("gwas:pubmedId", "pmid:123456") in rows
+    assert ("grebi:type", "gwas:Study") in rows
+
+
+NQ = """\
+<http://example.org/A> <http://www.w3.org/2000/01/rdf-schema#label> "gene A" .
+<http://example.org/A> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+<http://example.org/A> <http://example.org/partOf> <http://example.org/B> .
+<http://example.org/B> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Class> .
+_:ax1 <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2002/07/owl#Axiom> .
+_:ax1 <http://www.w3.org/2002/07/owl#annotatedSource> <http://example.org/A> .
+_:ax1 <http://www.w3.org/2002/07/owl#annotatedProperty> <http://example.org/partOf> .
+_:ax1 <http://www.w3.org/2002/07/owl#annotatedTarget> <http://example.org/B> .
+_:ax1 <http://example.org/evidence> "curator stated" .
+"""
+
+
+@pytest.fixture()
+def nq_file(tmp_path):
+    p = tmp_path / "test.nq"
+    p.write_text(NQ)
+    return str(p)
+
+
+def test_read_nquads(spark, nq_file):
+    t = read_nquads(spark, nq_file)
+    assert t.count() == 9
+    labels = t.filter(F.col("p").contains("label")).collect()
+    assert labels[0]["o"] == "gene A"
+
+
+def test_fold_reification(spark, nq_file):
+    t = read_nquads(spark, nq_file)
+    plain, reified = fold_reification(t)
+    r = reified.collect()
+    assert len(r) == 1
+    assert r[0]["s"] == "http://example.org/A"
+    assert r[0]["p"] == "http://example.org/partOf"
+    assert r[0]["o"] == "http://example.org/B"
+    assert "curator stated" in r[0]["props_json"]
+    # axiom triples removed from plain stream
+    assert plain.filter(F.col("s").startswith("_:")).count() == 0
+
+
+def test_rdf_to_nodes(spark, nq_file):
+    rows = rdf_to_nodes(spark, nq_file, "testrdf").collect()
+    keys = {(r["entity_id"], r["prop_key"]) for r in rows}
+    assert ("http://example.org/A", "grebi:type") in keys
+    reified = [r for r in rows if r["value_props"] is not None]
+    assert len(reified) == 1
+
+
+def test_sqlite(spark, tmp_path):
+    db = tmp_path / "t.sqlite"
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE gene (gid INTEGER PRIMARY KEY, symbol TEXT)")
+    con.execute(
+        "CREATE TABLE protein (pid INTEGER PRIMARY KEY, gene INTEGER REFERENCES gene(gid), name TEXT)"
+    )
+    con.execute("INSERT INTO gene VALUES (1, 'BRCA2')")
+    con.execute("INSERT INTO protein VALUES (10, 1, 'Breast cancer 2')")
+    con.commit()
+    con.close()
+    rows = sqlite_to_nodes(spark, str(db), "db").collect()
+    vals = {(r["entity_id"], r["prop_key"], r["value"]) for r in rows}
+    assert ("db:gene:1", "symbol", "BRCA2") in vals
+    # FK rewritten to referenced row's node id
+    assert ("db:protein:10", "gene", "db:gene:1") in vals
+    assert ("db:protein:10", "grebi:type", "db:protein") in vals
+
+
+def test_reactome(spark, tmp_path):
+    p = tmp_path / "reactome.jsonl"
+    p.write_text(
+        "\n".join(
+            [
+                json.dumps(
+                    {
+                        "type": "node",
+                        "id": 1,
+                        "labels": ["Pathway"],
+                        "properties": {"displayName": "Apoptosis", "databaseName": "ChEBI", "identifier": "15377"},
+                    }
+                ),
+                json.dumps(
+                    {
+                        "type": "node",
+                        "id": 2,
+                        "labels": ["Reaction"],
+                        "properties": {"displayName": "step 1", "databaseName": None, "identifier": None},
+                    }
+                ),
+                json.dumps(
+                    {
+                        "type": "relationship",
+                        "label": "hasEvent",
+                        "start": 1,
+                        "end": 2,
+                        "properties": {"order": 1},
+                    }
+                ),
+            ]
+        )
+    )
+    rows = reactome_to_nodes(spark, str(p)).collect()
+    vals = {(r["entity_id"], r["prop_key"], r["value"]) for r in rows}
+    assert ("reactome:1", "grebi:type", "reactome:Pathway") in vals
+    assert ("reactome:1", "grebi:equivalentTo", "chebi:15377") in vals
+    rel = [r for r in rows if r["prop_key"] == "reactome:hasEvent"]
+    assert rel[0]["value"] == "reactome:2" and '"reactome:order":["1"]' in rel[0]["value_props"]
+
+
+def test_ols(spark, tmp_path):
+    p = tmp_path / "ontologies.json"
+    p.write_text(
+        json.dumps(
+            {
+                "ontologies": [
+                    {
+                        "ontologyId": "mondo",
+                        "classes": [
+                            {"curie": "mondo:0000001", "label": "disease", "iri": "http://x/1", "isObsolete": False, "directAncestor": []},
+                            {"curie": "mondo:0005044", "label": "hypertensive disorder", "iri": "http://x/2", "isObsolete": False, "directAncestor": ["mondo:0000001"]},
+                            {"curie": "mondo:9999999", "label": "gone", "iri": "http://x/3", "isObsolete": True, "directAncestor": []},
+                        ],
+                    }
+                ]
+            }
+        )
+    )
+    rows = ols_to_nodes(spark, str(p)).collect()
+    vals = {(r["entity_id"], r["prop_key"], r["value"]) for r in rows}
+    assert ("ols.ontology:mondo", "grebi:type", "ols:Ontology") in vals
+    assert ("mondo:0005044", "ols:directAncestor", "mondo:0000001") in vals
+    assert ("mondo:0005044", "ols:safeLabel", "hypertensive_disorder") in vals
+    # obsolete skipped
+    assert not any(r["entity_id"] == "mondo:9999999" for r in rows)
+
+
+def test_xml(spark, tmp_path):
+    p = tmp_path / "entries.xml"
+    p.write_text(
+        """<entries>
+  <entry id="MTBLS1"><field name="title">Study one</field><ref dbname="chebi" dbkey="15377"/></entry>
+  <entry id="MTBLC2"><field name="title">Compound</field></entry>
+</entries>"""
+    )
+    rows = xml_entries_to_nodes(
+        spark, str(p), "metabolights",
+        type_by_prefix={"MTBLS": "metabolights:Study", "MTBLC": "metabolights:Compound"},
+    ).collect()
+    vals = {(r["entity_id"], r["prop_key"], r["value"]) for r in rows}
+    assert ("MTBLS1", "title", "Study one") in vals
+    assert ("MTBLS1", "xref", "chebi:15377") in vals
+    assert ("MTBLC2", "grebi:type", "metabolights:Compound") in vals

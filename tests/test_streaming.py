@@ -1,0 +1,97 @@
+"""Structured Streaming tests: streaming ingest to long form, windowed
+counts, watermarked dedup (all via availableNow + memory sink)."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from grebi_spark.sources.jsonl import JsonlTransform
+from grebi_spark.streaming import (
+    stream_jsonl_nodes,
+    streaming_dedup,
+    windowed_event_counts,
+)
+from grebi_spark.streaming.ops import batch_session_windows
+
+
+def _run_stream(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_jsonl_ingest(spark, tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        json.dumps({"id": "x:1", "name": "one", "grebi:type": "T"})
+        + "\n"
+        + json.dumps({"id": "x:2", "name": "two", "grebi:type": "T"})
+        + "\n"
+    )
+    stream = stream_jsonl_nodes(
+        spark, str(d), "streamsrc", transform=JsonlTransform(key_prefix="s:")
+    )
+    assert stream.isStreaming
+    _run_stream(stream, "ingested_stream")
+    rows = spark.sql("select * from ingested_stream").collect()
+    vals = {(r["entity_id"], r["prop_key"], r["value"]) for r in rows}
+    assert ("x:1", "s:name", "one") in vals
+    assert ("x:2", "grebi:type", "T") in vals
+
+
+def test_windowed_counts_and_dedup(spark, tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:05:00", "event_type": "click", "user_id": 1, "value": 1.0},
+        {"ts": "2024-01-01T00:10:00", "event_type": "click", "user_id": 1, "value": 2.0},
+        {"ts": "2024-01-01T01:10:00", "event_type": "view", "user_id": 2, "value": 3.0},
+        # duplicate of row 1
+        {"ts": "2024-01-01T00:05:00", "event_type": "click", "user_id": 1, "value": 1.0},
+    ]
+    (d / "e.jsonl").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = "ts timestamp, event_type string, user_id long, value double"
+    stream = spark.readStream.schema(schema).json(str(d))
+
+    counts = windowed_event_counts(stream)
+    # complete mode: a finite availableNow stream never advances the
+    # watermark past the last window, so append would emit nothing
+    _run_stream(
+        counts.select("window_start", "event_type", "n_events"), "win_counts", "complete"
+    )
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    assert got[("2024-01-01 00:00:00", "click")] == 3
+    assert got[("2024-01-01 01:00:00", "view")] == 1
+
+    dedup = streaming_dedup(stream, ("user_id", "ts", "event_type"))
+    _run_stream(dedup, "dedup_stream")
+    assert spark.sql("select * from dedup_stream").count() == 3
+
+
+def test_batch_session_windows(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:10:00"),
+            (1, "2024-01-01 02:00:00"),
+            (2, "2024-01-01 00:00:00"),
+        ],
+        ["user_id", "ts_str"],
+    ).select("user_id", F.col("ts_str").cast("timestamp").alias("ts"))
+    out = batch_session_windows(df).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(per_user[1]) == [1, 2]  # two sessions: gap > 30 min
+    assert per_user[2] == [1]

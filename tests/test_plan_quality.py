@@ -1,0 +1,83 @@
+"""Physical-plan quality gates — correctness tests for the *plans*, not
+the results: filters pushed to the parquet scan, columns pruned, small
+dims broadcast, hot expressions inside whole-stage codegen. A regression
+here means a query silently got a 100TB-hostile plan.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from grebi_spark.plans.relational import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    semi_join_parts,
+)
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(q1_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read join keys it doesn't need
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema
+    assert "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    plan = plan_of(df, mode="simple")
+    assert "isFinalPlan=true" in plan
+    # '*(N)' prefixes mark whole-stage-codegen spans; the scan→filter→
+    # partial-agg pipeline must be inside one
+    assert "*(1) HashAggregate" in plan and "partial_sum" in plan
+    assert "*(1) Filter" in plan
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the big fact-fact join must partial-aggregate before the final sort
+    assert "HashAggregate" in plan
+
+
+def test_q3_topk_no_global_sort(spark, sf_dir):
+    plan = plan_of(q3_shipping_priority(spark, sf_dir), mode="simple")
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = plan_of(semi_join_parts(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_merge_has_partial_aggregation(spark):
+    """The merge groupBy must partial-aggregate map-side (the k-way-merge
+    replacement relies on it at scale)."""
+    from grebi_spark.config import SubgraphConfig
+    from grebi_spark.operators.merge import merge_nodes
+    from grebi_spark.schema import INGESTED
+
+    rows = spark.createDataFrame(
+        [("s", "d", "e:1", "grebi:type", "T", None)], INGESTED
+    ).withColumnRenamed("entity_id", "node_id").withColumn(
+        "source_ids", F.array(F.lit("e:1"))
+    )
+    merged = merge_nodes(rows.select(
+        "subgraph", "datasource", "node_id", "source_ids", "prop_key", "value", "value_props"
+    ), SubgraphConfig())
+    plan = plan_of(merged, mode="simple")
+    # two-phase aggregate: partial_ (map-side) then final
+    assert "partial_" in plan or "ObjectHashAggregate" in plan

@@ -21,8 +21,19 @@ from grebi_spark.plans import closure as _closure
 from grebi_spark.plans import parity as _parity
 from grebi_spark.plans import relational as _relational
 from grebi_spark.plans import search as _search
+from grebi_spark.plans import temporal as _temporal
 
-_MODULES = (_relational, _search, _closure, _parity, _text, _dedup, _similarity, _multimodal)
+_MODULES = (
+    _relational,
+    _search,
+    _closure,
+    _parity,
+    _temporal,
+    _text,
+    _dedup,
+    _similarity,
+    _multimodal,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

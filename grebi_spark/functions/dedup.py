@@ -53,9 +53,18 @@ def _hash32(col: Column, seed: int) -> Column:
 
 
 def minhash_signature(shingles: Column, k: int = N_MINHASH) -> list[Column]:
-    """k min-hash values over the shingle set."""
+    """k min-hash values over an in-row shingle array (expression form —
+    used for ad-hoc signatures; the dedup query uses the cheaper exploded
+    + universal-hash aggregation form)."""
+    base = F.transform(shingles, lambda s: _hash32(s, 0))
+
     def min_hash(i):
-        return F.array_min(F.transform(shingles, lambda s: _hash32(s, i))).alias(f"h{i}")
+        return F.array_min(
+            F.transform(
+                base,
+                lambda h: (h * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i])) % F.lit(MINHASH_P),
+            )
+        ).alias(f"h{i}")
 
     return [min_hash(i) for i in range(k)]
 

@@ -77,6 +77,25 @@ def make_rewrite_udf(spark, prefix_map: PrefixMap):
     return rewrite
 
 
+def rewrite_expr(prefix_map: PrefixMap, col: F.Column) -> F.Column:
+    """Pure-expression longest-match rewrite: a when-chain ordered
+    longest-prefix-first. JVM-side (whole-stage codegen), zero Python —
+    the fast path for maps up to a few hundred prefixes."""
+    out = col
+    expr = None
+    for p in sorted(prefix_map.mapping, key=len, reverse=True):
+        repl = prefix_map.mapping[p]
+        cond = col.startswith(p)
+        val = F.concat(F.lit(repl), F.substring(col, len(p) + 1, 2**30))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return out if expr is None else expr.otherwise(col)
+
+
+# above this many prefixes the when-chain stops codegen-ing well; fall
+# back to the Arrow-batched UDF with one compiled alternation regex
+EXPR_MODE_MAX_PREFIXES = 200
+
+
 def normalise_prefixes(
     nodes_long: DataFrame,
     prefix_map: PrefixMap,
@@ -84,13 +103,21 @@ def normalise_prefixes(
 ) -> DataFrame:
     """Apply longest-prefix canonicalisation to the long-form columns.
 
+    Physical strategy is picked by map size: small maps become a JVM
+    when-chain (codegen'd, no Python); big maps (the full Bioregistry is
+    thousands of prefixes) use the broadcast + Pandas-UDF path.
+
     ``value_props`` JSON strings are left intact by default: the reference
     normalises them too, but in long form reified metadata is display
     payload, not join keys; pass columns=(…, "value_props") to include it.
     """
+    out = nodes_long
+    if len(prefix_map.mapping) <= EXPR_MODE_MAX_PREFIXES:
+        for c in columns:
+            out = out.withColumn(c, rewrite_expr(prefix_map, F.col(c)))
+        return out
     spark = nodes_long.sparkSession
     rewrite = make_rewrite_udf(spark, prefix_map)
-    out = nodes_long
     for c in columns:
         out = out.withColumn(c, rewrite(F.col(c)))
     return out

@@ -32,6 +32,7 @@ def main() -> None:
 
     total = 0.0
     for name in sorted(queries):
+        spark.catalog.clearCache()  # queries persist intermediates; keep runs independent
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).collect()
         dt = round(time.perf_counter() - t0, 3)

@@ -193,7 +193,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_tokens (±1 by bit j of md5(token)). Docs sharing a signature are
     near-dup candidates."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = d.select("doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"))
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par, "doc_id").select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
     nib = [
         F.when(
             F.conv(F.substring(F.md5("tok"), j + 1, 1), 16, 10).cast("int") >= 8, 1
@@ -256,7 +259,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
         F.col("doc_id") < 200
     )
-    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
+    par = spark.sparkContext.defaultParallelism
+    sh = d.repartition(par, "doc_id").select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
+    ).persist()  # feeds sizes + both sides of the pair join
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     pairs = (
         sh.alias("a")

@@ -71,7 +71,10 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat document text bytes as an opaque payload: binary column →
     mapInPandas decode-stub → typed features."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    binary = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    # decode is CPU-bound and the input is a single parquet split —
+    # spread the Arrow batches across cores first
+    par = spark.sparkContext.defaultParallelism
+    binary = d.repartition(par).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_features(binary).orderBy("doc_id")
 
 

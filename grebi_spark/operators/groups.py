@@ -61,7 +61,7 @@ def connected_components(
         .localCheckpoint()
     )
 
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         # candidate labels flowing along edges: neighbour's current label
         propagated = (
             sym.join(labels, sym.dst == labels.id)
@@ -72,7 +72,11 @@ def connected_components(
             .unionAll(propagated)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
+        )
+        # one job per round: the change-detection count materializes
+        # new_labels into the cache; lineage is cut every few rounds
+        new_labels = (
+            new_labels.localCheckpoint() if i % 4 == 3 else new_labels.persist()
         )
         changed = (
             new_labels.alias("n")
@@ -81,7 +85,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        old = labels
         labels = new_labels
+        old.unpersist()
         if changed == 0:
             break
     return labels

@@ -35,17 +35,22 @@ def transitive_closure(
     # paths: (descendant, ancestor)
     paths = e.select(F.col("child").alias("descendant"), F.col("parent").alias("ancestor"))
     frontier = paths
-    for _ in range(max_depth - 1):
+    for i in range(max_depth - 1):
         nxt = (
             frontier.join(e, frontier.ancestor == e.child)
             .select("descendant", F.col("parent").alias("ancestor"))
             .distinct()
         )
-        # keep only newly discovered pairs
+        # keep only newly discovered pairs (set difference ends the loop on
+        # cyclic graphs); the frontier is the only frame that needs
+        # materializing every round — paths only needs its lineage cut
+        # periodically, saving ~1 job per round
         nxt = nxt.exceptAll(paths).localCheckpoint()
         if nxt.limit(1).count() == 0:
             break
-        paths = paths.unionAll(nxt).localCheckpoint()
+        paths = paths.unionAll(nxt)
+        if i % 4 == 3:
+            paths = paths.localCheckpoint()
         frontier = nxt
     return paths
 

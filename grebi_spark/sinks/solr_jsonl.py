@@ -87,6 +87,20 @@ def solr_autocomplete_docs(names: DataFrame) -> DataFrame:
     )
 
 
+def solr_schema_fields(prop_keys: list[str]) -> list[dict]:
+    """K5 — dynamic Solr schema generation: per property a stored string
+    field plus ``str_``/``lowercase_`` copy-fields
+    (06_prepare_db_import/make_solr_config.py:33-53). Returned as dicts so
+    a serving layer can render schema.xml."""
+    fields = []
+    for k in sorted(prop_keys):
+        sk = k.replace(":", "__")
+        fields.append({"name": sk, "type": "string", "multiValued": True, "stored": True})
+        fields.append({"name": f"str_{sk}", "type": "string", "copy_of": sk})
+        fields.append({"name": f"lowercase_{sk}", "type": "lowercase", "copy_of": sk})
+    return fields
+
+
 def write_solr_jsonl(
     merged: DataFrame, node_meta: DataFrame, edges: DataFrame, names: DataFrame, out_dir: str
 ) -> None:

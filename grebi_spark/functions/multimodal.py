@@ -56,6 +56,9 @@ def decode_image_stub(payload: bytes, fake: bool = True) -> dict:
 def extract_features(binary_df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
     """mapInPandas feature extraction over a binary column — the real
     Arrow-batched slow-path plumbing a production decode would use."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(binary_df.sparkSession)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -56,6 +56,9 @@ class PrefixMap:
 
 def make_rewrite_udf(spark, prefix_map: PrefixMap):
     """Broadcast the map, return a vectorised string-rewrite column fn."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     bc = spark.sparkContext.broadcast(prefix_map.mapping)
 
     @pandas_udf("string")

@@ -64,6 +64,36 @@ def get_spark(
     return spark
 
 
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make ``grebi_spark`` importable in executor Python workers of ANY
+    session — including one created by a host harness before this package
+    was importable (PYTHONPATH exports don't reach workers of an
+    already-started JVM). Ships a package zip via ``addPyFile``, which
+    workers prepend to sys.path. Idempotent per SparkContext."""
+    sc = spark.sparkContext
+    if getattr(sc, "_grebi_spark_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(tempfile.gettempdir(), "grebi_spark_pkg.zip")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
+                if "__pycache__" in dirpath:
+                    continue
+                for fn in filenames:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        rel = os.path.join(
+                            "grebi_spark", os.path.relpath(full, pkg_dir)
+                        )
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._grebi_spark_shipped = True
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Load the harness parquet tables as a dict of DataFrames and register
     them as temp views (the engine's native batch-query mode, cf. GrEBI
@@ -81,6 +111,13 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         "documents",
         "embeddings",
     )
+    # defend against foreign sessions (e.g. the driver harness): the events
+    # table stores TIMESTAMP(NANOS), unreadable unless this legacy conf is
+    # on — it is runtime-settable, so set it here rather than only at build
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down → the session owner already chose a policy
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -91,6 +91,9 @@ def jsonl_to_nodes(
     """One-column DataFrame of JSON lines → long-form INGESTED rows."""
     t = transform or JsonlTransform(id_field=id_field)
     col = lines.columns[0]
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(lines.sparkSession)
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -205,3 +205,23 @@ def test_xml(spark, tmp_path):
     assert ("MTBLS1", "title", "Study one") in vals
     assert ("MTBLS1", "xref", "chebi:15377") in vals
     assert ("MTBLC2", "grebi:type", "metabolights:Compound") in vals
+
+
+def test_nodes_to_edges(spark):
+    """S5 grebi_nodes2edges: entity split into a reified edge."""
+    from grebi_spark.sources.jsonl import jsonl_to_nodes, nodes_to_edges
+
+    rows = jsonl_to_nodes(
+        spark.createDataFrame(
+            [(json.dumps({"id": "row1", "geneId": "g:1", "diseaseId": "d:2", "pval": "0.05"}),)],
+            ["value"],
+        ),
+        "assoc",
+    )
+    edges = nodes_to_edges(rows, "geneId", "diseaseId", "assoc:linked_to").collect()
+    assert len(edges) == 1
+    e = edges[0]
+    assert e["entity_id"] == "g:1"
+    assert e["prop_key"] == "assoc:linked_to"
+    assert e["value"] == "d:2"
+    assert '"pval":["0.05"]' in e["value_props"]

@@ -1,0 +1,414 @@
+"""A Cypher-subset translator: the reference's own query files
+(queries/*.cypher) compile to DataFrame plans over a BuiltGraph.
+
+The reference's stage 08 delegates these files to Neo4j
+(08_run_queries/run_queries.slurm.py:20-60). Supporting the subset they
+actually use lets a GrEBI user run their existing query files unchanged;
+Catalyst plans the joins.
+
+Supported subset (everything in queries/*.cypher):
+- MATCH chains: ``(a:`L`)-[r:`T`]->(b)``, both directions, undirected
+  ``-[r]-``, anonymous nodes/edges, multi-MATCH, ``p = (...)`` path
+  assignment (path var ignored), node property pattern ``{id: "..."}``
+- the id-resolution idiom ``(d)-[:id]->(x:Id {id: "v"})``
+- WHERE: ``v.`p` IS NOT NULL``, ``"lit" IN v.`p```,
+  ``toFloat(v.`p`[0]) <op> <num>``, ``v.`p`[0] <op> "lit"``
+- RETURN [DISTINCT]: ``v.`p`[0] AS a``, ``toFloat(...) AS a``,
+  ``count(v)``, ``count(DISTINCT v)``, bare variables
+- ORDER BY <alias | v.`p`> [DESC], LIMIT n
+
+Not supported (and absent from the reference's files): variable-length
+paths ``*1..`` (use plans.closure), OPTIONAL MATCH, CREATE/SET/DELETE.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline import BuiltGraph
+
+_NODE = re.compile(
+    r"\(\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
+    r"(?::\s*`?(?P<label>[^`\)\{]+?)`?\s*)?"
+    r"(?:\{\s*id\s*:\s*\"(?P<idval>[^\"]+)\"\s*\})?\s*\)"
+)
+_EDGE = re.compile(
+    r"(?P<left><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
+    r"(?::\s*`?(?P<type>[^`\]]+?)`?\s*)?\]\s*-(?P<right>>)?"
+)
+
+
+@dataclass
+class ParsedQuery:
+    node_labels: dict[str, str] = field(default_factory=dict)
+    node_id_constraints: dict[str, str] = field(default_factory=dict)
+    edges: list[tuple[str, str | None, str, str]] = field(default_factory=list)
+    wheres: list[str] = field(default_factory=list)
+    path_vars: set[str] = field(default_factory=set)
+    return_items: list[str] = field(default_factory=list)
+    distinct: bool = False
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (expr, desc)
+    limit: int | None = None
+
+
+def _split_clauses(text: str) -> list[tuple[str, str]]:
+    text = re.sub(r"//[^\n]*", " ", text)
+    text = re.sub(r"\s+", " ", text).strip()
+    pat = re.compile(
+        r"\b(MATCH|WITH|WHERE|RETURN|ORDER BY|LIMIT)\b", re.IGNORECASE
+    )
+    parts: list[tuple[str, str]] = []
+    matches = list(pat.finditer(text))
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        parts.append((m.group(1).upper(), text[m.end():end].strip()))
+    return parts
+
+
+def _parse_pattern(pattern: str, q: ParsedQuery) -> None:
+    pattern = pattern.strip()
+    pm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*", pattern)
+    if pm:
+        q.path_vars.add(pm.group(1))
+        pattern = pattern[pm.end():]
+    pos = 0
+    anon = 0
+    prev_var: str | None = None
+    pending: tuple[str | None, str] | None = None
+    while pos < len(pattern):
+        nm = _NODE.match(pattern, pos)
+        if not nm:
+            break
+        var = nm.group("var")
+        if not var:
+            anon += 1
+            var = f"__anon{len(q.node_labels)}_{anon}"
+        if nm.group("label"):
+            q.node_labels[var] = nm.group("label").strip()
+        else:
+            q.node_labels.setdefault(var, "")
+        if nm.group("idval"):
+            q.node_id_constraints[var] = nm.group("idval")
+        if prev_var is not None and pending is not None:
+            etype, direction = pending
+            if direction == "right":
+                q.edges.append((prev_var, etype, var, "->"))
+            elif direction == "left":
+                q.edges.append((var, etype, prev_var, "->"))
+            else:
+                q.edges.append((prev_var, etype, var, "--"))
+        prev_var = var
+        pos = nm.end()
+        em = _EDGE.match(pattern, pos)
+        if em:
+            etype = em.group("type").strip() if em.group("type") else None
+            if em.group("right"):
+                direction = "right"
+            elif em.group("left"):
+                direction = "left"
+            else:
+                direction = "both"
+            pending = (etype, direction)
+            pos = em.end()
+        else:
+            pending = None
+
+
+def parse_cypher(text: str) -> ParsedQuery:
+    q = ParsedQuery()
+    for kw, body in _split_clauses(text):
+        if kw == "MATCH":
+            for chain in body.split(","):
+                if "(" in chain:
+                    _parse_pattern(chain, q)
+        elif kw == "WHERE":
+            q.wheres.extend(w.strip() for w in re.split(r"\bAND\b", body, flags=re.I))
+        elif kw == "RETURN":
+            body = body.strip()
+            if body.upper().startswith("DISTINCT"):
+                q.distinct = True
+                body = body[len("DISTINCT"):].strip()
+            q.return_items = [i.strip() for i in _split_top_commas(body)]
+        elif kw == "ORDER BY":
+            for item in _split_top_commas(body):
+                item = item.strip()
+                desc = bool(re.search(r"\bDESC\b", item, re.I))
+                expr = re.sub(r"\b(DESC|ASC)\b", "", item, flags=re.I).strip()
+                q.order_by.append((expr, desc))
+        elif kw == "LIMIT":
+            q.limit = int(body.split()[0])
+        # WITH: variable scoping only — all vars stay bound; no-op here
+    return q
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+_PROP = re.compile(r"(?P<var>[A-Za-z_][A-Za-z0-9_]*)\.`?(?P<prop>[^`\[\s]+)`?(?P<first>\[0\])?")
+
+
+def _balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+class _Planner:
+    def __init__(self, graph: BuiltGraph, q: ParsedQuery):
+        self.graph = graph
+        self.q = q
+        self.bound: set[str] = set()
+        self.df: DataFrame | None = None
+        self.prop_cols: dict[tuple[str, str], str] = {}
+
+    # -- binding construction -------------------------------------------
+    def _node_df(self, var: str) -> DataFrame:
+        label = self.q.node_labels.get(var, "")
+        nodes = self.graph.nodes
+        if label and label != "Id":
+            nodes = nodes.filter(F.array_contains("types", label))
+        return nodes.select(F.col("node_id").alias(var))
+
+    def _bind_first(self, var: str) -> None:
+        self.df = self._node_df(var)
+        self.bound.add(var)
+
+    def _apply_edge(self, a: str, etype: str | None, b: str, direction: str) -> None:
+        e = self.graph.edges
+        if etype:
+            e = e.filter(F.col("edge_type") == etype)
+        fwd = e.select(F.col("from_id").alias("__src"), F.col("to_id").alias("__dst"))
+        if direction == "--":
+            rel = fwd.unionAll(
+                e.select(F.col("to_id").alias("__src"), F.col("from_id").alias("__dst"))
+            ).distinct()
+        else:
+            rel = fwd
+        if self.df is None:
+            self._bind_first(a)
+        if a in self.bound and b not in self.bound:
+            self.df = (
+                self.df.join(rel, self.df[a] == rel["__src"])
+                .withColumn(b, F.col("__dst"))
+                .drop("__src", "__dst")
+            )
+            self.df = self.df.join(self._node_df(b), b, "left_semi") if self.q.node_labels.get(b) and self.q.node_labels[b] != "Id" else self.df
+            self.bound.add(b)
+        elif b in self.bound and a not in self.bound:
+            self.df = (
+                self.df.join(rel, self.df[b] == rel["__dst"])
+                .withColumn(a, F.col("__src"))
+                .drop("__src", "__dst")
+            )
+            self.df = self.df.join(self._node_df(a), a, "left_semi") if self.q.node_labels.get(a) and self.q.node_labels[a] != "Id" else self.df
+            self.bound.add(a)
+        elif a in self.bound and b in self.bound:
+            cond = (self.df[a] == rel["__src"]) & (self.df[b] == rel["__dst"])
+            self.df = self.df.join(rel, cond, "left_semi")
+        else:
+            self._bind_first(a)
+            self._apply_edge(a, etype, b, direction)
+
+    # -- property attachment --------------------------------------------
+    def _canonical_prop(self, prop: str) -> str:
+        """Property names are data: the pipeline rewrites keys through the
+        equivalence groups (N4), so a query asking for ``impc:name`` must
+        read the canonical key (e.g. ``grebi:name``). One tiny metadata
+        lookup at compile time."""
+        hit = self.graph.groups.filter(F.col("id") == prop).select("group_id").head()
+        return hit["group_id"] if hit else prop
+
+    def prop_col(self, var: str, prop: str) -> str:
+        prop = self._canonical_prop(prop)
+        key = (var, prop)
+        if key in self.prop_cols:
+            return self.prop_cols[key]
+        alias = f"__{var}__{re.sub('[^A-Za-z0-9]', '_', prop)}"
+        vals = (
+            self.graph.merged.filter(F.col("prop_key") == prop)
+            .groupBy("node_id")
+            .agg(F.min("value").alias(alias))
+            .withColumnRenamed("node_id", var)
+        )
+        self.df = self.df.join(vals, var, "left")
+        self.prop_cols[key] = alias
+        return alias
+
+    def expr(self, text: str) -> Column:
+        text = text.strip()
+        while text.startswith("(") and text.endswith(")") and _balanced(text[1:-1]):
+            text = text[1:-1].strip()
+        m = re.fullmatch(r"toFloat\((.+)\)", text, re.I)
+        if m:
+            return self.expr(m.group(1)).cast("double")
+        m = re.fullmatch(r"DISTINCT\s*\((.+)\)", text, re.I)
+        if m:
+            return self.expr(m.group(1))
+        pm = _PROP.fullmatch(text)
+        if pm:
+            return F.col(self.prop_col(pm.group("var"), pm.group("prop")))
+        if text in self.bound:
+            return F.col(text)
+        raise ValueError(f"unsupported cypher expression: {text}")
+
+    # -- plan ------------------------------------------------------------
+    def plan(self) -> DataFrame:
+        q = self.q
+        # id-resolution idiom: edges [:id] to an Id-labelled constrained var
+        resolved_edges = []
+        for (a, etype, b, direction) in q.edges:
+            id_var = None
+            if etype == "id":
+                if q.node_labels.get(b) == "Id" and b in q.node_id_constraints:
+                    id_var, other = b, a
+                elif q.node_labels.get(a) == "Id" and a in q.node_id_constraints:
+                    id_var, other = a, b
+            if id_var:
+                alias_val = q.node_id_constraints[id_var]
+                cands = self.graph.nodes.filter(
+                    F.array_contains("source_ids", alias_val)
+                ).select(F.col("node_id").alias(other))
+                if self.df is None:
+                    label = q.node_labels.get(other, "")
+                    if label and label != "Id":
+                        cands = cands.join(self._node_df(other), other, "left_semi")
+                    self.df = cands
+                    self.bound.add(other)
+                else:
+                    self.df = self.df.join(cands, other, "left_semi")
+            else:
+                resolved_edges.append((a, etype, b, direction))
+        for (a, etype, b, direction) in resolved_edges:
+            self._apply_edge(a, etype, b, direction)
+        if self.df is None:  # MATCH with a single node pattern
+            first = next(iter(q.node_labels))
+            self._bind_first(first)
+
+        # WHERE
+        for w in q.wheres:
+            self._apply_where(w)
+
+        # RETURN — a path variable expands to all named node vars
+        items: list[str] = []
+        for item in q.return_items:
+            if item in q.path_vars:
+                items.extend(
+                    v
+                    for v in q.node_labels
+                    if not v.startswith("__anon") and v in self.bound
+                )
+            else:
+                items.append(item)
+        agg_items, plain_items = [], []
+        for item in items:
+            m = re.fullmatch(r"(.+?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)", item, re.I)
+            expr_text, alias = (m.group(1), m.group(2)) if m else (item, None)
+            cm = re.fullmatch(r"count\s*\(\s*(DISTINCT\s+)?(.+?)\s*\)", expr_text, re.I)
+            if cm:
+                inner = self.expr(cm.group(2))
+                col = (
+                    F.countDistinct(inner) if cm.group(1) else F.count(inner)
+                ).alias(alias or f"count_{cm.group(2)}")
+                agg_items.append(col)
+            else:
+                col = self.expr(expr_text)
+                name = alias or re.sub(r"[^A-Za-z0-9_]", "_", expr_text)
+                plain_items.append(col.alias(name))
+        out = self.df
+        if agg_items:
+            out = out.groupBy(*plain_items).agg(*agg_items) if plain_items else out.agg(*agg_items)
+        else:
+            out = out.select(*plain_items) if plain_items else out
+        if q.distinct and not agg_items:
+            out = out.distinct()
+
+        # ORDER BY / LIMIT — resolve against output aliases first
+        if q.order_by:
+            cols = []
+            for expr_text, desc in q.order_by:
+                if expr_text in out.columns:
+                    c = F.col(expr_text)
+                else:
+                    pm = _PROP.fullmatch(expr_text)
+                    if pm:
+                        alias = f"__{pm.group('var')}__{re.sub('[^A-Za-z0-9]', '_', pm.group('prop'))}"
+                        c = F.col(alias) if alias in out.columns else F.col(out.columns[-1])
+                    else:
+                        c = F.col(out.columns[-1])
+                cols.append(c.desc() if desc else c.asc())
+            out = out.orderBy(*cols)
+        if q.limit is not None:
+            out = out.limit(q.limit)
+        return out
+
+    def _apply_where(self, w: str) -> None:
+        w = w.strip()
+        m = re.fullmatch(r"(.+?)\s+IS\s+NOT\s+NULL", w, re.I)
+        if m:
+            # evaluate the expression FIRST — prop_col attaches a join to
+            # self.df, so `self.df.filter(self.expr(...))` would bind the
+            # pre-join frame
+            col = self.expr(m.group(1))
+            self.df = self.df.filter(col.isNotNull())
+            return
+        m = re.fullmatch(r"\"([^\"]+)\"\s+IN\s+(\S+)", w, re.I)
+        if m:
+            lit, target = m.group(1), m.group(2)
+            pm = _PROP.fullmatch(target.strip())
+            if not pm:
+                raise ValueError(f"unsupported IN target: {target}")
+            members = (
+                self.graph.merged.filter(
+                    (F.col("prop_key") == pm.group("prop")) & (F.col("value") == lit)
+                )
+                .select(F.col("node_id").alias(pm.group("var")))
+                .distinct()
+            )
+            self.df = self.df.join(members, pm.group("var"), "left_semi")
+            return
+        m = re.fullmatch(r"(.+?)\s*(>=|<=|=|<>|>|<)\s*(.+)", w)
+        if m:
+            lhs = self.expr(m.group(1))
+            op = m.group(2)
+            rhs_text = m.group(3).strip()
+            rhs = (
+                F.lit(rhs_text[1:-1])
+                if rhs_text.startswith('"')
+                else F.lit(float(rhs_text))
+            )
+            ops = {
+                ">=": lhs >= rhs, "<=": lhs <= rhs, ">": lhs > rhs,
+                "<": lhs < rhs, "=": lhs == rhs, "<>": lhs != rhs,
+            }
+            self.df = self.df.filter(ops[op])
+            return
+        raise ValueError(f"unsupported WHERE clause: {w}")
+
+
+def run_cypher(graph: BuiltGraph, text: str) -> DataFrame:
+    """Compile + execute a Cypher query (supported subset) on the graph."""
+    return _Planner(graph, parse_cypher(text)).plan()

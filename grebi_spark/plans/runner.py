@@ -2,9 +2,11 @@
 
 Reference: 08_run_queries/run_queries.slurm.py:20-60 executes every
 queries/*.cypher against the built Neo4j and writes CSVs
-(queries/run_query.py:6-14). The engine-native equivalent: every
-queries/*.sql file runs through spark.sql over the registered graph views
-and lands as CSV — parse/analyze/optimize/execute is Catalyst.
+(queries/run_query.py:6-14). The engine-native equivalent runs BOTH
+dialects over the built graph: ``.cypher`` files through the
+plans.cypher subset translator (the reference's own query files run
+unchanged) and ``.sql`` files through spark.sql over the registered
+views — parse/analyze/optimize/execute is Catalyst either way.
 """
 
 from __future__ import annotations
@@ -30,16 +32,18 @@ def run_query_files(
     (the reference pipes merged output through `split -C 1GB`,
     nextflow/01_create_subgraph.nf:192-197).
     """
+    from .cypher import run_cypher
+
     register_views(graph, spark)
     results: dict[str, int] = {}
     for fname in sorted(os.listdir(queries_dir)):
-        if not fname.endswith(".sql"):
+        if not (fname.endswith(".sql") or fname.endswith(".cypher")):
             continue
-        name = fname[: -len(".sql")]
+        name, ext = fname.rsplit(".", 1)
         with open(os.path.join(queries_dir, fname)) as f:
-            sql = f.read()
+            text = f.read()
         try:
-            df = spark.sql(sql)
+            df = run_cypher(graph, text) if ext == "cypher" else spark.sql(text)
             (
                 df.write.mode("overwrite")
                 .option("header", True)

@@ -1,0 +1,107 @@
+"""Cypher-subset translator: the reference's queries/*.cypher run
+verbatim on the fixture graph, and their results agree with the
+hand-written DataFrame translations in plans.graph_queries."""
+
+import pytest
+
+from grebi_spark.plans.cypher import parse_cypher, run_cypher
+from grebi_spark.plans.graph_queries import (
+    genes_to_diseases_ranked_by_otar_score,
+    mouse_genes_to_human_diseases,
+    mouse_phenotypes_by_system,
+)
+
+from .test_graph_queries import graph  # noqa: F401  (module fixture)
+
+# verbatim: queries/mouse_genes_to_human_diseases.cypher:1-3
+MOUSE_GENES = """
+MATCH (mouse_gene:`impc:MouseGene`)-[:`impc:humanGeneOrthologues`]->(human_gene:`hgnc:Gene`)<-[:`otar:targetId`]-(evidence:`otar:Evidence`)-[:`otar:diseaseId`]->(disease:`ols:Class`)
+RETURN mouse_gene.`impc:name`[0] as mouse_gene_name, disease.`ols:label`[0] as disease, evidence.`otar:score`[0] as score
+ORDER BY score DESC
+"""
+
+# verbatim: queries/genes_to_diseases_ranked_by_otar_score.cypher:1-10
+RANKED = """
+MATCH (d:`biolink:Disease`)-[:id]->(id:Id {id: "mondo:0005044"})
+WITH d
+MATCH (d)<-[r1:`gwas:associated_with`]-(s:`gwas:SNP`)-[]->(g:`hgnc:Gene`)
+WITH d,s,r1,g
+MATCH (s)-[r2]-(o:`otar:Evidence`)
+WHERE o.`otar:variantEffect` is not null
+WITH d,s, o,r1,r2,g
+ORDER BY o.`otar:score` DESC
+RETURN DISTINCT(g.`hgnc:symbol`[0]) as gene_symbol, d.`grebi:name`[0] as disease_name, o.`otar:variantEffect`[0] as variant_effect, toFloat(o.`otar:score`[0]) as otar_score
+LIMIT 10
+"""
+
+# verbatim: queries/mouse_phenotypes_by_system.cypher:1-4
+BY_SYSTEM = """
+MATCH (g:`impc:MouseGene`)-[:`biolink:has_phenotype`]->(phenotype:`ols:Class`)-[:`upheno:0000001`]->(anatomical_entity:`ols:Class`)-[:`bfo:part_of`]->(system:`ols:Class`)
+WHERE "uberon:0000467" IN system.`ols:directAncestor`
+RETURN g.`impc:name`[0] AS gene, system.`ols:label`[0] AS system, count(phenotype) as n_phenotype
+ORDER BY n_phenotype DESC
+"""
+
+# verbatim: queries/gwas_snps_to_human_diseases.cypher:1-5
+SNP_PATHS = """
+MATCH (d:`biolink:Disease`)-[:id]->(id:Id {id: "mondo:0005044"})
+WITH d
+MATCH (s:`gwas:SNP`)-[]->(d)
+WITH s, d
+MATCH p = (d)<-[]-(s)-[]->(g:`hgnc:Gene`)
+RETURN p
+"""
+
+
+def test_parse_shapes():
+    q = parse_cypher(RANKED)
+    assert q.node_labels["d"] == "biolink:Disease"
+    assert q.node_id_constraints["id"] == "mondo:0005044"
+    assert q.limit == 10 and q.distinct
+    assert ("o.`otar:score`", True) in q.order_by
+    undirected = [e for e in q.edges if e[3] == "--"]
+    assert len(undirected) == 1  # (s)-[r2]-(o)
+
+
+def test_mouse_genes_cypher_matches_hand_translation(graph):  # noqa: F811
+    via_cypher = run_cypher(graph, MOUSE_GENES).collect()
+    by_hand = mouse_genes_to_human_diseases(graph).collect()
+    got = sorted(
+        (r["mouse_gene_name"], r["disease"], r["score"]) for r in via_cypher
+    )
+    want = sorted(
+        (r["mouse_gene_name"], r["disease_name"], str(r["score"])) for r in by_hand
+    )
+    assert [g[:2] for g in got] == [w[:2] for w in want]
+    assert [float(g[2]) for g in got] == [float(w[2]) for w in want]
+
+
+def test_ranked_cypher_matches_hand_translation(graph):  # noqa: F811
+    via_cypher = run_cypher(graph, RANKED).collect()
+    by_hand = genes_to_diseases_ranked_by_otar_score(graph, "mondo:0005044").collect()
+    got = {
+        (r["gene_symbol"], r["disease_name"], r["variant_effect"], r["otar_score"])
+        for r in via_cypher
+    }
+    want = {
+        (r["gene_symbol"], r["disease_name"], r["variant_effect"], r["otar_score"])
+        for r in by_hand
+    }
+    assert got == want
+
+
+def test_by_system_cypher_matches_hand_translation(graph):  # noqa: F811
+    via_cypher = run_cypher(graph, BY_SYSTEM).collect()
+    by_hand = mouse_phenotypes_by_system(graph).collect()
+    got = {(r["gene"], r["system"], r["n_phenotype"]) for r in via_cypher}
+    want = {(r["gene_name"], r["system_name"], r["n_phenotype"]) for r in by_hand}
+    assert got == want
+
+
+def test_snp_paths_cypher(graph):  # noqa: F811
+    rows = run_cypher(graph, SNP_PATHS).collect()
+    assert len(rows) >= 1
+    cols = set(rows[0].asDict())
+    # path expands to the named vars of the query
+    assert {"d", "s", "g"} <= cols
+    assert rows[0]["s"] == "rs42"

@@ -110,3 +110,32 @@ def test_attach_refs(spark):
     row = with_refs.collect()[0]
     assert "d:2" in row["_refs"]
     assert row["_refs"]["d:2"]["names"] == ["breast cancer"]
+
+
+def test_run_cypher_files(spark, tmp_path):
+    src = spark.createDataFrame(
+        [
+            ("s", "d", "a:1", "id", "a:1", None),
+            ("s", "d", "a:1", "grebi:type", "T", None),
+            ("s", "d", "a:1", "grebi:name", "Alpha", None),
+            ("s", "d", "a:1", "rel:to", "b:2", None),
+            ("s", "d", "b:2", "id", "b:2", None),
+            ("s", "d", "b:2", "grebi:type", "U", None),
+        ],
+        "subgraph string, datasource string, entity_id string, prop_key string, value string, value_props string",
+    )
+    graph = build_graph([src], SubgraphConfig(exclude_edges=("id",)))
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    (qdir / "names.cypher").write_text(
+        "MATCH (a:`T`)-[:`rel:to`]->(b:`U`)\n"
+        "RETURN a.`grebi:name`[0] AS name, b AS target\n"
+    )
+    out = tmp_path / "out"
+    results = run_query_files(spark, graph, str(qdir), str(out))
+    assert results["names"] == 1
+    import glob
+    content = "".join(
+        open(f).read() for f in glob.glob(str(out / "names" / "*.csv"))
+    )
+    assert "Alpha" in content and "b:2" in content

@@ -55,6 +55,9 @@ EXTRA = [
      "ols:directAncestor": ["uberon:0000467"]},
     {"id": "mp:0002169_link", "grebi:type": "ols:Class",
      "upheno:0000001": ["uberon:heart"], "owl:sameAs": ["mp:0002169"]},
+    # the disease also carries its biolink typing (as monarch KGX provides
+    # in the real graph) — the reference Cypher queries filter on it
+    {"id": "mondo:0005044", "grebi:type": "biolink:Disease"},
 ]
 
 

@@ -81,3 +81,24 @@ def build_index(merged: DataFrame) -> GraphIndex:
         ids=ids,
         metadata=metadata,
     )
+
+
+def summary_json(index: GraphIndex, subgraph_name: str) -> dict:
+    """The summary.json document the reference writes per subgraph
+    (04_index/grebi_index/src/main.rs:214-232) and its summary service
+    serves as ``{subgraph: summary}``
+    (grebi_summary_service/.../GrebiSummarySvc.java:23-38).
+
+    The count frames hold one row per distinct prop key / type — tiny at
+    any data scale — so collecting to a driver-side dict is the right
+    boundary between the distributed aggregate and the serving layer."""
+
+    def count_map(df: DataFrame, key: str, n: str) -> dict:
+        return {r[key]: {"count": r[n]} for r in df.collect()}
+
+    return {
+        "subgraph_name": subgraph_name,
+        "entity_props": count_map(index.prop_counts, "prop_key", "n_values"),
+        "edge_props": count_map(index.edge_prop_counts, "prop_key", "n_values"),
+        "types": count_map(index.type_counts, "type", "n_nodes"),
+    }

@@ -6,19 +6,33 @@ The reference's stage 08 delegates these files to Neo4j
 actually use lets a GrEBI user run their existing query files unchanged;
 Catalyst plans the joins.
 
-Supported subset (everything in queries/*.cypher):
+Supported subset (everything in queries/*.cypher and the read paths of
+the notebooks/*.ipynb queries):
 - MATCH chains: ``(a:`L`)-[r:`T`]->(b)``, both directions, undirected
   ``-[r]-``, anonymous nodes/edges, multi-MATCH, ``p = (...)`` path
   assignment (path var ignored), node property pattern ``{id: "..."}``
-- the id-resolution idiom ``(d)-[:id]->(x:Id {id: "v"})``
+  or ``{id: $param}``, the universal ``GraphNode`` label
+- variable-length paths ``-[:`T`*1..]->`` / ``*1..n`` (compiled to the
+  path-doubling transitive closure in plans.closure —
+  notebooks/ic_scores.ipynb uses ``[:`biolink:broad_match`*1..]``)
+- the id-resolution idiom ``(d)-[:id]->(x:Id {id: "v"})``;
+  ``USING INDEX`` hints are accepted and ignored (Catalyst plans access)
 - WHERE: ``v.`p` IS NOT NULL``, ``"lit" IN v.`p```,
   ``toFloat(v.`p`[0]) <op> <num>``, ``v.`p`[0] <op> "lit"``
-- RETURN [DISTINCT]: ``v.`p`[0] AS a``, ``toFloat(...) AS a``,
-  ``count(v)``, ``count(DISTINCT v)``, bare variables
+- aggregates in RETURN and in one ``WITH`` barrier: ``count``,
+  ``count(DISTINCT …)``, ``collect``, ``collect(DISTINCT …)``,
+  ``avg``, ``sum``, ``min``, ``max`` — grouping keys are the non-aggregate
+  items, Cypher-style (notebooks/ic_scores.ipynb:
+  ``WITH ancestor, count(DISTINCT subclass) AS num_desc``)
+- RETURN [DISTINCT]: ``v.`p`[0] AS a``, ``toFloat(...) AS a``, bare
+  variables, WITH-introduced aliases
 - ORDER BY <alias | v.`p`> [DESC], LIMIT n
+- ``$param`` substitution via ``run_cypher(graph, text, params={...})``
 
-Not supported (and absent from the reference's files): variable-length
-paths ``*1..`` (use plans.closure), OPTIONAL MATCH, CREATE/SET/DELETE.
+Not supported (mutations are out of scope for a query engine):
+OPTIONAL MATCH, CREATE/SET/DELETE/MERGE — SET-bearing notebook queries
+must be restated read-only (the ic_scores workflow is provided as
+plans.graph_queries.ic_scores).
 """
 
 from __future__ import annotations
@@ -30,6 +44,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline import BuiltGraph
+from .closure import transitive_closure
+
+#: labels that match every merged node (the Neo4j export gives all nodes
+#: the GraphNode label — 06_prepare_db_import/grebi_make_neo_csv/src/
+#: main.rs:184-193; Id nodes are resolved via source_ids instead)
+_UNIVERSAL_LABELS = ("", "Id", "GraphNode")
 
 _NODE = re.compile(
     r"\(\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
@@ -38,7 +58,14 @@ _NODE = re.compile(
 )
 _EDGE = re.compile(
     r"(?P<left><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
-    r"(?::\s*`?(?P<type>[^`\]]+?)`?\s*)?\]\s*-(?P<right>>)?"
+    r"(?::\s*`?(?P<type>[^`\]\*]+?)`?\s*)?"
+    r"(?:\*\s*(?P<minhops>\d+)?\s*(?:\.\.\s*(?P<maxhops>\d+)?)?)?\s*"
+    r"\]\s*-(?P<right>>)?"
+)
+_AGG_FNS = ("count", "collect", "avg", "sum", "min", "max")
+_AGG = re.compile(
+    r"\b(?P<fn>" + "|".join(_AGG_FNS) + r")\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>.+?)\s*\)",
+    re.I,
 )
 
 
@@ -46,9 +73,13 @@ _EDGE = re.compile(
 class ParsedQuery:
     node_labels: dict[str, str] = field(default_factory=dict)
     node_id_constraints: dict[str, str] = field(default_factory=dict)
-    edges: list[tuple[str, str | None, str, str]] = field(default_factory=list)
+    # (from_var, edge_type, to_var, direction, (min_hops, max_hops) | None)
+    edges: list[tuple[str, str | None, str, str, tuple[int, int | None] | None]] = field(
+        default_factory=list
+    )
     wheres: list[str] = field(default_factory=list)
     path_vars: set[str] = field(default_factory=set)
+    with_items: list[str] = field(default_factory=list)  # aggregate barrier
     return_items: list[str] = field(default_factory=list)
     distinct: bool = False
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (expr, desc)
@@ -57,6 +88,8 @@ class ParsedQuery:
 
 def _split_clauses(text: str) -> list[tuple[str, str]]:
     text = re.sub(r"//[^\n]*", " ", text)
+    # planner hints are Neo4j-physical; Catalyst owns access paths here
+    text = re.sub(r"\bUSING\s+INDEX\s+\S+", " ", text, flags=re.I)
     text = re.sub(r"\s+", " ", text).strip()
     pat = re.compile(
         r"\b(MATCH|WITH|WHERE|RETURN|ORDER BY|LIMIT)\b", re.IGNORECASE
@@ -94,13 +127,13 @@ def _parse_pattern(pattern: str, q: ParsedQuery) -> None:
         if nm.group("idval"):
             q.node_id_constraints[var] = nm.group("idval")
         if prev_var is not None and pending is not None:
-            etype, direction = pending
+            etype, direction, hops = pending
             if direction == "right":
-                q.edges.append((prev_var, etype, var, "->"))
+                q.edges.append((prev_var, etype, var, "->", hops))
             elif direction == "left":
-                q.edges.append((var, etype, prev_var, "->"))
+                q.edges.append((var, etype, prev_var, "->", hops))
             else:
-                q.edges.append((prev_var, etype, var, "--"))
+                q.edges.append((prev_var, etype, var, "--", hops))
         prev_var = var
         pos = nm.end()
         em = _EDGE.match(pattern, pos)
@@ -112,7 +145,12 @@ def _parse_pattern(pattern: str, q: ParsedQuery) -> None:
                 direction = "left"
             else:
                 direction = "both"
-            pending = (etype, direction)
+            hops: tuple[int, int | None] | None = None
+            if em.group("minhops") is not None or "*" in em.group(0):
+                lo = int(em.group("minhops") or 1)
+                hi = int(em.group("maxhops")) if em.group("maxhops") else None
+                hops = (lo, hi)
+            pending = (etype, direction, hops)
             pos = em.end()
         else:
             pending = None
@@ -141,7 +179,13 @@ def parse_cypher(text: str) -> ParsedQuery:
                 q.order_by.append((expr, desc))
         elif kw == "LIMIT":
             q.limit = int(body.split()[0])
-        # WITH: variable scoping only — all vars stay bound; no-op here
+        elif kw == "WITH":
+            items = [i.strip() for i in _split_top_commas(body)]
+            if any(_AGG.search(i) for i in items):
+                if q.with_items:
+                    raise ValueError("only one aggregating WITH is supported")
+                q.with_items = items
+            # non-aggregating WITH = variable scoping only; all vars stay bound
     return q
 
 
@@ -189,7 +233,7 @@ class _Planner:
     def _node_df(self, var: str) -> DataFrame:
         label = self.q.node_labels.get(var, "")
         nodes = self.graph.nodes
-        if label and label != "Id":
+        if label not in _UNIVERSAL_LABELS:
             nodes = nodes.filter(F.array_contains("types", label))
         return nodes.select(F.col("node_id").alias(var))
 
@@ -197,14 +241,32 @@ class _Planner:
         self.df = self._node_df(var)
         self.bound.add(var)
 
-    def _apply_edge(self, a: str, etype: str | None, b: str, direction: str) -> None:
+    def _apply_edge(
+        self,
+        a: str,
+        etype: str | None,
+        b: str,
+        direction: str,
+        hops: tuple[int, int | None] | None = None,
+    ) -> None:
         e = self.graph.edges
         if etype:
             e = e.filter(F.col("edge_type") == etype)
         fwd = e.select(F.col("from_id").alias("__src"), F.col("to_id").alias("__dst"))
+        if hops is not None:
+            lo, hi = hops
+            if lo not in (0, 1):
+                raise ValueError(f"unsupported minimum hop count: {lo}")
+            # `*1..` / `*1..n`: expand via the path-doubling closure —
+            # (descendant, ancestor) pairs following src→dst direction
+            fwd = transitive_closure(
+                fwd, "__src", "__dst", max_depth=hi or 30
+            ).select(
+                F.col("descendant").alias("__src"), F.col("ancestor").alias("__dst")
+            )
         if direction == "--":
             rel = fwd.unionAll(
-                e.select(F.col("to_id").alias("__src"), F.col("from_id").alias("__dst"))
+                fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
             ).distinct()
         else:
             rel = fwd
@@ -216,7 +278,7 @@ class _Planner:
                 .withColumn(b, F.col("__dst"))
                 .drop("__src", "__dst")
             )
-            self.df = self.df.join(self._node_df(b), b, "left_semi") if self.q.node_labels.get(b) and self.q.node_labels[b] != "Id" else self.df
+            self.df = self.df.join(self._node_df(b), b, "left_semi") if self.q.node_labels.get(b) not in _UNIVERSAL_LABELS else self.df
             self.bound.add(b)
         elif b in self.bound and a not in self.bound:
             self.df = (
@@ -224,14 +286,14 @@ class _Planner:
                 .withColumn(a, F.col("__src"))
                 .drop("__src", "__dst")
             )
-            self.df = self.df.join(self._node_df(a), a, "left_semi") if self.q.node_labels.get(a) and self.q.node_labels[a] != "Id" else self.df
+            self.df = self.df.join(self._node_df(a), a, "left_semi") if self.q.node_labels.get(a) not in _UNIVERSAL_LABELS else self.df
             self.bound.add(a)
         elif a in self.bound and b in self.bound:
             cond = (self.df[a] == rel["__src"]) & (self.df[b] == rel["__dst"])
             self.df = self.df.join(rel, cond, "left_semi")
         else:
             self._bind_first(a)
-            self._apply_edge(a, etype, b, direction)
+            self._apply_edge(a, etype, b, direction, hops)
 
     # -- property attachment --------------------------------------------
     def _canonical_prop(self, prop: str) -> str:
@@ -273,14 +335,58 @@ class _Planner:
             return F.col(self.prop_col(pm.group("var"), pm.group("prop")))
         if text in self.bound:
             return F.col(text)
+        if self.df is not None and text in self.df.columns:
+            return F.col(text)  # a WITH-introduced alias
         raise ValueError(f"unsupported cypher expression: {text}")
+
+    def _agg_column(self, fn: str, distinct: bool, arg: str, alias: str) -> Column:
+        inner = self.expr(arg)
+        fn = fn.lower()
+        if fn == "count":
+            col = F.countDistinct(inner) if distinct else F.count(inner)
+        elif fn == "collect":
+            # deterministic output: Neo4j leaves collect() order unspecified
+            col = F.array_sort(
+                F.collect_set(inner) if distinct else F.collect_list(inner)
+            )
+        elif distinct:
+            raise ValueError(f"DISTINCT is not supported inside {fn}()")
+        else:
+            col = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[fn](inner)
+        return col.alias(alias)
+
+    def _project(self, raw_items: list[str], distinct: bool) -> DataFrame:
+        """Compile a WITH/RETURN item list: non-aggregate items become
+        grouping keys when any aggregate is present (Cypher semantics)."""
+        agg_items, plain_items = [], []
+        for item in raw_items:
+            m = re.fullmatch(r"(.+?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)", item, re.I)
+            expr_text, alias = (m.group(1), m.group(2)) if m else (item, None)
+            am = _AGG.fullmatch(expr_text.strip())
+            if am:
+                name = alias or re.sub(r"[^A-Za-z0-9_]", "_", expr_text)
+                agg_items.append(
+                    self._agg_column(am.group("fn"), bool(am.group("distinct")), am.group("arg"), name)
+                )
+            else:
+                col = self.expr(expr_text)
+                name = alias or re.sub(r"[^A-Za-z0-9_]", "_", expr_text)
+                plain_items.append(col.alias(name))
+        out = self.df
+        if agg_items:
+            out = out.groupBy(*plain_items).agg(*agg_items) if plain_items else out.agg(*agg_items)
+        else:
+            out = out.select(*plain_items) if plain_items else out
+        if distinct and not agg_items:
+            out = out.distinct()
+        return out
 
     # -- plan ------------------------------------------------------------
     def plan(self) -> DataFrame:
         q = self.q
         # id-resolution idiom: edges [:id] to an Id-labelled constrained var
         resolved_edges = []
-        for (a, etype, b, direction) in q.edges:
+        for (a, etype, b, direction, hops) in q.edges:
             id_var = None
             if etype == "id":
                 if q.node_labels.get(b) == "Id" and b in q.node_id_constraints:
@@ -301,9 +407,9 @@ class _Planner:
                 else:
                     self.df = self.df.join(cands, other, "left_semi")
             else:
-                resolved_edges.append((a, etype, b, direction))
-        for (a, etype, b, direction) in resolved_edges:
-            self._apply_edge(a, etype, b, direction)
+                resolved_edges.append((a, etype, b, direction, hops))
+        for (a, etype, b, direction, hops) in resolved_edges:
+            self._apply_edge(a, etype, b, direction, hops)
         if self.df is None:  # MATCH with a single node pattern
             first = next(iter(q.node_labels))
             self._bind_first(first)
@@ -311,6 +417,14 @@ class _Planner:
         # WHERE
         for w in q.wheres:
             self._apply_where(w)
+
+        # WITH barrier: group on the non-aggregate items, then continue
+        # planning against the aggregated frame (its columns become the
+        # bound names — ic_scores' `WITH ancestor, count(...) AS num_desc`)
+        if q.with_items:
+            self.df = self._project(q.with_items, distinct=False)
+            self.bound = set(self.df.columns)
+            self.prop_cols = {}
 
         # RETURN — a path variable expands to all named node vars
         items: list[str] = []
@@ -323,28 +437,7 @@ class _Planner:
                 )
             else:
                 items.append(item)
-        agg_items, plain_items = [], []
-        for item in items:
-            m = re.fullmatch(r"(.+?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)", item, re.I)
-            expr_text, alias = (m.group(1), m.group(2)) if m else (item, None)
-            cm = re.fullmatch(r"count\s*\(\s*(DISTINCT\s+)?(.+?)\s*\)", expr_text, re.I)
-            if cm:
-                inner = self.expr(cm.group(2))
-                col = (
-                    F.countDistinct(inner) if cm.group(1) else F.count(inner)
-                ).alias(alias or f"count_{cm.group(2)}")
-                agg_items.append(col)
-            else:
-                col = self.expr(expr_text)
-                name = alias or re.sub(r"[^A-Za-z0-9_]", "_", expr_text)
-                plain_items.append(col.alias(name))
-        out = self.df
-        if agg_items:
-            out = out.groupBy(*plain_items).agg(*agg_items) if plain_items else out.agg(*agg_items)
-        else:
-            out = out.select(*plain_items) if plain_items else out
-        if q.distinct and not agg_items:
-            out = out.distinct()
+        out = self._project(items, q.distinct)
 
         # ORDER BY / LIMIT — resolve against output aliases first
         if q.order_by:
@@ -409,6 +502,17 @@ class _Planner:
         raise ValueError(f"unsupported WHERE clause: {w}")
 
 
-def run_cypher(graph: BuiltGraph, text: str) -> DataFrame:
-    """Compile + execute a Cypher query (supported subset) on the graph."""
+def run_cypher(
+    graph: BuiltGraph, text: str, params: dict[str, object] | None = None
+) -> DataFrame:
+    """Compile + execute a Cypher query (supported subset) on the graph.
+
+    ``params`` replaces ``$name`` placeholders before parsing (the
+    notebooks pass ``{'id': chem_id}``-style parameter maps)."""
+    if params:
+        def repl(m: re.Match) -> str:
+            v = params[m.group(1)]
+            return f'"{v}"' if isinstance(v, str) else repr(v)
+
+        text = re.sub(r"\$(\w+)", repl, text)
     return _Planner(graph, parse_cypher(text)).plan()

@@ -105,3 +105,53 @@ def test_snp_paths_cypher(graph):  # noqa: F811
     # path expands to the named vars of the query
     assert {"d", "s", "g"} <= cols
     assert rows[0]["s"] == "rs42"
+
+
+# notebooks/ic_scores.ipynb read path: var-length hierarchy walk + a WITH
+# aggregation barrier (the notebook's SET is a mutation; the read-only
+# RETURN form below answers the same question)
+IC_DESC = """
+MATCH (ancestor)<-[:`ols:directParent`*1..]-(subclass)
+WITH ancestor, count(DISTINCT subclass) AS num_desc
+RETURN ancestor, num_desc
+"""
+
+IC_MAX = """
+MATCH (ancestor)<-[:`ols:directParent`*1..]-(subclass)
+WITH ancestor, count(DISTINCT subclass) AS num_desc
+RETURN max(num_desc) AS max_num_desc
+"""
+
+
+def test_ic_descendant_counts_cypher(graph):  # noqa: F811
+    from grebi_spark.plans.graph_queries import ic_scores
+
+    got = {r["ancestor"]: r["num_desc"] for r in run_cypher(graph, IC_DESC).collect()}
+    want = {
+        r["node_id"]: r["num_desc"]
+        for r in ic_scores(graph, "ols:directParent").collect()
+    }
+    assert got == want
+    assert run_cypher(graph, IC_MAX).collect()[0]["max_num_desc"] == max(want.values())
+
+
+# notebooks/chemicals_and_diseases.ipynb (third query), verbatim shape:
+# $param id-resolution, USING INDEX hint, toFloat WHERE threshold, and a
+# grouped RETURN with collect(DISTINCT)/count(DISTINCT)/avg aggregates
+CHEMICALS = """
+MATCH (id:Id { id: $id })<-[:id]-(chemical:GraphNode)-[r1:`biolink:affects`]->(gene)<-[:`otar:targetId`]-(evidence)-[:`otar:diseaseId`]->(disease)
+USING INDEX id:Id(id)
+WHERE toFloat(evidence.`otar:score`[0]) >= 0.9
+RETURN DISTINCT chemical.`grebi:name`[0] as chemical, disease.`grebi:name`[0] as disease, collect(DISTINCT gene.`grebi:name`[0]) as genes, count(DISTINCT gene) AS num_genes, avg(toFloat(evidence.`otar:score`[0])) AS avg_score
+"""
+
+
+def test_chemicals_to_diseases_cypher(graph):  # noqa: F811
+    rows = run_cypher(graph, CHEMICALS, params={"id": "chebi:6801"}).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["chemical"] == "Metformin"
+    assert r["disease"] == "hypertensive disorder"
+    assert r["genes"] == ["BRCA2"]
+    assert r["num_genes"] == 1
+    assert abs(r["avg_score"] - 0.93) < 1e-9

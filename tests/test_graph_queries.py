@@ -58,6 +58,10 @@ EXTRA = [
     # the disease also carries its biolink typing (as monarch KGX provides
     # in the real graph) — the reference Cypher queries filter on it
     {"id": "mondo:0005044", "grebi:type": "biolink:Disease"},
+    # chemical affecting the gene (notebooks/chemicals_and_diseases.ipynb
+    # traverses chemical -[biolink:affects]-> gene <- evidence -> disease)
+    {"id": "chebi:6801", "grebi:type": "biolink:ChemicalEntity",
+     "grebi:name": ["Metformin"], "biolink:affects": ["hgnc:1101"]},
 ]
 
 

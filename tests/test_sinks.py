@@ -103,3 +103,13 @@ def test_edge_rows(spark, merged, meta):
     assert len(rows) == 1
     assert rows[0][":START_ID"] == "g:1" and rows[0][":END_ID"] == "d:2"
     assert rows[0][":TYPE"] == "rel:disease"
+
+
+def test_summary_json(merged):
+    from grebi_spark.operators.index import build_index, summary_json
+
+    s = summary_json(build_index(merged), "s")
+    assert s["subgraph_name"] == "s"
+    assert s["entity_props"]["grebi:name"]["count"] == 2
+    assert s["entity_props"]["rel:disease"]["count"] == 1
+    assert s["types"] == {"Gene": {"count": 1}, "Disease": {"count": 1}}

@@ -12,6 +12,14 @@ the notebooks/*.ipynb queries):
   ``-[r]-``, anonymous nodes/edges, multi-MATCH, ``p = (...)`` path
   assignment (path var ignored), node property pattern ``{id: "..."}``
   or ``{id: $param}``, the universal ``GraphNode`` label
+- edge-type alternation ``[:(`A`|`B`)]`` / ``[r:`A`|`B`]``
+  (notebooks/gwas.ipynb, notebooks/prolactin.ipynb)
+- edge variables: ``type(r)``, ``r.`grebi:datasources```, reified edge
+  props ``r.`p`[0]``, and ``WHERE "lit" IN r.`p``` (notebooks/hpo.ipynb)
+- ``RETURN *`` (all named vars; edge vars surface as
+  ``struct(type, datasources)`` — notebooks/fipronil.ipynb)
+- array-valued property access ``n.`p``` (no ``[0]``) returns the sorted
+  value array, Neo4j-style (notebooks/prolactin.ipynb: ``disease.id``)
 - variable-length paths ``-[:`T`*1..]->`` / ``*1..n`` (compiled to the
   path-doubling transitive closure in plans.closure —
   notebooks/ic_scores.ipynb uses ``[:`biolink:broad_match`*1..]``)
@@ -44,6 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..pipeline import BuiltGraph
+from ..schema import VALUE_PROPS
 from .closure import transitive_closure
 
 #: labels that match every merged node (the Neo4j export gives all nodes
@@ -58,10 +67,22 @@ _NODE = re.compile(
 )
 _EDGE = re.compile(
     r"(?P<left><)?-\s*\[\s*(?P<var>[A-Za-z_][A-Za-z0-9_]*)?\s*"
-    r"(?::\s*`?(?P<type>[^`\]\*]+?)`?\s*)?"
+    r"(?::\s*(?P<type>[^\]\*]+?)\s*)?"
     r"(?:\*\s*(?P<minhops>\d+)?\s*(?:\.\.\s*(?P<maxhops>\d+)?)?)?\s*"
     r"\]\s*-(?P<right>>)?"
 )
+
+
+def _parse_edge_types(text: str | None) -> tuple[str, ...] | None:
+    """``(`A`|`B`)`` / ```A`|`B``` / ``A`` → a tuple of type names."""
+    if not text:
+        return None
+    text = text.strip()
+    if text.startswith("(") and text.endswith(")"):
+        text = text[1:-1]
+    return tuple(t.strip().strip("`") for t in text.split("|") if t.strip())
+
+
 _AGG_FNS = ("count", "collect", "avg", "sum", "min", "max")
 _AGG = re.compile(
     r"\b(?P<fn>" + "|".join(_AGG_FNS) + r")\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>.+?)\s*\)",
@@ -73,10 +94,10 @@ _AGG = re.compile(
 class ParsedQuery:
     node_labels: dict[str, str] = field(default_factory=dict)
     node_id_constraints: dict[str, str] = field(default_factory=dict)
-    # (from_var, edge_type, to_var, direction, (min_hops, max_hops) | None)
-    edges: list[tuple[str, str | None, str, str, tuple[int, int | None] | None]] = field(
-        default_factory=list
-    )
+    # (from_var, edge_types, to_var, direction, (min,max) hops | None, edge_var)
+    edges: list[
+        tuple[str, tuple[str, ...] | None, str, str, tuple[int, int | None] | None, str | None]
+    ] = field(default_factory=list)
     wheres: list[str] = field(default_factory=list)
     path_vars: set[str] = field(default_factory=set)
     with_items: list[str] = field(default_factory=list)  # aggregate barrier
@@ -94,8 +115,18 @@ def _split_clauses(text: str) -> list[tuple[str, str]]:
     pat = re.compile(
         r"\b(MATCH|WITH|WHERE|RETURN|ORDER BY|LIMIT)\b", re.IGNORECASE
     )
+    # a keyword inside [...] or (...) is part of an expression (e.g. the
+    # WHERE of a list comprehension), not a clause boundary
+    depth = 0
+    depths = []
+    for ch in text:
+        depths.append(depth)
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
     parts: list[tuple[str, str]] = []
-    matches = list(pat.finditer(text))
+    matches = [m for m in pat.finditer(text) if depths[m.start()] == 0]
     for i, m in enumerate(matches):
         end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
         parts.append((m.group(1).upper(), text[m.end():end].strip()))
@@ -127,18 +158,18 @@ def _parse_pattern(pattern: str, q: ParsedQuery) -> None:
         if nm.group("idval"):
             q.node_id_constraints[var] = nm.group("idval")
         if prev_var is not None and pending is not None:
-            etype, direction, hops = pending
+            etype, direction, hops, evar = pending
             if direction == "right":
-                q.edges.append((prev_var, etype, var, "->", hops))
+                q.edges.append((prev_var, etype, var, "->", hops, evar))
             elif direction == "left":
-                q.edges.append((var, etype, prev_var, "->", hops))
+                q.edges.append((var, etype, prev_var, "->", hops, evar))
             else:
-                q.edges.append((prev_var, etype, var, "--", hops))
+                q.edges.append((prev_var, etype, var, "--", hops, evar))
         prev_var = var
         pos = nm.end()
         em = _EDGE.match(pattern, pos)
         if em:
-            etype = em.group("type").strip() if em.group("type") else None
+            etype = _parse_edge_types(em.group("type"))
             if em.group("right"):
                 direction = "right"
             elif em.group("left"):
@@ -150,7 +181,7 @@ def _parse_pattern(pattern: str, q: ParsedQuery) -> None:
                 lo = int(em.group("minhops") or 1)
                 hi = int(em.group("maxhops")) if em.group("maxhops") else None
                 hops = (lo, hi)
-            pending = (etype, direction, hops)
+            pending = (etype, direction, hops, em.group("var"))
             pos = em.end()
         else:
             pending = None
@@ -227,7 +258,8 @@ class _Planner:
         self.q = q
         self.bound: set[str] = set()
         self.df: DataFrame | None = None
-        self.prop_cols: dict[tuple[str, str], str] = {}
+        self.prop_cols: dict[tuple[str, str, bool], str] = {}
+        self.edge_vars: set[str] = set()
 
     # -- binding construction -------------------------------------------
     def _node_df(self, var: str) -> DataFrame:
@@ -244,15 +276,32 @@ class _Planner:
     def _apply_edge(
         self,
         a: str,
-        etype: str | None,
+        etype: tuple[str, ...] | None,
         b: str,
         direction: str,
         hops: tuple[int, int | None] | None = None,
+        evar: str | None = None,
     ) -> None:
         e = self.graph.edges
         if etype:
-            e = e.filter(F.col("edge_type") == etype)
-        fwd = e.select(F.col("from_id").alias("__src"), F.col("to_id").alias("__dst"))
+            e = (
+                e.filter(F.col("edge_type") == etype[0])
+                if len(etype) == 1
+                else e.filter(F.col("edge_type").isin(list(etype)))
+            )
+        extra = []
+        if evar and hops is None:
+            # a named edge variable binds the edge's type, provenance and
+            # reified props so type(r) / r.`p` can read them downstream
+            extra = [
+                F.col("edge_type").alias(f"__e_{evar}__type"),
+                F.col("datasources").alias(f"__e_{evar}__datasources"),
+                F.col("value_props").alias(f"__e_{evar}__props"),
+            ]
+            self.edge_vars.add(evar)
+        fwd = e.select(
+            F.col("from_id").alias("__src"), F.col("to_id").alias("__dst"), *extra
+        )
         if hops is not None:
             lo, hi = hops
             if lo not in (0, 1):
@@ -265,8 +314,11 @@ class _Planner:
                 F.col("descendant").alias("__src"), F.col("ancestor").alias("__dst")
             )
         if direction == "--":
+            keep = [c for c in fwd.columns if c not in ("__src", "__dst")]
             rel = fwd.unionAll(
-                fwd.select(F.col("__dst").alias("__src"), F.col("__src").alias("__dst"))
+                fwd.select(
+                    F.col("__dst").alias("__src"), F.col("__src").alias("__dst"), *keep
+                )
             ).distinct()
         else:
             rel = fwd
@@ -290,10 +342,13 @@ class _Planner:
             self.bound.add(a)
         elif a in self.bound and b in self.bound:
             cond = (self.df[a] == rel["__src"]) & (self.df[b] == rel["__dst"])
-            self.df = self.df.join(rel, cond, "left_semi")
+            if extra:  # the edge var's columns must survive the join
+                self.df = self.df.join(rel, cond).drop("__src", "__dst")
+            else:
+                self.df = self.df.join(rel, cond, "left_semi")
         else:
             self._bind_first(a)
-            self._apply_edge(a, etype, b, direction, hops)
+            self._apply_edge(a, etype, b, direction, hops, evar)
 
     # -- property attachment --------------------------------------------
     def _canonical_prop(self, prop: str) -> str:
@@ -304,21 +359,40 @@ class _Planner:
         hit = self.graph.groups.filter(F.col("id") == prop).select("group_id").head()
         return hit["group_id"] if hit else prop
 
-    def prop_col(self, var: str, prop: str) -> str:
+    def prop_col(self, var: str, prop: str, first: bool = True) -> str:
+        """Attach ``var``'s property as a column; ``first`` picks the
+        min value (``p[0]`` access), otherwise the sorted value array
+        (Neo4j array-property semantics, e.g. ``disease.id``)."""
         prop = self._canonical_prop(prop)
-        key = (var, prop)
+        key = (var, prop, first)
         if key in self.prop_cols:
             return self.prop_cols[key]
-        alias = f"__{var}__{re.sub('[^A-Za-z0-9]', '_', prop)}"
+        suffix = "" if first else "_arr"
+        alias = f"__{var}__{re.sub('[^A-Za-z0-9]', '_', prop)}{suffix}"
+        agg = (
+            F.min("value") if first else F.array_sort(F.collect_set("value"))
+        ).alias(alias)
         vals = (
             self.graph.merged.filter(F.col("prop_key") == prop)
             .groupBy("node_id")
-            .agg(F.min("value").alias(alias))
+            .agg(agg)
             .withColumnRenamed("node_id", var)
         )
         self.df = self.df.join(vals, var, "left")
         self.prop_cols[key] = alias
         return alias
+
+    def edge_prop(self, var: str, prop: str, first: bool) -> Column:
+        """``r.`p``` on an edge variable: grebi:datasources comes from the
+        edge row itself; anything else reads the reified value props
+        (05_materialise keeps them as a JSON map of arrays)."""
+        if prop == "grebi:datasources":
+            col = F.col(f"__e_{var}__datasources")
+        else:
+            col = F.element_at(
+                F.from_json(F.col(f"__e_{var}__props"), VALUE_PROPS), prop
+            )
+        return F.element_at(col, 1) if first else col
 
     def expr(self, text: str) -> Column:
         text = text.strip()
@@ -330,9 +404,34 @@ class _Planner:
         m = re.fullmatch(r"DISTINCT\s*\((.+)\)", text, re.I)
         if m:
             return self.expr(m.group(1))
+        m = re.fullmatch(r"type\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)", text, re.I)
+        if m and m.group(1) in self.edge_vars:
+            return F.col(f"__e_{m.group(1)}__type")
+        # list comprehension with a regex filter (notebooks/hpo.ipynb:
+        # `[id in term.id WHERE id =~ "hp:[0-9]*" | id][0]`); Cypher `=~`
+        # is a full match, hence the anchors
+        m = re.fullmatch(
+            r"\[\s*(\w+)\s+in\s+(.+?)\s+WHERE\s+\1\s*=~\s*\"([^\"]+)\"\s*"
+            r"\|\s*\1\s*\](?P<first>\[0\])?",
+            text,
+            re.I,
+        )
+        if m:
+            arr = self.expr(m.group(2))
+            pat = f"^(?:{m.group(3)})$"
+            filtered = F.filter(arr, lambda x: x.rlike(pat))
+            return F.element_at(filtered, 1) if m.group("first") else filtered
         pm = _PROP.fullmatch(text)
         if pm:
-            return F.col(self.prop_col(pm.group("var"), pm.group("prop")))
+            first = bool(pm.group("first"))
+            if pm.group("var") in self.edge_vars:
+                return self.edge_prop(pm.group("var"), pm.group("prop"), first)
+            return F.col(self.prop_col(pm.group("var"), pm.group("prop"), first))
+        if text in self.edge_vars:
+            return F.struct(
+                F.col(f"__e_{text}__type").alias("type"),
+                F.col(f"__e_{text}__datasources").alias("datasources"),
+            )
         if text in self.bound:
             return F.col(text)
         if self.df is not None and text in self.df.columns:
@@ -386,9 +485,9 @@ class _Planner:
         q = self.q
         # id-resolution idiom: edges [:id] to an Id-labelled constrained var
         resolved_edges = []
-        for (a, etype, b, direction, hops) in q.edges:
+        for (a, etype, b, direction, hops, evar) in q.edges:
             id_var = None
-            if etype == "id":
+            if etype == ("id",):
                 if q.node_labels.get(b) == "Id" and b in q.node_id_constraints:
                     id_var, other = b, a
                 elif q.node_labels.get(a) == "Id" and a in q.node_id_constraints:
@@ -407,9 +506,9 @@ class _Planner:
                 else:
                     self.df = self.df.join(cands, other, "left_semi")
             else:
-                resolved_edges.append((a, etype, b, direction, hops))
-        for (a, etype, b, direction, hops) in resolved_edges:
-            self._apply_edge(a, etype, b, direction, hops)
+                resolved_edges.append((a, etype, b, direction, hops, evar))
+        for (a, etype, b, direction, hops, evar) in resolved_edges:
+            self._apply_edge(a, etype, b, direction, hops, evar)
         if self.df is None:  # MATCH with a single node pattern
             first = next(iter(q.node_labels))
             self._bind_first(first)
@@ -426,10 +525,18 @@ class _Planner:
             self.bound = set(self.df.columns)
             self.prop_cols = {}
 
-        # RETURN — a path variable expands to all named node vars
+        # RETURN — `*` and path variables expand to all named node vars
         items: list[str] = []
         for item in q.return_items:
-            if item in q.path_vars:
+            if item == "*":
+                items.extend(
+                    v
+                    for v in q.node_labels
+                    if not v.startswith("__anon") and v in self.bound
+                )
+                # edge vars surface as struct(type, datasources)
+                items.extend(sorted(self.edge_vars))
+            elif item in q.path_vars:
                 items.extend(
                     v
                     for v in q.node_labels
@@ -474,6 +581,13 @@ class _Planner:
             pm = _PROP.fullmatch(target.strip())
             if not pm:
                 raise ValueError(f"unsupported IN target: {target}")
+            if pm.group("var") in self.edge_vars:
+                self.df = self.df.filter(
+                    F.array_contains(
+                        self.edge_prop(pm.group("var"), pm.group("prop"), False), lit
+                    )
+                )
+                return
             members = (
                 self.graph.merged.filter(
                     (F.col("prop_key") == pm.group("prop")) & (F.col("value") == lit)

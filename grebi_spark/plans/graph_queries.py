@@ -278,6 +278,34 @@ def incoming_edges(
     )
 
 
+def subgraph_all(
+    graph: BuiltGraph, alias_id: str, max_level: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """The neighbourhood expansion notebooks/fipronil.ipynb delegates to
+    ``apoc.path.subgraphAll(n, {maxLevel:2})``: every node within
+    ``max_level`` undirected hops of the resolved seed, plus all edges
+    among them. Each level is one frontier join (node-id sets only — the
+    metadata hydration join happens once at the end)."""
+    seed = resolve_alias(graph, alias_id)
+    und = graph.edges.select("from_id", "to_id")
+    both = und.unionAll(
+        und.select(F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id"))
+    )
+    nodes = seed
+    for _ in range(max_level):
+        nxt = (
+            nodes.join(both, nodes.node_id == both.from_id)
+            .select(F.col("to_id").alias("node_id"))
+        )
+        nodes = nodes.unionAll(nxt).distinct().localCheckpoint()
+    edges = (
+        graph.edges.join(
+            nodes.withColumnRenamed("node_id", "from_id"), "from_id", "left_semi"
+        ).join(nodes.withColumnRenamed("node_id", "to_id"), "to_id", "left_semi")
+    )
+    return graph.nodes.join(nodes, "node_id", "left_semi"), edges
+
+
 def graph_stats(graph: BuiltGraph) -> DataFrame:
     """stats.cypher: total node/edge counts."""
     n = graph.nodes.agg(F.count("*").alias("n")).select(

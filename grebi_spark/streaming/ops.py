@@ -150,3 +150,68 @@ def batch_session_windows(
             "n_events",
         )
     )
+
+
+_STREAM_RUN = [0]  # memory-sink names must be unique within a session
+
+
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly event rollup executed as a real Structured Streaming
+    job: file-source stream over the events table → windowed aggregate →
+    memory sink, `availableNow` trigger (process everything, then stop).
+
+    Complete output mode so every window is emitted when the bounded
+    stream drains — the result is therefore identical to the batch
+    `events_hourly` rollup and shares its DuckDB oracle. At scale the
+    same plan runs unbounded with append mode + the watermark bounding
+    state; availableNow is also Spark's recommended backfill mode."""
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a directory; glob-filter to the table
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) storage read as long (see session.load_tables)
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    _STREAM_RUN[0] += 1
+    name = f"events_hourly_stream_{_STREAM_RUN[0]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros("window_start").alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+# same result set as the batch rollup — the streaming execution is the
+# thing under test, not different semantics
+ORACLE_EVENTS_HOURLY_STREAM = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES = {"events_hourly_stream": events_hourly_stream}
+ORACLES = {"events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM}

@@ -95,3 +95,16 @@ def test_batch_session_windows(spark):
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert sorted(per_user[1]) == [1, 2]  # two sessions: gap > 30 min
     assert per_user[2] == [1]
+
+
+def test_events_hourly_stream_matches_batch(spark):
+    """The streaming rollup (availableNow over the events table) must
+    produce exactly the batch rollup's rows — same plan, incremental
+    execution."""
+    from grebi_spark.plans.temporal import events_hourly
+    from grebi_spark.streaming.ops import events_hourly_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = [tuple(r) for r in events_hourly_stream(spark, sf).collect()]
+    want = [tuple(r) for r in events_hourly(spark, sf).collect()]
+    assert got == want

@@ -133,6 +133,23 @@ def _split_clauses(text: str) -> list[tuple[str, str]]:
     return parts
 
 
+def _split_top_and(body: str) -> list[str]:
+    """Split a WHERE body on AND, ignoring ANDs inside brackets (an AND
+    inside a list comprehension's predicate is not a conjunction)."""
+    parts, depth, start = [], 0, 0
+    for m in re.finditer(r"[\(\)\[\]]|\bAND\b", body, re.I):
+        tok = m.group(0)
+        if tok in "([":
+            depth += 1
+        elif tok in ")]":
+            depth -= 1
+        elif depth == 0:
+            parts.append(body[start:m.start()])
+            start = m.end()
+    parts.append(body[start:])
+    return [p for p in (x.strip() for x in parts) if p]
+
+
 def _parse_pattern(pattern: str, q: ParsedQuery) -> None:
     pattern = pattern.strip()
     pm = re.match(r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*", pattern)
@@ -195,7 +212,7 @@ def parse_cypher(text: str) -> ParsedQuery:
                 if "(" in chain:
                     _parse_pattern(chain, q)
         elif kw == "WHERE":
-            q.wheres.extend(w.strip() for w in re.split(r"\bAND\b", body, flags=re.I))
+            q.wheres.extend(w.strip() for w in _split_top_and(body))
         elif kw == "RETURN":
             body = body.strip()
             if body.upper().startswith("DISTINCT"):

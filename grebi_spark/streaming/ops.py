@@ -166,6 +166,12 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan runs unbounded with append mode + the watermark bounding
     state; availableNow is also Spark's recommended backfill mode."""
     path = f"{sf_dir}/events.parquet"
+    # same defence as session.load_tables: the events table stores
+    # TIMESTAMP(NANOS), unreadable on foreign sessions without this conf
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf locked down → the session owner already chose a policy
     schema = spark.read.parquet(path).schema
     # the file stream source wants a directory; glob-filter to the table
     stream = (

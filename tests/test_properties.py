@@ -105,3 +105,92 @@ def test_merge_invariants(spark, rows):
             {ds for (n, ds, k, v) in rows if (n, k, v) == (r["node_id"], r["prop_key"], r["value"])}
         )
         assert r["datasources"] == expected
+
+
+def _naive_jaccard_pairs(spark, sf_dir):
+    """All-pairs exact Jaccard >= 0.5 — the unblocked reference result."""
+    from pyspark.sql import functions as F
+
+    from grebi_spark.functions.dedup import JACCARD_T, word_shingles
+    from grebi_spark.session import load_tables
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "jaccard",
+                F.round(F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 4),
+            )
+            .filter(F.col("jaccard") >= JACCARD_T)
+            .select("doc_a", "doc_b", "jaccard")
+            .collect()
+        )
+    }
+
+
+def test_prefix_filtering_is_exact_complete(spark, sf_dir):
+    """dedup_ngram_jaccard's AllPairs prefix blocking must lose no pair:
+    its result equals the unblocked all-pairs computation."""
+    from grebi_spark.functions.dedup import dedup_ngram_jaccard
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert got == _naive_jaccard_pairs(spark, sf_dir)
+
+
+def test_srp_banding_subset_and_recall(spark, sf_dir):
+    """dedup_embedding_cosine (banded SRP blocking) must be a subset of
+    the exact all-pairs result, with high recall on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from grebi_spark.functions.dedup import (
+        COSINE_T,
+        dedup_embedding_cosine,
+        planted_vectors,
+    )
+    from grebi_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    e2 = planted_vectors(e)
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    a = e2.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e2.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn(
+                "cosine",
+                dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(dot(F.col("va"), F.col("va"))) * F.sqrt(dot(F.col("vb"), F.col("vb")))),
+            )
+            .filter(F.col("cosine") >= COSINE_T)
+            .select("vec_a", "vec_b")
+            .collect()
+        )
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]) for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    }
+    assert banded <= exact
+    if exact:
+        assert len(banded) / len(exact) >= 0.8

@@ -285,7 +285,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(JACCARD_T) * F.col("n_sh")) + 1
-    ).select("doc_id", "sh", "n_sh")
+    ).select("doc_id", "sh", "n_sh").persist()  # both sides of the blocking self-join
     cand = (
         prefix.alias("a")
         .join(
@@ -300,7 +300,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sets_ = sh.groupBy("doc_id").agg(
         F.collect_set("sh").alias("shs"), F.count("*").alias("n_sh")
-    )
+    ).persist()  # joined once per pair side
+
     va = sets_.select(
         F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha"), F.col("n_sh").alias("na")
     )

@@ -36,10 +36,16 @@ the notebooks/*.ipynb queries):
   variables, WITH-introduced aliases
 - ORDER BY <alias | v.`p`> [DESC], LIMIT n
 - ``$param`` substitution via ``run_cypher(graph, text, params={...})``
+- ``OPTIONAL MATCH`` (with an attached WHERE): the optional pattern is
+  planned independently and LEFT-joined on the variables it shares with
+  the mandatory pattern — unmatched bindings surface as NULLs, multiple
+  matches multiply rows, exactly Neo4j's semantics. An OPTIONAL MATCH's
+  WHERE filters the optional side before the join (so it never turns a
+  null row into a dropped row).
 
 Not supported (mutations are out of scope for a query engine):
-OPTIONAL MATCH, CREATE/SET/DELETE/MERGE — SET-bearing notebook queries
-must be restated read-only (the ic_scores workflow is provided as
+CREATE/SET/DELETE/MERGE — SET-bearing notebook queries must be restated
+read-only (the ic_scores workflow is provided as
 plans.graph_queries.ic_scores).
 """
 
@@ -105,6 +111,9 @@ class ParsedQuery:
     distinct: bool = False
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (expr, desc)
     limit: int | None = None
+    # each OPTIONAL MATCH (pattern + its WHEREs) is a sub-query planned
+    # independently, then LEFT-joined on shared variables
+    optionals: list["ParsedQuery"] = field(default_factory=list)
 
 
 def _split_clauses(text: str) -> list[tuple[str, str]]:
@@ -113,7 +122,7 @@ def _split_clauses(text: str) -> list[tuple[str, str]]:
     text = re.sub(r"\bUSING\s+INDEX\s+\S+", " ", text, flags=re.I)
     text = re.sub(r"\s+", " ", text).strip()
     pat = re.compile(
-        r"\b(MATCH|WITH|WHERE|RETURN|ORDER BY|LIMIT)\b", re.IGNORECASE
+        r"\b(OPTIONAL MATCH|MATCH|WITH|WHERE|RETURN|ORDER BY|LIMIT)\b", re.IGNORECASE
     )
     # a keyword inside [...] or (...) is part of an expression (e.g. the
     # WHERE of a list comprehension), not a clause boundary
@@ -206,13 +215,28 @@ def _parse_pattern(pattern: str, q: ParsedQuery) -> None:
 
 def parse_cypher(text: str) -> ParsedQuery:
     q = ParsedQuery()
+    # a WHERE belongs to the clause it follows: after OPTIONAL MATCH it
+    # filters the optional pattern, anywhere else it filters the main query
+    where_target = q
     for kw, body in _split_clauses(text):
         if kw == "MATCH":
+            where_target = q
             for chain in body.split(","):
                 if "(" in chain:
                     _parse_pattern(chain, q)
+        elif kw == "OPTIONAL MATCH":
+            sub = ParsedQuery()
+            for chain in body.split(","):
+                if "(" in chain:
+                    _parse_pattern(chain, sub)
+            q.optionals.append(sub)
+            where_target = sub
+            # the optional pattern's vars are visible downstream (RETURN *,
+            # ORDER BY); mandatory labels win on shared vars
+            for v, label in sub.node_labels.items():
+                q.node_labels.setdefault(v, label)
         elif kw == "WHERE":
-            q.wheres.extend(w.strip() for w in _split_top_and(body))
+            where_target.wheres.extend(w.strip() for w in _split_top_and(body))
         elif kw == "RETURN":
             body = body.strip()
             if body.upper().startswith("DISTINCT"):
@@ -228,6 +252,7 @@ def parse_cypher(text: str) -> ParsedQuery:
         elif kw == "LIMIT":
             q.limit = int(body.split()[0])
         elif kw == "WITH":
+            where_target = q
             items = [i.strip() for i in _split_top_commas(body)]
             if any(_AGG.search(i) for i in items):
                 if q.with_items:
@@ -498,7 +523,8 @@ class _Planner:
         return out
 
     # -- plan ------------------------------------------------------------
-    def plan(self) -> DataFrame:
+    def _plan_match(self) -> None:
+        """Bind the query's MATCH patterns and WHEREs onto self.df."""
         q = self.q
         # id-resolution idiom: edges [:id] to an Id-labelled constrained var
         resolved_edges = []
@@ -533,6 +559,32 @@ class _Planner:
         # WHERE
         for w in q.wheres:
             self._apply_where(w)
+
+    def plan(self) -> DataFrame:
+        q = self.q
+        self._plan_match()
+
+        # OPTIONAL MATCH: plan each optional pattern standalone (its WHEREs
+        # filter the optional side), then LEFT-join on the shared variables —
+        # unmatched bindings keep their row with NULLs (Neo4j semantics)
+        for sub_q in q.optionals:
+            sub = _Planner(self.graph, sub_q)
+            sub._plan_match()
+            shared = sorted(sub.bound & self.bound)
+            if not shared:
+                raise ValueError(
+                    "OPTIONAL MATCH must share at least one variable with the "
+                    "preceding MATCH"
+                )
+            dup = [
+                c for c in sub.df.columns if c in self.df.columns and c not in shared
+            ]
+            self.df = self.df.join(sub.df.drop(*dup), shared, "left")
+            self.bound |= sub.bound
+            self.edge_vars |= sub.edge_vars
+            self.prop_cols.update(
+                {k: v for k, v in sub.prop_cols.items() if v not in dup}
+            )
 
         # WITH barrier: group on the non-aggregate items, then continue
         # planning against the aggregated frame (its columns become the

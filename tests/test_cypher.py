@@ -238,3 +238,49 @@ def test_list_comprehension_regex(graph):  # noqa: F811
     assert len(rows) == 1
     assert rows[0]["from_id"] == "chebi:6801"
     assert rows[0]["empty"] in ([], None)
+
+
+OPTIONAL_BASIC = """
+MATCH (g:`impc:MouseGene`)
+OPTIONAL MATCH (g)-[:`impc:humanGeneOrthologues`]->(h:`hgnc:Gene`)
+RETURN g.`impc:name`[0] AS gene, h.`hgnc:symbol`[0] AS human_symbol
+"""
+
+# the WHERE belongs to the OPTIONAL MATCH: it must null out the optional
+# side, never drop the mandatory row
+OPTIONAL_WHERE = """
+MATCH (g:`impc:MouseGene`)
+OPTIONAL MATCH (g)-[:`impc:humanGeneOrthologues`]->(h:`hgnc:Gene`)
+WHERE h.`hgnc:symbol`[0] = "NOPE"
+RETURN g.`impc:name`[0] AS gene, h.`hgnc:symbol`[0] AS human_symbol
+"""
+
+OPTIONAL_AGG = """
+MATCH (g:`impc:MouseGene`)
+OPTIONAL MATCH (g)-[:`impc:humanGeneOrthologues`]->(h:`hgnc:Gene`)
+RETURN count(h) AS n_orth
+"""
+
+
+def test_optional_match_keeps_unmatched_rows(graph):
+    rows = {r["gene"]: r["human_symbol"] for r in run_cypher(graph, OPTIONAL_BASIC).collect()}
+    assert rows == {"Brca2": "BRCA2", "Notagene": None}
+
+
+def test_optional_match_where_filters_optional_side(graph):
+    rows = {r["gene"]: r["human_symbol"] for r in run_cypher(graph, OPTIONAL_WHERE).collect()}
+    # both mandatory rows survive; neither finds a "NOPE" orthologue
+    assert rows == {"Brca2": None, "Notagene": None}
+
+
+def test_optional_match_aggregate_skips_nulls(graph):
+    assert run_cypher(graph, OPTIONAL_AGG).collect()[0]["n_orth"] == 1
+
+
+def test_optional_match_requires_shared_var(graph):
+    with pytest.raises(ValueError, match="share"):
+        run_cypher(
+            graph,
+            "MATCH (g:`impc:MouseGene`) "
+            "OPTIONAL MATCH (x:`hgnc:Gene`)-[:`nope`]->(y) RETURN g",
+        ).collect()

@@ -151,7 +151,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_minhash() -> str:
+def _minhash_bands_cte(with_kw: str = "WITH") -> str:
+    """The shared CTE chain documents → shingles → signatures → band keys
+    (used by the pair oracle and the clustering oracle)."""
     minhashes = ",\n         ".join(
         "list_min(list_transform(sh, s -> (('0x' || substr(md5('0:' || s), 1, 8))::bigint * {a} + {b}) % {p})) AS h{i}".format(
             i=i, a=MINHASH_A[i], b=MINHASH_B[i], p=MINHASH_P
@@ -165,7 +167,7 @@ def _oracle_minhash() -> str:
         for b in range(N_MINHASH // BAND_ROWS)
     )
     return f"""
-WITH toks AS (
+{with_kw} toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
 ), shingled AS (
   SELECT doc_id,
@@ -180,12 +182,19 @@ WITH toks AS (
   FROM shingled WHERE len(sh) > 0
 ), bands AS (
   {band_rows}
-)
+)"""
+
+
+def _oracle_minhash() -> str:
+    return (
+        _minhash_bands_cte()
+        + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
 WHERE a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
+    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,12 +520,81 @@ ORDER BY vec_a, vec_b
 """
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs — the same distributed label-propagation operator the
+    graph pipeline uses for identifier equivalence (N3), here closing the
+    dedup loop: pairs → clusters → one canonical (min) doc per cluster.
+
+    Output: one row per cluster of ≥2 docs — canonical doc, size, member
+    list. Singleton docs (no candidate pair) are implicitly their own
+    cluster and omitted. Scale shape: the pair set is LSH-blocked (never
+    quadratic) and the component loop converges in O(cluster diameter)
+    rounds, each one shuffle."""
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    from ..operators.groups import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)
+    doc = F.col("id").cast("int")
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.min(doc).alias("cluster_id"),
+            F.count("*").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(doc)), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .select("cluster_id", "n_members", "members")
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_clusters() -> str:
+    # WITH RECURSIVE prefixes the whole chain; the reachability fixpoint
+    # mirrors the label propagation (components agree even though the
+    # Spark side elects min-by-string and this elects min-by-int — the
+    # GROUP BY is on the component, not its representative)
+    return (
+        _minhash_bands_cte("WITH RECURSIVE")
+        + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), vertices AS (
+  SELECT DISTINCT src AS v FROM sym
+), reach AS (
+  SELECT v, v AS r FROM vertices
+  UNION
+  SELECT reach.v, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+), comp AS (
+  SELECT v AS id, min(r) AS component FROM reach GROUP BY v
+)
+SELECT min(id) AS cluster_id, count(*) AS n_members,
+       array_to_string(list_sort(list(id)), ',') AS members
+FROM comp GROUP BY component ORDER BY cluster_id
+"""
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLES = {
@@ -525,4 +603,5 @@ ORACLES = {
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
+    "dedup_clusters": _oracle_clusters(),
 }

@@ -132,6 +132,103 @@ LIMIT 5
 """
 
 
+N_CELLS = 16   # IVF cells (seed vectors stand in for k-means centroids)
+N_PROBE = 4    # cells probed per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of N_CELLS
+    centroid cells (argmax cosine); the query probes only its N_PROBE
+    nearest cells and takes the exact top-5 there.
+
+    Centroids here are the seed vectors vec_id 1..N_CELLS — a
+    deterministic stand-in for k-means training (which would be an
+    iterative assign/recenter loop over the same plumbing). The scale
+    path is identical to production IVF: the table is written partitioned
+    by cell, so a query's scan prunes to nprobe/ncells of the data;
+    recall depends on how well the corpus clusters (synthetic random
+    vectors cluster weakly — the structure, not the recall, is the
+    contract here).
+    """
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    rows = (
+        e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= N_CELLS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    byid = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+    qv, cents = byid[0], [byid[i] for i in range(1, N_CELLS + 1)]
+
+    def pydot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    # driver-side probe selection (tiny: N_CELLS cosines) — same float
+    # sequence as the engines' sequential dot-product folds
+    qn = pydot(qv, qv) ** 0.5
+    probe = sorted(
+        range(1, N_CELLS + 1),
+        key=lambda i: (
+            -pydot(qv, cents[i - 1]) / (qn * pydot(cents[i - 1], cents[i - 1]) ** 0.5),
+            i,
+        ),
+    )[:N_PROBE]
+
+    v = as_double(F.col("embedding"))
+    cos_cells = F.array(
+        *[
+            F.struct(
+                cosine(v, as_double(F.array(*[F.lit(x) for x in cents[i - 1]]))).alias("cs"),
+                F.lit(i).alias("cell"),
+            )
+            for i in range(1, N_CELLS + 1)
+        ]
+    )
+    q = F.array(*[F.lit(x) for x in qv])
+    return (
+        e.withColumn("cell", F.array_max(cos_cells)["cell"])
+        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(cosine(v, as_double(q)), 4).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(5)
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM v WHERE vec_id = 0
+), c AS (
+  SELECT vec_id AS cell, v AS cv FROM v WHERE vec_id BETWEEN 1 AND {N_CELLS}
+), probe AS (
+  SELECT cell FROM c, q
+  ORDER BY list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) DESC, cell
+  LIMIT {N_PROBE}
+), assigned AS (
+  SELECT v.vec_id,
+         arg_max(c.cell, list_dot_product(v.v, c.cv)
+                 / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+  FROM v, c GROUP BY v.vec_id
+)
+SELECT a.vec_id, a.cell,
+       round(list_dot_product(v.v, q.qv)
+             / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM assigned a
+JOIN v ON v.vec_id = a.vec_id, q
+WHERE a.cell IN (SELECT cell FROM probe) AND a.vec_id != 0
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 5
+"""
+
+
 def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid cosine coherence: avg cosine of each vector to
     its label centroid — a clustering-quality aggregate (exercises
@@ -164,12 +261,14 @@ def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "knn_label_purity": knn_label_purity,
 }
 
 ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_lsh_topk": _oracle_ann_lsh(),
+    "ann_ivf_topk": ORACLE_ANN_IVF,
     # knn_label_purity: centroid averaging is FP-order-sensitive across
     # engines (parallel vs serial sum) — driver runs the rows-only check.
 }

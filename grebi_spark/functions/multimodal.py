@@ -70,6 +70,89 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id", payload_col: 
     return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_stub(payload: bytes, target_bytes: int, fake: bool = True) -> bytes:
+    """STUB resize step (images: downscale; audio: resample). The fake is
+    deterministic — truncate or zero-pad to ``target_bytes`` — so the
+    batch plumbing is testable; a real deployment swaps the body for
+    PIL.thumbnail / torchaudio.resample and keeps the signature."""
+    if not fake:
+        raise NotImplementedError(
+            "media resize requires an image/audio library not present in "
+            "this container; wire PIL/torchaudio here"
+        )
+    return payload[:target_bytes].ljust(target_bytes, b"\x00")
+
+
+FRAME_SIZE = 16   # bytes per fake "frame"
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_size: int = FRAME_SIZE,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Frame-sampling over a binary column: treat the payload as a
+    sequence of fixed-size frames (a stand-in for video GOPs / audio
+    windows), keep every ``stride``-th complete frame, emit one row per
+    kept frame — the one-to-many mapInPandas batch shape a real
+    frame-decoder uses. Narrow stage, no shuffle; a downstream
+    ``repartition(doc_id)`` would co-locate a doc's frames if a stateful
+    per-doc model pass followed."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(binary_df.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(batch[id_col], batch[payload_col]):
+                n_frames = len(payload) // frame_size
+                for i in range(0, n_frames, stride):
+                    frame = payload[i * frame_size : (i + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes}
+            )
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents' bytes as fake video: frame-sample every 4th 16-byte
+    frame, one output row per kept frame."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    binary = d.repartition(par).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return sample_frames(binary).orderBy("doc_id", "frame_idx")
+
+
+# the corpus text is ASCII, so char offsets == byte offsets (the features
+# oracle already relies on this for header_hex)
+ORACLE_FRAME_SAMPLE = f"""
+SELECT doc_id,
+       unnest(range(0, greatest(length(text) // {FRAME_SIZE}, 0), {FRAME_STRIDE})) AS frame_idx,
+       md5(substr(text, frame_idx * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_md5
+FROM documents
+ORDER BY doc_id, frame_idx
+"""
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Treat document text bytes as an opaque payload: binary column →
     mapInPandas decode-stub → typed features."""
@@ -90,5 +173,11 @@ FROM documents ORDER BY doc_id
 """
 
 
-QUERIES = {"multimodal_features": multimodal_features}
-ORACLES = {"multimodal_features": ORACLE_MULTIMODAL}
+QUERIES = {
+    "multimodal_features": multimodal_features,
+    "multimodal_frame_sample": multimodal_frame_sample,
+}
+ORACLES = {
+    "multimodal_features": ORACLE_MULTIMODAL,
+    "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+}

@@ -27,14 +27,15 @@ the notebooks/*.ipynb queries):
   ``USING INDEX`` hints are accepted and ignored (Catalyst plans access)
 - WHERE: ``v.`p` IS NOT NULL``, ``"lit" IN v.`p```,
   ``toFloat(v.`p`[0]) <op> <num>``, ``v.`p`[0] <op> "lit"``
-- aggregates in RETURN and in one ``WITH`` barrier: ``count``,
-  ``count(DISTINCT …)``, ``collect``, ``collect(DISTINCT …)``,
-  ``avg``, ``sum``, ``min``, ``max`` — grouping keys are the non-aggregate
-  items, Cypher-style (notebooks/ic_scores.ipynb:
+- aggregates in RETURN and in one ``WITH`` barrier: ``count`` /
+  ``count(*)``, ``count(DISTINCT …)``, ``collect``,
+  ``collect(DISTINCT …)``, ``avg``, ``sum``, ``min``, ``max`` —
+  grouping keys are the non-aggregate items, Cypher-style
+  (notebooks/ic_scores.ipynb:
   ``WITH ancestor, count(DISTINCT subclass) AS num_desc``)
 - RETURN [DISTINCT]: ``v.`p`[0] AS a``, ``toFloat(...) AS a``, bare
   variables, WITH-introduced aliases
-- ORDER BY <alias | v.`p`> [DESC], LIMIT n
+- ORDER BY <alias | v.`p`> [DESC], SKIP n, LIMIT n
 - ``$param`` substitution via ``run_cypher(graph, text, params={...})``
 - ``OPTIONAL MATCH`` (with an attached WHERE): the optional pattern is
   planned independently and LEFT-joined on the variables it shares with
@@ -110,6 +111,7 @@ class ParsedQuery:
     return_items: list[str] = field(default_factory=list)
     distinct: bool = False
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (expr, desc)
+    skip: int | None = None
     limit: int | None = None
     # each OPTIONAL MATCH (pattern + its WHEREs) is a sub-query planned
     # independently, then LEFT-joined on shared variables
@@ -122,7 +124,8 @@ def _split_clauses(text: str) -> list[tuple[str, str]]:
     text = re.sub(r"\bUSING\s+INDEX\s+\S+", " ", text, flags=re.I)
     text = re.sub(r"\s+", " ", text).strip()
     pat = re.compile(
-        r"\b(OPTIONAL MATCH|MATCH|WITH|WHERE|RETURN|ORDER BY|LIMIT)\b", re.IGNORECASE
+        r"\b(OPTIONAL MATCH|MATCH|WITH|WHERE|RETURN|ORDER BY|SKIP|LIMIT)\b",
+        re.IGNORECASE,
     )
     # a keyword inside [...] or (...) is part of an expression (e.g. the
     # WHERE of a list comprehension), not a clause boundary
@@ -249,6 +252,8 @@ def parse_cypher(text: str) -> ParsedQuery:
                 desc = bool(re.search(r"\bDESC\b", item, re.I))
                 expr = re.sub(r"\b(DESC|ASC)\b", "", item, flags=re.I).strip()
                 q.order_by.append((expr, desc))
+        elif kw == "SKIP":
+            q.skip = int(body.split()[0])
         elif kw == "LIMIT":
             q.limit = int(body.split()[0])
         elif kw == "WITH":
@@ -481,8 +486,10 @@ class _Planner:
         raise ValueError(f"unsupported cypher expression: {text}")
 
     def _agg_column(self, fn: str, distinct: bool, arg: str, alias: str) -> Column:
-        inner = self.expr(arg)
         fn = fn.lower()
+        if fn == "count" and arg.strip() == "*":
+            return F.count(F.lit(1)).alias(alias)
+        inner = self.expr(arg)
         if fn == "count":
             col = F.countDistinct(inner) if distinct else F.count(inner)
         elif fn == "collect":
@@ -630,6 +637,8 @@ class _Planner:
                         c = F.col(out.columns[-1])
                 cols.append(c.desc() if desc else c.asc())
             out = out.orderBy(*cols)
+        if q.skip is not None:
+            out = out.offset(q.skip)
         if q.limit is not None:
             out = out.limit(q.limit)
         return out

@@ -284,3 +284,17 @@ def test_optional_match_requires_shared_var(graph):
             "MATCH (g:`impc:MouseGene`) "
             "OPTIONAL MATCH (x:`hgnc:Gene`)-[:`nope`]->(y) RETURN g",
         ).collect()
+
+
+def test_count_star_and_skip(graph):
+    n_all = run_cypher(graph, "MATCH (c:`ols:Class`) RETURN count(*) AS n").collect()[0]["n"]
+    assert n_all >= 3
+    # SKIP/LIMIT paginate a deterministic ordering
+    full = run_cypher(
+        graph, "MATCH (c:`ols:Class`) RETURN c.`ols:label`[0] AS label ORDER BY label"
+    ).collect()
+    page = run_cypher(
+        graph,
+        "MATCH (c:`ols:Class`) RETURN c.`ols:label`[0] AS label ORDER BY label SKIP 1 LIMIT 2",
+    ).collect()
+    assert [r["label"] for r in page] == [r["label"] for r in full[1:3]]

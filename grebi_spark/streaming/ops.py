@@ -155,19 +155,11 @@ def batch_session_windows(
 _STREAM_RUN = [0]  # memory-sink names must be unique within a session
 
 
-def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hourly event rollup executed as a real Structured Streaming
-    job: file-source stream over the events table → windowed aggregate →
-    memory sink, `availableNow` trigger (process everything, then stop).
-
-    Complete output mode so every window is emitted when the bounded
-    stream drains — the result is therefore identical to the batch
-    `events_hourly` rollup and shares its DuckDB oracle. At scale the
-    same plan runs unbounded with append mode + the watermark bounding
-    state; availableNow is also Spark's recommended backfill mode."""
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (shared by the streaming
+    harness queries), with the TIMESTAMP(NANOS) defence from
+    session.load_tables."""
     path = f"{sf_dir}/events.parquet"
-    # same defence as session.load_tables: the events table stores
-    # TIMESTAMP(NANOS), unreadable on foreign sessions without this conf
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
@@ -184,17 +176,70 @@ def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
-    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    return stream
+
+
+def _run_to_memory_sink(df: DataFrame, prefix: str, output_mode: str) -> str:
+    """Execute a bounded stream to completion into a memory sink; returns
+    the sink table name."""
     _STREAM_RUN[0] += 1
-    name = f"events_hourly_stream_{_STREAM_RUN[0]}"
+    name = f"{prefix}_{_STREAM_RUN[0]}"
     q = (
-        counts.writeStream.format("memory")
+        df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    return name
+
+
+def events_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup run as a real job: stream the events
+    table, drop duplicate (user_id, event_type) pairs with
+    ``dropDuplicatesWithinWatermark``, drain to a memory sink
+    (append mode — dedup emits rows as they survive), then count the
+    surviving rows per event type.
+
+    The watermark (90 days) exceeds the table's 30-day span, so no state
+    expires during the bounded replay and the result is exactly the
+    batch ``count(DISTINCT user_id)`` — which is the oracle. At scale
+    the same plan runs unbounded with a business-chosen watermark
+    bounding the state store; this is the streaming twin of
+    ``dedup_exact``."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = streaming_dedup(
+        stream, ("user_id", "event_type"), ts_col="ts", watermark="90 days"
+    )
+    name = _run_to_memory_sink(deduped, "events_dedup_stream", "append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+        .orderBy("event_type")
+    )
+
+
+ORACLE_EVENTS_DEDUP_STREAM = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly event rollup executed as a real Structured Streaming
+    job: file-source stream over the events table → windowed aggregate →
+    memory sink, `availableNow` trigger (process everything, then stop).
+
+    Complete output mode so every window is emitted when the bounded
+    stream drains — the result is therefore identical to the batch
+    `events_hourly` rollup and shares its DuckDB oracle. At scale the
+    same plan runs unbounded with append mode + the watermark bounding
+    state; availableNow is also Spark's recommended backfill mode."""
+    stream = _events_stream(spark, sf_dir)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = _run_to_memory_sink(counts, "events_hourly_stream", "complete")
     return (
         spark.table(name)
         .select(
@@ -219,5 +264,11 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
-QUERIES = {"events_hourly_stream": events_hourly_stream}
-ORACLES = {"events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM}
+QUERIES = {
+    "events_hourly_stream": events_hourly_stream,
+    "events_dedup_stream": events_dedup_stream,
+}
+ORACLES = {
+    "events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM,
+    "events_dedup_stream": ORACLE_EVENTS_DEDUP_STREAM,
+}

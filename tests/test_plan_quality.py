@@ -81,3 +81,51 @@ def test_merge_has_partial_aggregation(spark):
     plan = plan_of(merged, mode="simple")
     # two-phase aggregate: partial_ (map-side) then final
     assert "partial_" in plan or "ObjectHashAggregate" in plan
+
+
+def test_dedup_pair_joins_never_cartesian(spark, sf_dir):
+    """The blocked dedups must plan hash joins on their blocking keys —
+    a CartesianProduct/NestedLoop here is the quadratic blow-up the
+    blocking exists to prevent."""
+    from grebi_spark.functions.dedup import (
+        dedup_embedding_cosine,
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    for fn in (dedup_minhash_lsh, dedup_ngram_jaccard, dedup_embedding_cosine):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    spark.catalog.clearCache()
+
+
+def test_ngram_jaccard_reuses_cached_prefix(spark, sf_dir):
+    """Both sides of the blocking self-join and both verify joins must
+    read the persisted tables, not recompute the ranking pipeline."""
+    from grebi_spark.functions.dedup import dedup_ngram_jaccard
+
+    plan = plan_of(dedup_ngram_jaccard(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 4
+    spark.catalog.clearCache()
+
+
+def test_ann_ivf_is_narrow_topk(spark, sf_dir):
+    """Cell assignment + probe filter + top-k must stay a narrow plan:
+    per-partition heaps (TakeOrderedAndProject), no shuffle."""
+    from grebi_spark.functions.similarity import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_frame_sample_prunes_scan(spark, sf_dir):
+    """The frame sampler needs doc_id + text only; the parquet scan must
+    not read the other document columns."""
+    from grebi_spark.functions.multimodal import multimodal_frame_sample
+
+    plan = plan_of(multimodal_frame_sample(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema
+    assert "lang" not in read_schema and "n_chars" not in read_schema

@@ -588,8 +588,75 @@ FROM comp GROUP BY component ORDER BY cluster_id
     )
 
 
+# --- cross-corpus decontamination -------------------------------------------
+
+DECON_NGRAM = 8  # the GPT-3/PaLM-style 8-gram contamination rule
+DECON_EVAL_MOD = 50  # synthetic "held-out benchmark": every 50th doc
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag training documents that share
+    any word 8-gram with a held-out evaluation corpus (here the synthetic
+    eval set is every 50th document).
+
+    Scale shape: the eval corpus is benchmarks — thousands of documents
+    against 100 TB of training text — so its distinct shingle set is
+    broadcast and the 100 TB side streams through a broadcast hash join
+    with zero shuffle of the big side. If the eval set ever outgrows the
+    broadcast threshold, AQE degrades this to a shuffle join on the
+    shingle key instead of failing. The training side's shingle explode
+    is a narrow map; the per-doc rollup is the only shuffle.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("sh")
+    )
+    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == 0
+    eval_sh = (
+        sh.filter(is_eval)
+        .select(F.col("doc_id").alias("eval_doc_id"), "sh")
+    )
+    return (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_decontaminate() -> str:
+    n = DECON_NGRAM
+    terms = " || ' ' || ".join([f"t[i+{j}]" for j in range(n)])
+    return f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
+              i -> {terms}))
+         ELSE [] END) AS sh
+  FROM docs
+)
+SELECT tr.doc_id,
+       count(DISTINCT tr.sh) AS n_shared_ngrams,
+       count(DISTINCT ev.doc_id) AS n_eval_docs
+FROM sh tr
+JOIN sh ev ON tr.sh = ev.sh
+WHERE tr.doc_id % {DECON_EVAL_MOD} <> 0 AND ev.doc_id % {DECON_EVAL_MOD} = 0
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -599,6 +666,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_decontaminate": _oracle_decontaminate(),
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,

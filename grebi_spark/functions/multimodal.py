@@ -139,7 +139,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = d.repartition(par).select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return sample_frames(binary).orderBy("doc_id", "frame_idx")
+    # persist before the global sort: range partitioning samples its
+    # bounds with a separate pass, which would re-run the decode stage
+    return sample_frames(binary).persist().orderBy("doc_id", "frame_idx")
 
 
 # the corpus text is ASCII, so char offsets == byte offsets (the features
@@ -161,7 +163,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the Arrow batches across cores first
     par = spark.sparkContext.defaultParallelism
     binary = d.repartition(par).select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return extract_features(binary).orderBy("doc_id")
+    # persist before the global sort: the range-partitioning sampling
+    # pass would otherwise execute the mapInPandas decode twice
+    return extract_features(binary).persist().orderBy("doc_id")
 
 
 ORACLE_MULTIMODAL = """

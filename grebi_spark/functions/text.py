@@ -236,8 +236,101 @@ FROM fp GROUP BY fp ORDER BY fp
 """
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-corpus curation pass: score quality, compute
+    the normalised fingerprint, keep only the canonical (min doc_id) copy
+    of each fingerprint group that clears the quality gate, and report
+    per-source yield — documents kept, documents seen, kept-token volume.
+
+    Scale shape: quality and fingerprint are scan-side expressions
+    (whole-stage codegen, no Python); canonical-copy election is one
+    shuffle on the fingerprint (row_number window, not a self-join); the
+    per-source rollup is the second and final shuffle. At 100 TB this is
+    two exchanges over data that has already been column-pruned to
+    (doc_id, source, text-derived scalars)."""
+    from pyspark.sql.window import Window as W
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    canon = scored.withColumn(
+        "rn", F.row_number().over(W.partitionBy("fp").orderBy("doc_id"))
+    )
+    kept = canon.filter((F.col("rn") == 1) & (F.col("q") >= 0.75))
+    return (
+        canon.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .join(
+            kept.groupBy("source").agg(
+                F.count("*").alias("n_kept"),
+                F.sum("n_tok").cast("long").alias("kept_tokens"),
+                F.round(F.avg("q"), 4).alias("avg_kept_quality"),
+            ),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+            F.coalesce("avg_kept_quality", F.lit(0.0)).alias("avg_kept_quality"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_curation() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id, source,
+         len(t) AS n,
+         CASE WHEN len(t) > 0
+              THEN length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t)
+              ELSE 0.0 END AS mean_len,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0 / len(t)
+              ELSE 0.0 END AS stop_ratio,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS punct_ratio,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp
+  FROM toks
+), scored AS (
+  SELECT doc_id, source, fp, n AS n_tok,
+         round((CASE WHEN n >= 10 AND n <= 10000 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN stop_ratio >= 0.05 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN punct_ratio <= 0.1 THEN 0.25 ELSE 0.0 END), 4) AS q,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM feat
+), kept AS (
+  SELECT source, count(*) AS n_kept, sum(n_tok)::bigint AS kept_tokens,
+         round(avg(q), 4) AS avg_kept_quality
+  FROM scored WHERE rn = 1 AND q >= 0.75 GROUP BY source
+)
+SELECT s.source, count(*) AS n_docs,
+       coalesce(any_value(k.n_kept), 0) AS n_kept,
+       coalesce(any_value(k.kept_tokens), 0) AS kept_tokens,
+       coalesce(any_value(k.avg_kept_quality), 0.0) AS avg_kept_quality
+FROM scored s LEFT JOIN kept k ON s.source = k.source
+GROUP BY s.source ORDER BY s.source
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
+    "corpus_curation": corpus_curation,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint_dups": text_fingerprint_dups,
@@ -245,6 +338,7 @@ QUERIES = {
 
 ORACLES = {
     "text_token_stats": ORACLE_TOKEN_STATS,
+    "corpus_curation": _oracle_curation(),
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_lang_id": _lang_case_sql(),
     "text_fingerprint_dups": ORACLE_FINGERPRINT,

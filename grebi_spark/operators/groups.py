@@ -73,6 +73,22 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # pointer jumping: replace each label by its label's label, so a
+        # chain's distance-to-root halves every round and convergence is
+        # O(log diameter) rounds instead of O(diameter). Every component
+        # value is itself a vertex id, so the self-join always resolves.
+        lbl_of = new_labels.select(
+            F.col("id").alias("component"), F.col("component").alias("comp2")
+        )
+        new_labels = (
+            new_labels.join(lbl_of, "component", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("comp2", F.col("component"))
+                ).alias("component"),
+            )
+        )
         # one job per round: the change-detection count materializes
         # new_labels into the cache; lineage is cut every few rounds
         new_labels = (

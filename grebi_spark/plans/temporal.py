@@ -112,14 +112,151 @@ ORDER BY source, rn
 """
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — the temporal operator Spark has no
+    built-in for: each click event is matched to the same user's most
+    recent purchase at or before the click.
+
+    Implementation is the scalable union-window pattern, not a range
+    join: tag both streams, union, ONE shuffle on user_id, sort within
+    partition by (ts, kind), and carry the last purchase forward with
+    last(..., ignorenulls) over an unbounded-preceding frame. At 100 TB
+    this is a single exchange + sort regardless of how many purchases
+    precede each click; a per-user range join would be quadratic in
+    events-per-user and a broadcast approach impossible.
+
+    Purchases are pre-deduped to one per (user, ts) — max event_id wins —
+    so ties are deterministic in both engines; at equal timestamps the
+    purchase sorts before the click (kind 0 < 1), i.e. the match is
+    inclusive. Oracle: DuckDB's native ASOF JOIN.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts"), F.lit(1).alias("kind"), F.col("event_id")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+        .select("user_id", "ts", F.lit(0).alias("kind"), "event_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purch_id = F.when(F.col("kind") == 0, F.col("event_id"))
+    purch_ts = F.when(F.col("kind") == 0, F.col("ts"))
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("b_event_id", F.last(purch_id, ignorenulls=True).over(w))
+        .withColumn("b_ts", F.last(purch_ts, ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("b_event_id").isNotNull())
+        .select(
+            F.col("event_id").alias("a_event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("a_ts"),
+            "b_event_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("b_ts"))
+            .cast("long")
+            .alias("gap_sec"),
+        )
+        .orderBy("a_event_id")
+    )
+
+
+ORACLE_EVENTS_ASOF = """
+WITH clicks AS (
+  SELECT event_id AS a_event_id, user_id, ts FROM events
+  WHERE event_type = 'click'
+), purch AS (
+  SELECT user_id, ts, max(event_id) AS b_event_id FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT a_event_id,
+       clicks.user_id::bigint AS user_id,
+       strftime(clicks.ts, '%Y-%m-%d %H:%M:%S') AS a_ts,
+       b_event_id,
+       (epoch(date_trunc('second', clicks.ts))
+        - epoch(date_trunc('second', purch.ts)))::bigint AS gap_sec
+FROM clicks ASOF JOIN purch
+  ON clicks.user_id = purch.user_id AND clicks.ts >= purch.ts
+ORDER BY a_event_id
+"""
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per click, the count and value-sum of the
+    same user's purchases in the preceding hour (inclusive bounds).
+
+    Spark has no range-join operator, and the naive plan — equi-join on
+    user_id with the time predicate as a residual — goes quadratic in
+    events-per-user. The scale-safe shape used here is bucketed range
+    join: each purchase is replicated to its hour bucket and the next
+    (a 1-hour window spans at most two hour buckets), the join key is
+    (user_id, hour_bucket of the click) — an exact equi-join — and the
+    time predicate filters the ≤2-bucket candidates. Join fan-out is 2×
+    the purchase stream regardless of per-user volume.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_event_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("bucket"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("b_ts"),
+        F.col("value").alias("b_value"),
+        F.floor(F.unix_timestamp("ts") / 3600).alias("pbucket"),
+    )
+    expanded = purchases.withColumn(
+        "bucket", F.explode(F.array(F.col("pbucket"), F.col("pbucket") + 1))
+    )
+    return (
+        clicks.join(expanded, ["user_id", "bucket"])
+        .filter(
+            (F.col("b_ts") <= F.col("a_ts"))
+            & (F.col("b_ts") >= F.col("a_ts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("a_event_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("b_value"), 4).alias("purchase_value"),
+        )
+        .orderBy("a_event_id")
+    )
+
+
+ORACLE_EVENTS_RANGE = """
+SELECT c.event_id AS a_event_id,
+       count(*) AS n_purchases,
+       round(sum(p.value), 4) AS purchase_value
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND p.ts <= c.ts
+ AND p.ts >= c.ts - INTERVAL 1 HOUR
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+ORDER BY a_event_id
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "sample_per_source": sample_per_source,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
 }
 
 ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "sample_per_source": ORACLE_SAMPLE_PER_SOURCE,
+    "events_asof_join": ORACLE_EVENTS_ASOF,
+    "events_range_join": ORACLE_EVENTS_RANGE,
 }

@@ -177,3 +177,27 @@ def test_top_parts_window_single_partitioning(spark, sf_dir):
     plan = plan_of(top_parts_per_brand(spark, sf_dir), mode="simple")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "Window" in plan
+
+
+def test_asof_join_is_window_not_join(spark, sf_dir):
+    """The as-of join must compile to union + ONE user_id exchange + a
+    window — no join operator at all, and certainly nothing nested-loop."""
+    from grebi_spark.plans.temporal import events_asof_join
+
+    plan = plan_of(events_asof_join(spark, sf_dir), mode="simple")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+
+
+def test_range_join_is_equi_on_buckets(spark, sf_dir):
+    """The bucketed range join must be an equi hash/merge join on
+    (user_id, bucket) with the time predicate as a residual — never a
+    nested-loop over the interval condition."""
+    from grebi_spark.plans.temporal import events_range_join
+
+    plan = plan_of(events_range_join(spark, sf_dir), mode="simple")
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -699,6 +699,104 @@ ORDER BY p_brand, rank
 """
 
 
+# --- rollup (multi-level aggregation in one pass) ---------------------------
+
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): detail rows, per-flag
+    subtotals, and the grand total computed in ONE aggregation pass —
+    Spark expands the grouping sets map-side, so the input is still read
+    once and shuffled once."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_lines",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+# --- exact percentiles ------------------------------------------------------
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of event value per type. Exact
+    (not approx_percentile) so an independent engine computes the same
+    numbers; at 100 TB the approx sketch is the drop-in alternative —
+    same plan shape, mergeable partial state."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4)  AS p50,
+       round(quantile_cont(value, 0.9), 4)  AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- salted skew-join, oracle-checked against the plain join ----------------
+
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation path as a first-class query: orders⋈customer
+    through `scale.salted_join` (big side salted, small side exploded
+    across the salt range), aggregated per segment. The oracle is the
+    PLAIN join's SQL — passing proves salting is result-invariant, which
+    is the property that lets it be dropped into any hot-key join."""
+    from ..scale import salted_join
+
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    c = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    return (
+        salted_join(o, c, "custkey", salt_buckets=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_SALTED = """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 # --- graph stats (Q9) -------------------------------------------------------
 
 def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,6 +846,9 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
     "top_parts_per_brand": top_parts_per_brand,
+    "rollup_revenue": rollup_revenue,
+    "value_percentiles": value_percentiles,
+    "salted_join_orders": salted_join_orders,
 }
 
 ORACLES = {
@@ -772,4 +873,7 @@ ORACLES = {
     "q18_large_volume_customers": ORACLE_Q18,
     "q19_disjunctive_revenue": ORACLE_Q19,
     "top_parts_per_brand": ORACLE_TOP_PARTS,
+    "rollup_revenue": ORACLE_ROLLUP,
+    "value_percentiles": ORACLE_PERCENTILES,
+    "salted_join_orders": ORACLE_SALTED,
 }

@@ -264,11 +264,48 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+def events_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join run as a real job: the events
+    stream joined to the static customer dimension (user_id = custkey),
+    aggregated per (segment, event_type).
+
+    The static side is a plain batch DataFrame — Spark broadcasts it to
+    every micro-batch, the canonical pattern for dimension enrichment of
+    an unbounded stream (no state, no watermark needed for the join
+    itself; the downstream aggregate uses complete mode here because the
+    bounded replay drains fully). Oracle: the identical batch join SQL."""
+    from ..session import load_tables
+
+    stream = _events_stream(spark, sf_dir)
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    name = _run_to_memory_sink(enriched, "events_enrich_stream", "complete")
+    return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+ORACLE_EVENTS_ENRICH_STREAM = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "events_hourly_stream": events_hourly_stream,
     "events_dedup_stream": events_dedup_stream,
+    "events_enrich_stream": events_enrich_stream,
 }
 ORACLES = {
     "events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM,
     "events_dedup_stream": ORACLE_EVENTS_DEDUP_STREAM,
+    "events_enrich_stream": ORACLE_EVENTS_ENRICH_STREAM,
 }

@@ -797,6 +797,59 @@ ORDER BY c_mktsegment
 """
 
 
+# --- graph analytics: triangle counting -------------------------------------
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the co-purchase projection graph (parts that
+    appear in the same order are connected). The classic compact-forward
+    shape: orient every edge low→high part key so each triangle is
+    enumerated exactly once by the wedge join e1(u,v)⋈e2(v,w) closed by
+    e3(u,w).
+
+    Scale shape: the projection is one self-join on the order key (never
+    all-pairs across orders); the edge set is persisted and reused by all
+    three legs; the wedge join shuffles on a single vertex key each time.
+    At 100 TB the standard refinement is degree-ordering the orientation
+    so hot vertices bound their wedge fan-out — count-identical, so the
+    id-ordering here keeps the oracle exact."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()  # three legs of the triangle join read this
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return pairs.agg(F.count("*").alias("n_edges")).crossJoin(tri)
+
+
+ORACLE_TRIANGLES = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT (SELECT count(*) FROM pairs) AS n_edges,
+       (SELECT count(*)
+        FROM pairs e1
+        JOIN pairs e2 ON e1.v = e2.u
+        JOIN pairs e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+"""
+
+
 # --- graph stats (Q9) -------------------------------------------------------
 
 def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -849,6 +902,7 @@ QUERIES = {
     "rollup_revenue": rollup_revenue,
     "value_percentiles": value_percentiles,
     "salted_join_orders": salted_join_orders,
+    "copurchase_triangles": copurchase_triangles,
 }
 
 ORACLES = {
@@ -876,4 +930,5 @@ ORACLES = {
     "rollup_revenue": ORACLE_ROLLUP,
     "value_percentiles": ORACLE_PERCENTILES,
     "salted_join_orders": ORACLE_SALTED,
+    "copurchase_triangles": ORACLE_TRIANGLES,
 }

@@ -201,3 +201,17 @@ def test_range_join_is_equi_on_buckets(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_all_joins_are_equi(spark, sf_dir):
+    """Projection + both triangle legs must be hash/merge equi-joins
+    (the e3 closure has two equality conjuncts → still equi); the
+    persisted edge set must feed all three legs."""
+    from grebi_spark.plans.relational import copurchase_triangles
+
+    plan = plan_of(copurchase_triangles(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    # the single-row crossJoin of the two aggregates is the only
+    # nested-loop allowed: 1×1 rows
+    assert plan.count("InMemoryTableScan") >= 3
+    spark.catalog.clearCache()

@@ -850,6 +850,48 @@ SELECT (SELECT count(*) FROM pairs) AS n_edges,
 """
 
 
+# --- sketched aggregates with an oracle-checked error bound -----------------
+
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for J4's distinct-counting index aggregates:
+    HyperLogLog++ (`approx_count_distinct`, mergeable partial state, no
+    giant exact-distinct shuffle) next to the exact count, emitting
+    whether the sketch landed within its configured 2% relative error.
+
+    The oracle can't reproduce HLL internals, so the check is inverted:
+    the oracle returns the exact count plus literal TRUE, and this query
+    hash-matches only if every sketch estimate is inside the bound —
+    the error bound itself is the hash-checked contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey", rsd=0.005).alias("approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_parts_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_parts_exact"))
+                / F.col("n_parts_exact")
+                <= 0.02
+            ).alias("approx_within_2pct"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_APPROX_DISTINCT = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts_exact,
+       TRUE AS approx_within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --- graph stats (Q9) -------------------------------------------------------
 
 def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,6 +945,7 @@ QUERIES = {
     "value_percentiles": value_percentiles,
     "salted_join_orders": salted_join_orders,
     "copurchase_triangles": copurchase_triangles,
+    "approx_distinct_check": approx_distinct_check,
 }
 
 ORACLES = {
@@ -931,4 +974,5 @@ ORACLES = {
     "value_percentiles": ORACLE_PERCENTILES,
     "salted_join_orders": ORACLE_SALTED,
     "copurchase_triangles": ORACLE_TRIANGLES,
+    "approx_distinct_check": ORACLE_APPROX_DISTINCT,
 }

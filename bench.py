@@ -20,6 +20,20 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from grebi_spark.session import get_spark  # noqa: E402
 
 
+def _warm_udf():
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _identity(s: "pd.Series") -> "pd.Series":
+        return s
+
+    # explicit returnType + no hint inference (the module's future-import
+    # stringifies annotations, which the hint resolver can't see)
+    _identity.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_identity, LongType())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -29,6 +43,10 @@ def main() -> None:
     times: dict[str, float] = {}
     # warm the JVM + parquet footers with one cheap query
     queries["stats_counts"](spark, sf_dir).collect()
+    # warm the Python UDF workers (process spawn + pandas/numpy import is
+    # a per-session constant, not a property of whichever Arrow-batched
+    # query happens to run first)
+    spark.range(100000).repartition(64).select(_warm_udf()("id")).count()
 
     total = 0.0
     for name in sorted(queries):

@@ -155,9 +155,123 @@ LIMIT 20
 """
 
 
+_BM25_TERMS = ("spark", "merge", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 15
+
+
+def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-ranked full-text search (Okapi, k1=1.2, b=0.75) — the
+    relevance upgrade over the boost-ladder scorer: real term-frequency
+    saturation + length normalisation + corpus IDF, entirely as JVM-side
+    aggregates (no Python, no UDF).
+
+    Scale shape: the token explode is filtered to the query terms BEFORE
+    the tf aggregate, so the exploded stream carries only matching
+    tokens; df (per-term doc frequency) and the one-row corpus stats
+    (N, total token length — exact integers, so avgdl is bit-identical
+    across engines) broadcast to the probe side; the per-doc score is one
+    shuffle on doc_id. Nothing in the plan is proportional to vocabulary
+    size × corpus size.
+
+    Parity note: this is the scoring Solr/Lucene actually applies under
+    GrEBI's edismax search (GrebiSolrClient.java:105-147); the reference
+    delegates it wholesale to Solr, here it is native to the engine."""
+    from ..functions.text import token_count, tokens
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    lens = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+    # exact-integer corpus stats: sum/count of ints == identical avgdl
+    # in every engine (no FP accumulation-order dependence)
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+
+    qt = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(tokens(F.col("text")), lambda t: t.isin(*_BM25_TERMS))
+        ).alias("tok"),
+    )
+    tf = qt.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+
+    w = (
+        tf.join(F.broadcast(df), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (
+                    1.0
+                    - _BM25_B
+                    + _BM25_B * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+                )
+            ),
+        )
+    )
+    scored = w.groupBy("doc_id").agg(F.round(F.sum("w"), 4).alias("score"))
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPK)
+    return (
+        top.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "score")
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+ORACLE_BM25 = f"""
+WITH lens AS (
+  SELECT doc_id, length(regexp_extract_all(lower(text), '\\S+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::bigint AS total_dl FROM lens
+), qt AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                            x -> x IN ('spark', 'merge', 'stream'))) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM qt GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), w AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * ({_BM25_K1} + 1.0)
+         / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * lens.dl * stats.n_docs / stats.total_dl)) AS w
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN stats
+), s AS (
+  SELECT doc_id, round(sum(w), 4) AS score FROM w GROUP BY doc_id
+), top AS (
+  SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
+)
+SELECT top.doc_id, d.lang, d.source, top.score
+FROM top JOIN documents d ON top.doc_id = d.doc_id
+ORDER BY top.score DESC, top.doc_id
+"""
+
+
 QUERIES = {
     "doc_search_page": doc_search_page,
     "doc_search_facets": doc_search_facets,
+    "doc_search_bm25": doc_search_bm25,
     "autocomplete_parts": autocomplete_parts,
     "edge_page_incoming": edge_page_incoming,
 }
@@ -165,6 +279,7 @@ QUERIES = {
 ORACLES = {
     "doc_search_page": ORACLE_DOC_SEARCH,
     "doc_search_facets": ORACLE_DOC_FACETS,
+    "doc_search_bm25": ORACLE_BM25,
     "autocomplete_parts": ORACLE_AUTOCOMPLETE,
     "edge_page_incoming": ORACLE_EDGE_PAGE,
 }

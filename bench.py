@@ -49,25 +49,29 @@ def main() -> None:
     spark.range(100000).repartition(64).select(_warm_udf()("id")).count()
 
     total = 0.0
+    errors: dict[str, str] = {}
     for name in sorted(queries):
         spark.catalog.clearCache()  # queries persist intermediates; keep runs independent
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).collect()
+        try:
+            queries[name](spark, sf_dir).collect()
+        except Exception as exc:  # one broken query must never zero the round
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         dt = round(time.perf_counter() - t0, 3)
         times[name] = dt
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "sum_query_latency_all_operators",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "sum_query_latency_all_operators",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

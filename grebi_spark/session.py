@@ -130,11 +130,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             df = spark.read.parquet(path)
-            if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-                # nanos-as-long (see get_spark) → real timestamp column
-                df = df.withColumn(
-                    "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-                )
+            if name == "events":
+                ts_dtype = dict(df.dtypes).get("ts")
+                if ts_dtype == "bigint":
+                    # nanos-as-long (see get_spark) → real timestamp column
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+                    )
+                elif ts_dtype == "timestamp_ntz":
+                    # no-tz parquet micros; session tz is UTC so values are
+                    # unchanged, and watermarks require TimestampType
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

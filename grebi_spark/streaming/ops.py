@@ -171,11 +171,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "bigint":
         # TIMESTAMP(NANOS) storage read as long (see session.load_tables)
         stream = stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_dtype == "timestamp_ntz":
+        # TIMESTAMP(isAdjustedToUTC=false) parquet → timestamp_ntz, which
+        # withWatermark rejects; the session tz is pinned UTC so the cast
+        # preserves instants and the batch oracle still matches
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

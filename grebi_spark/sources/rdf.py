@@ -4,10 +4,11 @@ The reference loads an entire RDF graph into RAM with the sophia crate and
 re-groups triples by subject. That cannot scale past one machine; here the
 line-oriented N-Triples / N-Quads serialisations are parsed *distributed*
 with built-in regexp expressions (splittable text input, no Python in the
-loop), grouped by subject with an ordinary shuffle. RDF/XML and Turtle are
-accepted only via pre-conversion to N-Quads (ubergraph ships as .nq.gz —
-configs/datasource_configs/ubergraph.yaml:4-8), which the SURVEY flags as
-the pragmatic boundary.
+loop), grouped by subject with an ordinary shuffle. RDF/XML and Turtle —
+not line-splittable — are parsed per-file in mapInPandas workers by the
+self-contained parsers in rdf_convert.py (see read_rdf_documents), so any
+`.owl`/`.ttl` datasource ingests directly, matching the reference's
+format switch; ubergraph's `.nq.gz` stays on the splittable path.
 
 Also implemented: OWL Axiom / rdf:Statement reification folding
 (main.rs:340-404) — an owl:Axiom subject annotating (source, property,
@@ -158,6 +159,58 @@ def fold_reification(
     return plain, reified
 
 
+def read_rdf_documents(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """RDF/XML or Turtle files → distributed (s, p, o, g) triples.
+
+    These serialisations are not line-splittable, so the unit of
+    parallelism is the FILE (the same boundary the reference's in-RAM
+    sophia load has — 01_ingest/grebi_rdf2jsonl/src/main.rs:87-130), but
+    many files parse concurrently in ``mapInPandas`` workers and the
+    output lands directly in the distributed triple relation. Blank-node
+    labels are salted with a per-file hash so graphs never collide.
+    Handles ``.gz`` transparently.
+    """
+    import pandas as pd  # local import: executor-side dependency only
+
+    from .rdf_convert import detect_format, parse_document
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def _parse(batches):
+        import gzip
+        import hashlib
+
+        for pdf in batches:
+            out_s, out_p, out_o = [], [], []
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                f = fmt or detect_format(fpath)
+                data = bytes(blob)
+                if fpath.lower().endswith(".gz"):
+                    data = gzip.decompress(data)
+                salt = hashlib.sha1(fpath.encode()).hexdigest()[:8]
+                for s, p, o in parse_document(data.decode("utf-8"), f, salt + "_"):
+                    out_s.append(s); out_p.append(p); out_o.append(o)
+            yield pd.DataFrame({"s": out_s, "p": out_p, "o": out_o})
+
+    return files.mapInPandas(_parse, "s string, p string, o string").withColumn(
+        "g", F.lit("")
+    )
+
+
+def read_rdf(
+    spark: SparkSession, path: str, fmt: str | None = None, graph: str | None = None
+) -> DataFrame:
+    """Format-dispatching RDF reader (the reference's --rdf-format switch):
+    line-oriented N-Triples/N-Quads stay on the fully splittable regexp
+    path; RDF/XML and Turtle go through the per-file parser."""
+    from .rdf_convert import detect_format
+
+    f = fmt or detect_format(path)
+    if f in ("ntriples", "nquads"):
+        return read_nquads(spark, path, graph=graph)
+    return read_rdf_documents(spark, path, fmt=f)
+
+
 def rdf_to_nodes(
     spark: SparkSession,
     path: str,
@@ -165,9 +218,14 @@ def rdf_to_nodes(
     subgraph: str = "default",
     graph: str | None = None,
     type_to_grebi: bool = True,
+    fmt: str | None = None,
 ) -> DataFrame:
-    """N-Quads file → long-form INGESTED rows, reification folded."""
-    triples = read_nquads(spark, path, graph=graph)
+    """RDF file(s) → long-form INGESTED rows, reification folded.
+
+    Accepts N-Quads/N-Triples (splittable scan) and RDF/XML/Turtle
+    (per-file distributed parse), matching the reference's format switch.
+    """
+    triples = read_rdf(spark, path, fmt=fmt, graph=graph)
     plain, reified = fold_reification(triples)
     type_prop = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     rows = plain.select(

@@ -102,6 +102,73 @@ def test_rdf_to_nodes(spark, nq_file):
     assert len(reified) == 1
 
 
+TTL = """\
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://example.org/> .
+
+ex:A a owl:Class ;
+    rdfs:label "gene A" ;
+    ex:partOf ex:B .
+ex:B a owl:Class .
+[] a owl:Axiom ;
+    owl:annotatedSource ex:A ;
+    owl:annotatedProperty ex:partOf ;
+    owl:annotatedTarget ex:B ;
+    ex:evidence "curator stated" .
+"""
+
+RDFXML = """\
+<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:rdfs="http://www.w3.org/2000/01/rdf-schema#"
+         xmlns:owl="http://www.w3.org/2002/07/owl#"
+         xmlns:ex="http://example.org/">
+  <owl:Class rdf:about="http://example.org/A">
+    <rdfs:label>gene A</rdfs:label>
+    <ex:partOf rdf:resource="http://example.org/B"/>
+  </owl:Class>
+  <owl:Class rdf:about="http://example.org/B"/>
+  <owl:Axiom>
+    <owl:annotatedSource rdf:resource="http://example.org/A"/>
+    <owl:annotatedProperty rdf:resource="http://example.org/partOf"/>
+    <owl:annotatedTarget rdf:resource="http://example.org/B"/>
+    <ex:evidence>curator stated</ex:evidence>
+  </owl:Axiom>
+</rdf:RDF>
+"""
+
+
+def _rdf_rows(spark, path):
+    rows = rdf_to_nodes(spark, path, "testrdf").collect()
+    return sorted(
+        ((r["entity_id"], r["prop_key"], r["value"], r["value_props"]) for r in rows),
+        key=lambda t: tuple("" if x is None else x for x in t),
+    )
+
+
+def test_rdf_formats_golden_parity(spark, nq_file, tmp_path):
+    """S8: the same graph serialised as N-Quads, Turtle, and RDF/XML
+    ingests to IDENTICAL long-form rows (the axiom bnode folds away, so
+    no bnode-label divergence survives)."""
+    ttl = tmp_path / "g.ttl"
+    ttl.write_text(TTL)
+    owl = tmp_path / "g.owl"
+    owl.write_text(RDFXML)
+    expected = _rdf_rows(spark, nq_file)
+    assert _rdf_rows(spark, str(ttl)) == expected
+    assert _rdf_rows(spark, str(owl)) == expected
+
+
+def test_rdf_gz_and_format_detect(tmp_path):
+    from grebi_spark.sources.rdf_convert import detect_format
+
+    assert detect_format("x.nq.gz") == "nquads"
+    assert detect_format("x.owl") == "rdfxml"
+    assert detect_format("x.ttl") == "turtle"
+    assert detect_format("weird.bin") == "nquads"
+
+
 def test_sqlite(spark, tmp_path):
     db = tmp_path / "t.sqlite"
     con = sqlite3.connect(db)

@@ -171,9 +171,16 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tf aggregate, so the exploded stream carries only matching
     tokens; df (per-term doc frequency) and the one-row corpus stats
     (N, total token length — exact integers, so avgdl is bit-identical
-    across engines) broadcast to the probe side; the per-doc score is one
-    shuffle on doc_id. Nothing in the plan is proportional to vocabulary
-    size × corpus size.
+    across engines) broadcast to the probe side. ``lens`` is persisted so
+    the documents scan+tokenize is shared between the corpus-stats
+    aggregate and the probe-side length join. The plan shuffles for the
+    tf aggregate, the lens join, and the final per-doc aggregate — all on
+    doc_id-sized keys; nothing is proportional to vocabulary × corpus.
+
+    Determinism: the per-doc score is the sum of ≤3 per-term weights
+    (one w row per (doc, term) after the tf aggregate), pivoted into a
+    FIXED-ORDER chain of double additions — identical in any engine, so
+    parity cannot flip on FP accumulation order at the top-k boundary.
 
     Parity note: this is the scoring Solr/Lucene actually applies under
     GrEBI's edismax search (GrebiSolrClient.java:105-147); the reference
@@ -182,7 +189,7 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
 
-    lens = d.select("doc_id", token_count(F.col("text")).alias("dl"))
+    lens = d.select("doc_id", token_count(F.col("text")).alias("dl")).persist()
     # exact-integer corpus stats: sum/count of ints == identical avgdl
     # in every engine (no FP accumulation-order dependence)
     stats = lens.agg(
@@ -223,7 +230,20 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    scored = w.groupBy("doc_id").agg(F.round(F.sum("w"), 4).alias("score"))
+    # one w row per (doc, term) → conditional single-element sums are
+    # exact; adding them left-to-right fixes the FP accumulation order
+    per_term = w.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("tok") == t, F.col("w"))), F.lit(0.0)
+            ).alias(f"w_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    score = F.lit(0.0)
+    for t in _BM25_TERMS:
+        score = score + F.col(f"w_{t}")
+    scored = per_term.select("doc_id", F.round(score, 4).alias("score"))
     top = scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPK)
     return (
         top.join(d.select("doc_id", "lang", "source"), "doc_id")
@@ -248,7 +268,7 @@ WITH lens AS (
 ), df AS (
   SELECT tok, count(*) AS df FROM tf GROUP BY tok
 ), w AS (
-  SELECT tf.doc_id,
+  SELECT tf.doc_id, tf.tok,
          ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
          * tf.tf * ({_BM25_K1} + 1.0)
          / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
@@ -258,7 +278,14 @@ WITH lens AS (
   JOIN lens ON tf.doc_id = lens.doc_id
   CROSS JOIN stats
 ), s AS (
-  SELECT doc_id, round(sum(w), 4) AS score FROM w GROUP BY doc_id
+  -- fixed-order sum of the (at most one-per-term) weights: bit-identical
+  -- to the Spark side's left-to-right double additions
+  SELECT doc_id,
+         round(0.0 + coalesce(sum(CASE WHEN tok = 'spark'  THEN w END), 0.0)
+                   + coalesce(sum(CASE WHEN tok = 'merge'  THEN w END), 0.0)
+                   + coalesce(sum(CASE WHEN tok = 'stream' THEN w END), 0.0),
+               4) AS score
+  FROM w GROUP BY doc_id
 ), top AS (
   SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
 )

@@ -43,28 +43,53 @@ def build_graph(
     ingested: list[DataFrame],
     config: SubgraphConfig,
     prefix_map: PrefixMap | None = None,
+    materialize: str = "checkpoint",
 ) -> BuiltGraph:
-    """ingested: one long-form DataFrame per datasource (stage-01 outputs)."""
+    """ingested: one long-form DataFrame per datasource (stage-01 outputs).
+
+    ``materialize`` controls the stage barriers (the reference has HARD
+    barriers: every Nextflow stage writes its output to disk before the
+    next starts — nextflow/01_create_subgraph.nf:14-70):
+
+    - ``"checkpoint"`` (default): eager ``localCheckpoint`` per stage.
+      Besides avoiding recompute, this TRUNCATES PLAN LINEAGE — without
+      it each stage's logical tree embeds every upstream stage's tree
+      (edges ⊃ merged ⊃ assigned ⊃ CC-loop ⊃ per-source melts), and
+      Catalyst re-analyses that combinatorially-growing tree on every
+      downstream action: planning time, not IO, becomes the bottleneck.
+      At cluster scale the blocks live on executor local storage
+      (memory then disk), the standard barrier for iterative/multi-stage
+      jobs; for restartability across job failures write the stage to
+      durable parquet instead (plans/runner.write_partitioned).
+    - ``"cache"``: lazy ``.cache()`` only — keeps full lineage (so a
+      lost partition can recompute from source), first consumer pays the
+      build. Right when only one output will be consumed.
+    """
     if prefix_map:
         ingested = [normalise_prefixes(df, prefix_map) for df in ingested]
     all_rows = reduce(DataFrame.unionByName, ingested)
 
+    def _barrier(df: DataFrame) -> DataFrame:
+        if materialize == "checkpoint":
+            return df.localCheckpoint(eager=True)
+        return df.cache()
+
     # stage 02: identifiers → equivalence groups → id assignment
     identifiers = extract_identifiers(all_rows, config)
-    groups = build_groups(identifier_pairs(identifiers), config).cache()
+    groups = _barrier(build_groups(identifier_pairs(identifiers), config))
     assigned = assign_ids(all_rows, groups, config)
     assigned = lift_types(assigned, config)
 
     # stage 03: merge
-    merged = merge_nodes(assigned, config).cache()
+    merged = _barrier(merge_nodes(assigned, config))
     nodes = node_table(merged)
 
     # stage 04: index
     index = build_index(merged)
-    meta = index.metadata.cache()
+    meta = _barrier(index.metadata)
 
     # stage 05: materialise
-    edges = materialise_edges(merged, meta, config).cache()
+    edges = _barrier(materialise_edges(merged, meta, config))
     dtypes = display_types(meta, index.type_counts)
     summary = edge_summary(edges, meta)
 

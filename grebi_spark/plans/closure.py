@@ -14,10 +14,16 @@ provides a bounded iterative expansion with two physical strategies:
 - ``bfs``: frontier ⋈ edges per round — O(depth) rounds, but each
   round only shuffles the newly discovered frontier. The right choice
   when the closure is much larger than memory but the frontier is thin.
+- ``auto``: BFS for the first ``switch_depth`` rounds — a shallow
+  closure (the common huge-but-shallow case: enormous pair set, depth
+  2–4) finishes on cheap frontier joins without doubling ever
+  re-distincting the full pair set; if the frontier is still alive
+  after that, the accumulated paths seed path doubling, so a depth-D
+  graph still costs only switch_depth + ⌈log2(D/switch_depth)⌉ rounds.
 
-Both cut lineage with localCheckpoint so round N plans cost the same as
-round 1, and both terminate early on cyclic inputs (the pair set stops
-growing).
+All strategies cut lineage with localCheckpoint so round N plans cost
+the same as round 1, and all terminate early on cyclic inputs (the
+pair set stops growing).
 """
 
 from __future__ import annotations
@@ -43,17 +49,26 @@ def transitive_closure(
     e = edges.select(F.col(src).alias("child"), F.col(dst).alias("parent"))
     if method == "doubling":
         return _closure_doubling(e, max_depth)
+    if method == "auto":
+        return _closure_auto(e, max_depth)
     return _closure_bfs(e, max_depth)
 
 
-def _closure_doubling(e: DataFrame, max_depth: int) -> DataFrame:
+def _closure_doubling(
+    e: DataFrame, max_depth: int, seed: DataFrame | None = None, reach: int = 1
+) -> DataFrame:
+    """``seed``/``reach``: start from a pair set already covering every
+    route of length <= reach (the auto strategy's BFS prefix)."""
     paths = (
-        e.select(F.col("child").alias("descendant"), F.col("parent").alias("ancestor"))
+        seed
+        if seed is not None
+        else e.select(
+            F.col("child").alias("descendant"), F.col("parent").alias("ancestor")
+        )
         .distinct()
         .localCheckpoint()
     )
     n = paths.count()
-    reach = 1  # paths now covers every route of length <= reach
     while reach < max_depth:
         step = paths.select(
             F.col("descendant").alias("__mid"), F.col("ancestor").alias("ancestor")
@@ -72,6 +87,33 @@ def _closure_doubling(e: DataFrame, max_depth: int) -> DataFrame:
         paths, n = grown, m
         reach *= 2
     return paths
+
+
+def _closure_auto(e: DataFrame, max_depth: int, switch_depth: int = 4) -> DataFrame:
+    """BFS until ``switch_depth``; if the frontier survives, hand the
+    accumulated pair set to path doubling. Shallow closures never pay a
+    full-pair-set self-join + distinct; deep ones still converge in
+    logarithmic rounds."""
+    base = e.select(
+        F.col("child").alias("descendant"), F.col("parent").alias("ancestor")
+    ).distinct().localCheckpoint()
+    paths, frontier, depth = base, base, 1
+    while depth < min(switch_depth, max_depth):
+        nxt = (
+            frontier.join(e, frontier.ancestor == e.child)
+            .select("descendant", F.col("parent").alias("ancestor"))
+            .distinct()
+            .exceptAll(paths)
+            .localCheckpoint()
+        )
+        if nxt.limit(1).count() == 0:
+            return paths
+        paths = paths.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+        depth += 1
+    if depth >= max_depth:
+        return paths
+    return _closure_doubling(e, max_depth, seed=paths, reach=depth)
 
 
 def _closure_bfs(e: DataFrame, max_depth: int) -> DataFrame:

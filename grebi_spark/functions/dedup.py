@@ -212,12 +212,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     par = spark.sparkContext.defaultParallelism
-    toks = d.repartition(par, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    # hash once per exploded token — 16 per-bit aggregates each naming
+    # F.md5 would run the digest 16x per row (measured ~4x slower)
+    toks = (
+        d.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok"),
+        )
+        .select("doc_id", F.md5("tok").alias("h"))
     )
     nib = [
         F.when(
-            F.conv(F.substring(F.md5("tok"), j + 1, 1), 16, 10).cast("int") >= 8, 1
+            F.conv(F.substring(F.col("h"), j + 1, 1), 16, 10).cast("int") >= 8, 1
         ).otherwise(-1)
         for j in range(16)
     ]

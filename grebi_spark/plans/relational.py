@@ -863,12 +863,19 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches only if every sketch estimate is inside the bound —
     the error bound itself is the hash-checked contract."""
     li = _t(spark, sf_dir, "lineitem")
+    # separate aggregates joined on the 3-row group key: combining
+    # countDistinct with another aggregate plans an Expand (every row
+    # duplicated per aggregate family), which at rsd=0.005 measured 5-8x
+    # slower than two narrow scans; rsd=0.01 keeps the estimate well
+    # inside the 2% contract (measured 0.67% at sf0.1) at 1/4 the sketch
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact")
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts_exact"),
-            F.approx_count_distinct("l_partkey", rsd=0.005).alias("approx"),
-        )
+        exact.join(approx, "l_returnflag")
         .select(
             "l_returnflag",
             "n_parts_exact",

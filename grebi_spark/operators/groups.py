@@ -61,6 +61,7 @@ def connected_components(
         .localCheckpoint()
     )
 
+    prev_mat = None  # previous round's materialized frame (for unpersist)
     for i in range(max_iterations):
         # candidate labels flowing along edges: neighbour's current label
         propagated = (
@@ -68,42 +69,49 @@ def connected_components(
             .select(sym.src.alias("id"), "component")
         )
         new_labels = (
-            labels.select("id", "component")
-            .unionAll(propagated)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            labels.select("id", F.col("component").alias("old_component"))
+            .join(
+                labels.select("id", "component")
+                .unionAll(propagated)
+                .groupBy("id")
+                .agg(F.min("component").alias("component")),
+                "id",
+            )
         )
         # pointer jumping: replace each label by its label's label, so a
         # chain's distance-to-root halves every round and convergence is
         # O(log diameter) rounds instead of O(diameter). Every component
         # value is itself a vertex id, so the self-join always resolves.
-        lbl_of = new_labels.select(
+        # The lookup side is the PREVIOUS round's materialized labels —
+        # self-joining the unmaterialized new_labels would recompute it.
+        lbl_of = labels.select(
             F.col("id").alias("component"), F.col("component").alias("comp2")
         )
         new_labels = (
             new_labels.join(lbl_of, "component", "left")
             .select(
                 "id",
+                "old_component",
                 F.least(
                     F.col("component"), F.coalesce("comp2", F.col("component"))
                 ).alias("component"),
             )
         )
-        # one job per round: the change-detection count materializes
-        # new_labels into the cache; lineage is cut every few rounds
+        # ONE job per round: materializing the frame and the fixpoint
+        # check share it — the old label rides along, so no separate
+        # change-detection join. Lineage is cut every few rounds.
         new_labels = (
             new_labels.localCheckpoint() if i % 4 == 3 else new_labels.persist()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
+            new_labels.filter(F.col("component") != F.col("old_component"))
             .limit(1)
             .count()
         )
-        old = labels
-        labels = new_labels
-        old.unpersist()
+        if prev_mat is not None:
+            prev_mat.unpersist()
+        prev_mat = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels

@@ -825,10 +825,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # three legs of the triangle join read this
     )
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    # explicit broadcasts: the edge set is ~20 MB here, so both legs build
+    # a hash map once and the wedge stream pipelines through both probes
+    # with no wedge shuffle; at scale AQE would pick shuffle joins instead
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        e1.join(F.broadcast(e2), F.col("e1.v") == F.col("e2.u"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
         )
         .agg(F.count("*").alias("n_triangles"))

@@ -90,10 +90,14 @@ def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_rows = long_dfs[0]
     for df in long_dfs[1:]:
         all_rows = all_rows.unionByName(df)
+    # stage barrier: the melt (12 unioned scans) feeds assign's alias
+    # aggregate AND its join-back AND merge's typed semi-join — without
+    # materializing it each branch re-runs all 12 scans
+    all_rows = all_rows.localCheckpoint()
     empty_groups = spark.createDataFrame([], "id string, group_id string")
     assigned = assign_ids(all_rows, empty_groups, PARITY_CONFIG)
     # downstream consumers (node_table + materialise) both read this
-    return merge_nodes(assigned, PARITY_CONFIG).persist()
+    return merge_nodes(assigned, PARITY_CONFIG).localCheckpoint()
 
 
 def graph_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -97,6 +97,79 @@ FROM documents GROUP BY md5(text) ORDER BY content_hash
 """
 
 
+SUBSTR_W = 12  # tokens per window (Lee et al. use 50 BPE tokens; the
+               # synthetic docs are short, so a 12-word window)
+
+
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (the Lee et al. 'Deduplicating Training
+    Data' shape): find every SUBSTR_W-token window that occurs in ≥2
+    distinct documents, and report per-document how many of its distinct
+    windows are duplicated corpus-wide.
+
+    Scale shape: windows explode to ~|tokens| rows per doc, keyed by
+    md5(window) — a 32-char key regardless of window width, so the
+    distinct + group shuffles stay narrow (md5 rather than xxhash64 only
+    because the oracle must reproduce the key exactly; at 100 TB swap in
+    xxhash64 for an 8-byte key). One distinct on (doc, key), one count
+    per key, one semi-join-shaped count back per doc — never all-pairs.
+    The token bind trick from word_shingles applies: tokenize once per
+    row, not once per window position."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def windows_of(toks: Column) -> Column:
+        return F.when(
+            F.size(toks) >= SUBSTR_W,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (SUBSTR_W - 1)),
+                lambda i: F.md5(F.array_join(F.slice(toks, i, SUBSTR_W), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    wins = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.element_at(
+                        F.transform(F.array(tokens(F.col("text"))), windows_of), 1
+                    )
+                )
+            ).alias("w"),
+        )
+        .distinct()
+        .persist()  # feeds both the per-window count and the per-doc rollup
+    )
+    shared = (
+        wins.groupBy("w")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return (
+        wins.join(shared, "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DEDUP_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+), wins AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(t[i:i+{SUBSTR_W - 1}], ' ')) AS w
+  FROM toks, unnest(range(1, len(t) - {SUBSTR_W} + 2)) AS u(i)
+  WHERE len(t) >= {SUBSTR_W}
+), shared AS (
+  SELECT w FROM wins GROUP BY w HAVING count(*) >= 2
+)
+SELECT doc_id, count(*) AS n_dup_windows
+FROM wins JOIN shared USING (w)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates.
 
@@ -683,6 +756,7 @@ ORDER BY tr.doc_id
 
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_exact_substring": dedup_exact_substring,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -693,6 +767,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_exact_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_decontaminate": _oracle_decontaminate(),
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),

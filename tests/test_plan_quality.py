@@ -215,3 +215,15 @@ def test_triangles_all_joins_are_equi(spark, sf_dir):
     # nested-loop allowed: 1×1 rows
     assert plan.count("InMemoryTableScan") >= 3
     spark.catalog.clearCache()
+
+
+def test_knn_classify_broadcasts_probe_set(spark, sf_dir):
+    """The kNN vote's candidate generation must broadcast the tiny probe
+    set against one corpus scan (no shuffle of the corpus side, no
+    cartesian), and the per-query top-k must be a window, not a join."""
+    from grebi_spark.functions.similarity import knn_classify
+
+    plan = plan_of(knn_classify(spark, sf_dir), mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan

@@ -147,9 +147,12 @@ def add_datasource(
     merged = unchanged.unionByName(merged_delta).localCheckpoint()
 
     # -- 4. global single-pass stages over the combined frame -----------
+    # same stage barriers as build_graph(materialize="checkpoint"):
+    # meta and edges feed multiple consumers, and their plans would
+    # otherwise re-embed the whole incremental-merge tree per action
     index = build_index(merged)
-    meta = index.metadata.cache()
-    edges = materialise_edges(merged, meta, config).cache()
+    meta = index.metadata.localCheckpoint()
+    edges = materialise_edges(merged, meta, config).localCheckpoint()
 
     graph = BuiltGraph(
         groups=groups,

@@ -8,7 +8,7 @@ with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -328,12 +328,66 @@ GROUP BY s.source ORDER BY s.source
 """
 
 
+PACK_BUDGET = 2048  # token budget per packed training sequence
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for pretraining batches: assign documents
+    (per source, in deterministic doc_id order) to fixed token-budget
+    bins by prefix-sum — the greedy packing every LLM data pipeline runs
+    before writing training shards. A document lands in the bin its
+    running token count starts in (bin = floor(preceding_tokens /
+    budget)); output is per-bin document and token counts.
+
+    Scale shape: ONE window per source — at 100 TB the partition key
+    becomes (source, shard) so no single window sees unbounded rows;
+    the prefix-sum itself is the standard monotone window aggregate
+    (running sum over a sorted partition, no self-join). Everything is
+    built-in expressions, so the DuckDB oracle is the identical SQL
+    window."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = Window.partitionBy("source").orderBy("doc_id")
+    t = d.select("doc_id", "source", token_count(F.col("text")).alias("n_tok"))
+    packed = t.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / F.lit(PACK_BUDGET)
+        ).cast("long"),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         length(regexp_extract_all(lower(text), '\\S+')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT source,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+                     - n_tok) / {PACK_BUDGET}) AS BIGINT) AS bin,
+         n_tok
+  FROM t
+)
+SELECT source, bin, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY source, bin ORDER BY source, bin
+"""
+
+
 QUERIES = {
     "text_token_stats": text_token_stats,
     "corpus_curation": corpus_curation,
     "text_quality": text_quality,
     "text_lang_id": text_lang_id,
     "text_fingerprint_dups": text_fingerprint_dups,
+    "pack_sequences": pack_sequences,
 }
 
 ORACLES = {
@@ -342,4 +396,5 @@ ORACLES = {
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_lang_id": _lang_case_sql(),
     "text_fingerprint_dups": ORACLE_FINGERPRINT,
+    "pack_sequences": ORACLE_PACK_SEQUENCES,
 }

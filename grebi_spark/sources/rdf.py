@@ -211,6 +211,86 @@ def read_rdf(
     return read_rdf_documents(spark, path, fmt=f)
 
 
+def _subject_json(triples: DataFrame) -> DataFrame:
+    """(s, p, o) triples → one canonical JSON property map per subject:
+    ``{"p1":["v1","v2"],...}`` with keys and values sorted — the nested
+    object shape the reference's term_to_json emits (main.rs:280-340,
+    sans "id"). Pure built-ins: two aggregates + to_json."""
+    per_pred = triples.groupBy("s", "p").agg(
+        F.array_sort(F.collect_set("o")).alias("vs")
+    )
+    return per_pred.groupBy("s").agg(
+        F.to_json(
+            F.map_from_entries(F.array_sort(F.collect_list(F.struct("p", "vs"))))
+        ).alias("nested_json")
+    )
+
+
+def nest_blank_nodes(
+    triples: DataFrame,
+    max_depth: int = 3,
+    nest_predicates: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fold blank-node objects (always) and objects of ``nest_predicates``
+    (the reference's --nest-objects-of-predicate) into inline JSON values,
+    innermost-first; consumed subjects leave the top-level stream — the
+    reference nests bnode objects recursively via term_to_json and
+    excludes nested subjects from write_subjects (main.rs:160-161,
+    246-254, 388-391).
+
+    Distributed shape: each depth round is one aggregate over the
+    still-unresolved bnode subjects plus one replacement join — no
+    recursion, no driver-side graph. Rounds = bnode nesting depth
+    (OWL restrictions: 1-2). nest_predicates resolve after bnodes, one
+    level deep."""
+    bn_subjects = triples.filter(F.col("s").startswith("_:")).select("s").distinct()
+    for _ in range(max_depth):
+        # leaves: bnode subjects none of whose objects is an unresolved
+        # bnode subject (dangling _: references count as plain values)
+        blocked = (
+            triples.join(
+                bn_subjects.withColumnRenamed("s", "o"), "o", "left_semi"
+            )
+            .filter(F.col("s").startswith("_:"))
+            .select("s")
+            .distinct()
+        )
+        leaves = bn_subjects.join(blocked, "s", "left_anti")
+        if leaves.limit(1).count() == 0:
+            break
+        leaf_json = _subject_json(
+            triples.join(leaves, "s", "left_semi")
+        ).withColumnRenamed("s", "__o")
+        triples = (
+            triples.join(leaf_json, triples.o == F.col("__o"), "left")
+            .withColumn("o", F.coalesce("nested_json", F.col("o")))
+            .drop("__o", "nested_json")
+            .join(leaves, "s", "left_anti")
+        )
+        bn_subjects = bn_subjects.join(leaves, "s", "left_anti")
+    if nest_predicates:
+        targets = (
+            triples.filter(F.col("p").isin(list(nest_predicates)))
+            .select(F.col("o").alias("s"))
+            .distinct()
+        )
+        tgt_json = _subject_json(
+            triples.join(targets, "s", "left_semi")
+        ).withColumnRenamed("s", "__o")
+        triples = (
+            triples.join(
+                tgt_json,
+                (triples.o == F.col("__o"))
+                & F.col("p").isin(list(nest_predicates)),
+                "left",
+            )
+            .withColumn("o", F.coalesce("nested_json", F.col("o")))
+            .drop("__o", "nested_json")
+            .join(targets, "s", "left_anti")
+        )
+    return triples
+
+
 def rdf_to_nodes(
     spark: SparkSession,
     path: str,
@@ -219,14 +299,22 @@ def rdf_to_nodes(
     graph: str | None = None,
     type_to_grebi: bool = True,
     fmt: str | None = None,
+    nest_bnodes: bool = True,
+    nest_predicates: tuple[str, ...] = (),
 ) -> DataFrame:
-    """RDF file(s) → long-form INGESTED rows, reification folded.
+    """RDF file(s) → long-form INGESTED rows, reification folded,
+    blank-node objects nested as inline JSON (reference parity).
 
     Accepts N-Quads/N-Triples (splittable scan) and RDF/XML/Turtle
     (per-file distributed parse), matching the reference's format switch.
     """
     triples = read_rdf(spark, path, fmt=fmt, graph=graph)
     plain, reified = fold_reification(triples)
+    if nest_bnodes or nest_predicates:
+        # axioms are folded first so reification bnodes never reach here
+        plain = nest_blank_nodes(
+            plain, nest_predicates=nest_predicates if nest_predicates else ()
+        )
     type_prop = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     rows = plain.select(
         F.lit(subgraph).alias("subgraph"),

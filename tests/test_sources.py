@@ -160,6 +160,60 @@ def test_rdf_formats_golden_parity(spark, nq_file, tmp_path):
     assert _rdf_rows(spark, str(owl)) == expected
 
 
+NEST_TTL = """\
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://example.org/> .
+
+ex:A a owl:Class ;
+    rdfs:subClassOf [ a owl:Restriction ;
+        owl:onProperty ex:partOf ;
+        owl:someValuesFrom [ a owl:Class ; ex:unionOf ex:B ] ] .
+ex:B a owl:Class ; rdfs:label "B" .
+ex:C a owl:Class ; ex:meta ex:B .
+"""
+
+
+def test_rdf_bnode_nesting(spark, tmp_path):
+    """S8 bnode nesting: blank-node objects fold into inline JSON
+    (innermost first), bnode subjects leave the top-level stream
+    (grebi_rdf2jsonl main.rs:246-254,388-391)."""
+    p = tmp_path / "nest.ttl"
+    p.write_text(NEST_TTL)
+    rows = rdf_to_nodes(spark, str(p), "t").collect()
+    subjects = {r["entity_id"] for r in rows}
+    assert not any(s.startswith("_:") for s in subjects)
+    sub = [
+        r["value"]
+        for r in rows
+        if r["entity_id"] == "http://example.org/A"
+        and r["prop_key"] == "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    ]
+    assert len(sub) == 1 and sub[0].startswith("{")
+    # inner bnode folded into the outer one's JSON
+    assert "unionOf" in sub[0] and "Restriction" in sub[0]
+
+
+def test_rdf_nest_objects_of_predicate(spark, tmp_path):
+    """--nest-objects-of-predicate: IRI objects of the listed predicates
+    inline their property map and leave the top level
+    (grebi_rdf2jsonl main.rs:160-161)."""
+    p = tmp_path / "nest2.ttl"
+    p.write_text(NEST_TTL)
+    rows = rdf_to_nodes(
+        spark, str(p), "t", nest_predicates=("http://example.org/meta",)
+    ).collect()
+    subjects = {r["entity_id"] for r in rows}
+    assert "http://example.org/B" not in subjects  # nested away
+    meta = [
+        r["value"]
+        for r in rows
+        if r["entity_id"] == "http://example.org/C"
+        and r["prop_key"] == "http://example.org/meta"
+    ]
+    assert len(meta) == 1 and '"B"' in meta[0]
+
+
 def test_rdf_gz_and_format_detect(tmp_path):
     from grebi_spark.sources.rdf_convert import detect_format
 

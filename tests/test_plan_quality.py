@@ -227,3 +227,24 @@ def test_knn_classify_broadcasts_probe_set(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_substring_dedup_no_cartesian(spark, sf_dir):
+    """Window explode must join back through the md5-key aggregate —
+    hash joins only, never a pair product."""
+    from grebi_spark.functions.dedup import dedup_exact_substring
+
+    plan = plan_of(dedup_exact_substring(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_pack_sequences_single_window(spark, sf_dir):
+    """The prefix-sum must be one window over the source partition (no
+    self-join) feeding one aggregate."""
+    from grebi_spark.functions.text import pack_sequences
+
+    plan = plan_of(pack_sequences(spark, sf_dir), mode="simple")
+    assert "Window" in plan
+    assert "Join" not in plan

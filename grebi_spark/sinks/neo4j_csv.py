@@ -94,6 +94,48 @@ def neo4j_id_rows(node_meta: DataFrame) -> tuple[DataFrame, DataFrame]:
     return id_nodes, id_edges
 
 
+# K3 — the bulk-load command + index DDL the reference runs after the
+# CSVs exist (07_create_db/neo4j/neo4j_import.dockersh:19-27,
+# create_indexes.cypher). The engine's boundary is generating these —
+# executing them needs a Neo4j install, which is serving-side.
+
+INDEX_STATEMENTS = (
+    "CREATE INDEX node_id FOR (n:GraphNode) ON n.`grebi:nodeId`",
+    "CREATE INDEX subgraph FOR (n:GraphNode) ON n.`grebi:subgraph`",
+    "CREATE INDEX id_id FOR (n:Id) ON n.`id`",
+    "CALL db.awaitIndexes(10800)",
+)
+
+
+def import_command(
+    out_dir: str,
+    threads: int = 32,
+    max_off_heap: str = "50G",
+) -> list[str]:
+    """argv for ``neo4j-admin database import full`` over the CSV sets
+    written by write_neo4j_csvs — one --nodes/--relationships per part
+    file (the reference globs its split files the same way), plus the
+    0x1F array delimiter and sizing flags from the reference script."""
+    import glob
+    import os
+
+    def parts(sub: str) -> list[str]:
+        return sorted(glob.glob(os.path.join(out_dir, sub, "part-*.csv")))
+
+    cmd = ["neo4j-admin", "database", "import", "full"]
+    cmd += [f"--nodes={f}" for f in parts("nodes") + parts("id_nodes")]
+    cmd += [f"--relationships={f}" for f in parts("edges") + parts("id_edges")]
+    cmd += [
+        "--ignore-empty-strings=true",
+        '--array-delimiter=U+001F',
+        f"--threads={threads}",
+        f"--max-off-heap-memory={max_off_heap}",
+        "--verbose",
+        "--read-buffer-size=256m",
+    ]
+    return cmd
+
+
 def write_neo4j_csvs(
     merged: DataFrame,
     node_meta: DataFrame,

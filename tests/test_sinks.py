@@ -113,3 +113,33 @@ def test_summary_json(merged):
     assert s["entity_props"]["grebi:name"]["count"] == 2
     assert s["entity_props"]["rel:disease"]["count"] == 1
     assert s["types"] == {"Gene": {"count": 1}, "Disease": {"count": 1}}
+
+
+def test_neo4j_import_command(spark, merged, meta, tmp_path):
+    """K3 command generation: the written CSV part files become --nodes/
+    --relationships args with the reference's delimiter + sizing flags
+    (neo4j_import.dockersh:19-27); index DDL matches
+    create_indexes.cypher."""
+    from grebi_spark.operators.materialise import materialise_edges
+    from grebi_spark.sinks.neo4j_csv import (
+        INDEX_STATEMENTS,
+        import_command,
+        write_neo4j_csvs,
+    )
+    from grebi_spark.config import SubgraphConfig
+
+    edges = materialise_edges(merged, meta, SubgraphConfig(exclude_edges=("id",)))
+    out = str(tmp_path / "neo")
+    write_neo4j_csvs(merged, meta, edges, out)
+    cmd = import_command(out, threads=8, max_off_heap="4G")
+    assert cmd[:4] == ["neo4j-admin", "database", "import", "full"]
+    assert any(a.startswith("--nodes=") and "/nodes/part-" in a for a in cmd)
+    assert any(a.startswith("--nodes=") and "/id_nodes/part-" in a for a in cmd)
+    assert any(
+        a.startswith("--relationships=") and "/edges/part-" in a for a in cmd
+    )
+    assert "--array-delimiter=U+001F" in cmd
+    assert "--threads=8" in cmd
+    assert "--max-off-heap-memory=4G" in cmd
+    assert INDEX_STATEMENTS[0].startswith("CREATE INDEX node_id")
+    assert INDEX_STATEMENTS[-1] == "CALL db.awaitIndexes(10800)"

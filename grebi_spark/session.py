@@ -120,11 +120,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None 
     )
     # defend against foreign sessions (e.g. the driver harness): the events
     # table stores TIMESTAMP(NANOS), unreadable unless this legacy conf is
-    # on — it is runtime-settable, so set it here rather than only at build
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked down → the session owner already chose a policy
+    # on — it is runtime-settable, so set it here rather than only at build.
+    # The timezone must be UTC for the timestamp_ntz→timestamp cast (and
+    # every date_trunc/unix_micros) to agree with the naive-as-UTC oracles.
+    for conf_key, conf_val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf_key, conf_val)
+        except Exception:
+            pass  # conf locked down → the session owner already chose a policy
     out = {}
     for name in names or all_names:
         path = os.path.join(sf_dir, f"{name}.parquet")

@@ -160,10 +160,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     harness queries), with the TIMESTAMP(NANOS) defence from
     session.load_tables."""
     path = f"{sf_dir}/events.parquet"
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # conf locked down → the session owner already chose a policy
+    for conf_key, conf_val in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # UTC so the timestamp_ntz→timestamp cast preserves instants
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(conf_key, conf_val)
+        except Exception:
+            pass  # conf locked down → the session owner already chose a policy
     schema = spark.read.parquet(path).schema
     # the file stream source wants a directory; glob-filter to the table
     stream = (

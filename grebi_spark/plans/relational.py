@@ -401,7 +401,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side narrow (orderkey only on the build side), so the shuffle
     moves keys, not payloads."""
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        (F.col("o_orderdate") >= F.lit("1999-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -929,6 +929,99 @@ SELECT * FROM (
 """
 
 
+# --- double-correlated exists / not-exists (Q21 shape) ----------------------
+
+def q21_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose line was the strictly-latest shipment in a
+    multi-supplier order: EXISTS (another supplier in the order) AND NOT
+    EXISTS (any later-shipping line by another supplier) — the Q21
+    double-correlation, as one semi- and one anti-join against the same
+    lineitem table, both hash-keyed on l_orderkey (the inequality rides
+    as a join residual, never a nested loop)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    l1, l2, l3 = li.alias("l1"), li.alias("l2"), li.alias("l3")
+    other_supplier = (
+        F.col("l2.l_orderkey") == F.col("l1.l_orderkey")
+    ) & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey"))
+    later_by_other = (
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.l_shipdate"))
+    )
+    kept = (
+        l1.join(l2, other_supplier, "left_semi")
+        .join(l3, later_by_other, "left_anti")
+    )
+    return (
+        kept.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").alias("n_latest_lines"))
+        .orderBy(F.desc("n_latest_lines"), "s_suppkey")
+        .limit(10)
+    )
+
+
+ORACLE_Q21 = """
+SELECT l1.l_suppkey AS s_suppkey, count(*) AS n_latest_lines
+FROM lineitem l1
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey != l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey != l1.l_suppkey
+      AND l3.l_shipdate > l1.l_shipdate
+  )
+GROUP BY l1.l_suppkey
+ORDER BY n_latest_lines DESC, s_suppkey
+LIMIT 10
+"""
+
+
+# --- scalar-subquery threshold + anti-join (Q22 shape) ----------------------
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Well-funded customers with no recent orders: acctbal above the
+    positive-balance average (a broadcast one-row scalar), anti-joined
+    against 1996+ orders, aggregated per segment — the Q22 shape with
+    the segment standing in for the phone prefix."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_Q22 = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -956,6 +1049,8 @@ QUERIES = {
     "salted_join_orders": salted_join_orders,
     "copurchase_triangles": copurchase_triangles,
     "approx_distinct_check": approx_distinct_check,
+    "q21_late_shippers": q21_late_shippers,
+    "q22_idle_customers": q22_idle_customers,
 }
 
 ORACLES = {
@@ -985,4 +1080,6 @@ ORACLES = {
     "salted_join_orders": ORACLE_SALTED,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "approx_distinct_check": ORACLE_APPROX_DISTINCT,
+    "q21_late_shippers": ORACLE_Q21,
+    "q22_idle_customers": ORACLE_Q22,
 }

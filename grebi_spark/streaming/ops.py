@@ -310,13 +310,49 @@ ORDER BY 1, 2
 """
 
 
+def docs_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-quality scoring pass run as a real streaming job: a
+    file-source stream over the documents table → per-doc quality score
+    (the same pure-expression scorer the batch pass uses) → per-source
+    aggregate in complete mode.
+
+    This is the canonical 'curate as data lands' shape: no event-time
+    column, so no watermark — complete-mode aggregation state is one row
+    per source at any scale. Result is identical to the batch
+    text_quality query, which is the oracle."""
+    from ..functions.text import quality_score
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    scored = stream.select(
+        "source", F.round(quality_score(F.col("text")), 4).alias("q")
+    )
+    agg = scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("q"), 4).alias("avg_quality")
+    )
+    name = _run_to_memory_sink(agg, "docs_quality_stream", "complete")
+    return spark.table(name).orderBy("source")
+
+
+def _oracle_docs_quality_stream() -> str:
+    from ..functions.text import ORACLE_TEXT_QUALITY
+
+    return ORACLE_TEXT_QUALITY
+
+
 QUERIES = {
     "events_hourly_stream": events_hourly_stream,
     "events_dedup_stream": events_dedup_stream,
     "events_enrich_stream": events_enrich_stream,
+    "docs_quality_stream": docs_quality_stream,
 }
 ORACLES = {
     "events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM,
     "events_dedup_stream": ORACLE_EVENTS_DEDUP_STREAM,
     "events_enrich_stream": ORACLE_EVENTS_ENRICH_STREAM,
+    "docs_quality_stream": _oracle_docs_quality_stream(),
 }

@@ -194,3 +194,55 @@ def test_srp_banding_subset_and_recall(spark, sf_dir):
     assert banded <= exact
     if exact:
         assert len(banded) / len(exact) >= 0.8
+
+
+# --- Turtle parser round-trip (sources/rdf_convert.py) ----------------------
+
+_LIT = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\r"  # bare \r is not valid in our writer
+    ),
+    max_size=40,
+)
+_IRI_LOCAL = st.text(alphabet="abcdefghijkXYZ0123456789", min_size=1, max_size=12)
+
+
+def _ttl_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n").replace("\t", "\\t")
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            _IRI_LOCAL,
+            _IRI_LOCAL,
+            st.one_of(
+                _IRI_LOCAL.map(lambda x: ("iri", x)), _LIT.map(lambda x: ("lit", x))
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_turtle_roundtrip(triples):
+    """Serialising (s, p, o) triples to Turtle — with escaping — and
+    parsing back must reproduce them exactly (literal escapes, unicode,
+    quotes, newlines)."""
+    from grebi_spark.sources.rdf_convert import turtle_to_triples
+
+    base = "http://x.test/"
+    lines = []
+    want = []
+    for s, p, (kind, o) in triples:
+        if kind == "iri":
+            obj = f"<{base}{o}>"
+            want.append((base + s, base + p, base + o))
+        else:
+            obj = f'"{_ttl_escape(o)}"'
+            want.append((base + s, base + p, o))
+        lines.append(f"<{base}{s}> <{base}{p}> {obj} .")
+    got = turtle_to_triples("\n".join(lines))
+    assert sorted(got) == sorted(want)

@@ -401,7 +401,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side narrow (orderkey only on the build side), so the shuffle
     moves keys, not payloads."""
     o = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1999-01-01"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
         & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")

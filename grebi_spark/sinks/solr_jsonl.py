@@ -107,3 +107,38 @@ def write_solr_jsonl(
     solr_node_docs(merged, node_meta).write.mode("overwrite").json(f"{out_dir}/nodes")
     solr_edge_docs(edges).write.mode("overwrite").json(f"{out_dir}/edges")
     solr_autocomplete_docs(names).write.mode("overwrite").json(f"{out_dir}/autocomplete")
+
+
+def solr_import_requests(
+    out_dir: str, core: str, port: int = 8983
+) -> list[dict]:
+    """The bulk-load request plan the reference's import script issues
+    (07_create_db/solr/solr_import.dockerpy:50-90): one streaming-update
+    GET per written JSONL part file, then a commit — returned as dicts so
+    a serving layer (or curl loop) can execute them. Executing needs a
+    Solr install; generating the plan is in-engine.
+
+    ``core`` ∈ grebi_nodes / grebi_edges / grebi_autocomplete, mapped to
+    the matching written subdirectory."""
+    import glob
+    import os
+
+    sub = {
+        "grebi_nodes": "nodes",
+        "grebi_edges": "edges",
+        "grebi_autocomplete": "autocomplete",
+    }[core]
+    base = f"http://localhost:{port}/solr/{core}"
+    reqs = [
+        {
+            "url": f"{base}/update/json/docs",
+            "params": {
+                "stream.file": f,
+                "stream.contentType": "application/json;charset=utf-8",
+            },
+        }
+        for f in sorted(glob.glob(os.path.join(out_dir, sub, "part-*")))
+        if not f.endswith(".crc")
+    ]
+    reqs.append({"url": f"{base}/update", "params": {"commit": "true"}})
+    return reqs

@@ -143,3 +143,21 @@ def test_neo4j_import_command(spark, merged, meta, tmp_path):
     assert "--max-off-heap-memory=4G" in cmd
     assert INDEX_STATEMENTS[0].startswith("CREATE INDEX node_id")
     assert INDEX_STATEMENTS[-1] == "CALL db.awaitIndexes(10800)"
+
+
+def test_solr_import_requests(spark, merged, meta, tmp_path):
+    """Solr bulk-load request plan: one streaming-update per written
+    part file plus a final commit (solr_import.dockerpy:50-90)."""
+    from grebi_spark.config import SubgraphConfig
+    from grebi_spark.operators.materialise import materialise_edges
+    from grebi_spark.sinks.solr_jsonl import solr_import_requests, write_solr_jsonl
+
+    edges = materialise_edges(merged, meta, SubgraphConfig(exclude_edges=("id",)))
+    names = meta.select(F.explode("names").alias("name")).distinct()
+    out = str(tmp_path / "solr")
+    write_solr_jsonl(merged, meta, edges, names, out)
+    reqs = solr_import_requests(out, "grebi_nodes", port=9999)
+    assert reqs[-1]["params"] == {"commit": "true"}
+    uploads = reqs[:-1]
+    assert uploads and all("/nodes/part-" in r["params"]["stream.file"] for r in uploads)
+    assert all(r["url"].endswith("/solr/grebi_nodes/update/json/docs") for r in uploads)

@@ -226,14 +226,119 @@ ORDER BY s.id
 """
 
 
+def tsv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 hash-checked: the nation table viewed as a TSV-shaped wide
+    frame (id, name, and a '|'-delimited array cell) melted by the TSV
+    scanner — per-prop row/entity counts and value extrema. Exercises
+    the literal array-delimiter split and empty-field drop against a
+    pure-SQL restatement."""
+    from ..sources.tsv import tsv_to_nodes
+
+    n = load_tables(spark, sf_dir, ("nation",))["nation"]
+    wide = n.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey").cast("string")).alias("id"),
+        F.col("n_name").alias("name"),
+        F.concat(F.col("n_name"), F.lit("|"), F.lower("n_name")).alias("aliases"),
+    )
+    rows = tsv_to_nodes(wide, "nat", array_delimiter="|")
+    return (
+        rows.groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("entity_id").alias("n_entities"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("prop_key")
+    )
+
+
+ORACLE_TSV_ROUNDTRIP = """
+WITH long_form AS (
+  SELECT 'n:' || n_nationkey::varchar AS entity_id, 'id' AS prop_key,
+         'n:' || n_nationkey::varchar AS value FROM nation
+  UNION ALL
+  SELECT 'n:' || n_nationkey::varchar, 'name', n_name FROM nation
+  UNION ALL
+  SELECT 'n:' || n_nationkey::varchar, 'aliases',
+         unnest(string_split(n_name || '|' || lower(n_name), '|'))
+  FROM nation
+)
+SELECT prop_key, count(*) AS n_rows,
+       count(DISTINCT entity_id) AS n_entities,
+       min(value) AS min_value, max(value) AS max_value
+FROM long_form WHERE value IS NOT NULL AND value != ''
+GROUP BY prop_key ORDER BY prop_key
+"""
+
+
+def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 hash-checked: documents serialised to JSON lines and ingested
+    through the generic JSONL transform (rename docId→id, inject type,
+    namespace-prefix bare keys) — per-prop counts and value extrema."""
+    from ..sources.jsonl import JsonlTransform, jsonl_to_nodes
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    lines = d.select(
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+                    "docId"
+                ),
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+            )
+        ).alias("value")
+    )
+    rows = jsonl_to_nodes(
+        lines,
+        "docs",
+        transform=JsonlTransform(
+            rename_fields=(("docId", "id"),),
+            inject_type="doc:Document",
+            key_prefix="doc:",
+        ),
+    )
+    return (
+        rows.groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("entity_id").alias("n_entities"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("prop_key")
+    )
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+WITH long_form AS (
+  SELECT 'doc:' || doc_id::varchar AS entity_id, 'id' AS prop_key,
+         'doc:' || doc_id::varchar AS value FROM documents
+  UNION ALL SELECT 'doc:' || doc_id::varchar, 'grebi:type', 'doc:Document' FROM documents
+  UNION ALL SELECT 'doc:' || doc_id::varchar, 'doc:lang', lang FROM documents
+  UNION ALL SELECT 'doc:' || doc_id::varchar, 'doc:source', source FROM documents
+)
+SELECT prop_key, count(*) AS n_rows,
+       count(DISTINCT entity_id) AS n_entities,
+       min(value) AS min_value, max(value) AS max_value
+FROM long_form
+GROUP BY prop_key ORDER BY prop_key
+"""
+
+
 QUERIES = {
     "graph_merge_nodes": graph_merge_nodes,
     "graph_edges_fk": graph_edges_fk,
     "equivalence_groups_events": equivalence_groups_events,
+    "tsv_ingest_roundtrip": tsv_ingest_roundtrip,
+    "jsonl_ingest_roundtrip": jsonl_ingest_roundtrip,
 }
 
 ORACLES = {
     "graph_merge_nodes": ORACLE_MERGE_NODES,
     "graph_edges_fk": ORACLE_EDGES_FK,
     "equivalence_groups_events": ORACLE_EQUIV_GROUPS,
+    "tsv_ingest_roundtrip": ORACLE_TSV_ROUNDTRIP,
+    "jsonl_ingest_roundtrip": ORACLE_JSONL_ROUNDTRIP,
 }

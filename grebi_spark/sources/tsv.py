@@ -10,6 +10,8 @@ per-column structs, no shuffle, fully codegen'd.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -61,10 +63,15 @@ def tsv_to_nodes(
         .select("entity_id", F.col("cell.prop_key"), F.col("cell.raw"))
     )
     if array_delimiter:
+        # the reference's --tsv-array-delimiter is a LITERAL string;
+        # F.split takes a Java regex, so quote it ('|' would otherwise
+        # split every character)
         out = out.select(
             "entity_id",
             "prop_key",
-            F.explode(F.split(F.col("raw"), F.lit(array_delimiter), -1)).alias("value"),
+            F.explode(
+                F.split(F.col("raw"), F.lit(re.escape(array_delimiter)), -1)
+            ).alias("value"),
         )
     else:
         out = out.withColumnRenamed("raw", "value")

@@ -327,12 +327,103 @@ GROUP BY prop_key ORDER BY prop_key
 """
 
 
+def neo4j_nodes_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 hash-checked: the dynamic-header Neo4j node-CSV pivot over the
+    parity star graph. The prop universe is fixed here, so the wide row
+    set (``grebi:nodeId:ID``, ``:LABEL``, provenance, one column per
+    property) is deterministic and a pure-SQL oracle can rebuild it."""
+    from ..sinks.neo4j_csv import neo4j_node_rows
+
+    merged = _merged(spark, sf_dir)
+    meta = node_table(merged)
+    return neo4j_node_rows(merged, meta).orderBy("grebi:nodeId:ID")
+
+
+ORACLE_NEO4J_PIVOT = """
+SELECT * FROM (
+  SELECT 'c:' || c_custkey::varchar AS "grebi:nodeId:ID",
+         'GraphNode;crm:Customer' AS ":LABEL",
+         'crm' AS "grebi:datasources",
+         'c:' || c_custkey::varchar AS "grebi:sourceIds",
+         'n:' || c_nationkey::varchar AS "crm:nation",
+         c_mktsegment AS "crm:segment",
+         NULL AS "geo:region",
+         'c:' || c_custkey::varchar AS id
+  FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey::varchar, 'GraphNode;geo:Nation', 'geo',
+         'n:' || n_nationkey::varchar, NULL, NULL,
+         'r:' || n_regionkey::varchar, 'n:' || n_nationkey::varchar
+  FROM nation
+  UNION ALL
+  SELECT 'r:' || r_regionkey::varchar, 'GraphNode;geo:Region', 'geo',
+         'r:' || r_regionkey::varchar, NULL, NULL, NULL,
+         'r:' || r_regionkey::varchar
+  FROM region
+) ORDER BY "grebi:nodeId:ID"
+"""
+
+
+def prefix_normalise_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1 hash-checked: longest-match prefix canonicalisation over
+    synthetic CURIEs built from the events props — overlapping prefixes
+    ('k' vs 'k1') prove the LONGEST match wins, exactly the reference's
+    trie semantics. Oracle: a CASE chain ordered longest-first."""
+    from ..operators.normalise import PrefixMap, normalise_prefixes
+
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    long_rows = e.select(
+        F.lit("s").alias("subgraph"),
+        F.lit("ev").alias("datasource"),
+        F.concat(F.lit("k"), F.get_json_object("props", "$.k")).alias("entity_id"),
+        F.lit("p").alias("prop_key"),
+        F.col("event_type").alias("value"),
+        F.lit(None).cast("string").alias("value_props"),
+    )
+    pm = PrefixMap({"k": "key:", "k1": "keyone:", "cl": "act:cl"})
+    out = normalise_prefixes(long_rows, pm)
+    return (
+        out.groupBy("entity_id")
+        .agg(F.count("*").alias("n_rows"), F.min("value").alias("min_value"))
+        .orderBy("entity_id")
+    )
+
+
+ORACLE_PREFIX_ROUNDTRIP = """
+WITH raw AS (
+  SELECT 'k' || json_extract_string(props, '$.k') AS entity_id,
+         event_type AS value
+  FROM events
+), rewritten AS (
+  SELECT CASE WHEN starts_with(entity_id, 'k1')
+              THEN 'keyone:' || substr(entity_id, 3)
+              WHEN starts_with(entity_id, 'cl')
+              THEN 'act:cl' || substr(entity_id, 3)
+              WHEN starts_with(entity_id, 'k')
+              THEN 'key:' || substr(entity_id, 2)
+              ELSE entity_id END AS entity_id,
+         CASE WHEN starts_with(value, 'k1')
+              THEN 'keyone:' || substr(value, 3)
+              WHEN starts_with(value, 'cl')
+              THEN 'act:cl' || substr(value, 3)
+              WHEN starts_with(value, 'k')
+              THEN 'key:' || substr(value, 2)
+              ELSE value END AS value
+  FROM raw
+)
+SELECT entity_id, count(*) AS n_rows, min(value) AS min_value
+FROM rewritten GROUP BY entity_id ORDER BY entity_id
+"""
+
+
 QUERIES = {
     "graph_merge_nodes": graph_merge_nodes,
     "graph_edges_fk": graph_edges_fk,
     "equivalence_groups_events": equivalence_groups_events,
     "tsv_ingest_roundtrip": tsv_ingest_roundtrip,
     "jsonl_ingest_roundtrip": jsonl_ingest_roundtrip,
+    "neo4j_nodes_pivot": neo4j_nodes_pivot,
+    "prefix_normalise_roundtrip": prefix_normalise_roundtrip,
 }
 
 ORACLES = {
@@ -341,4 +432,6 @@ ORACLES = {
     "equivalence_groups_events": ORACLE_EQUIV_GROUPS,
     "tsv_ingest_roundtrip": ORACLE_TSV_ROUNDTRIP,
     "jsonl_ingest_roundtrip": ORACLE_JSONL_ROUNDTRIP,
+    "neo4j_nodes_pivot": ORACLE_NEO4J_PIVOT,
+    "prefix_normalise_roundtrip": ORACLE_PREFIX_ROUNDTRIP,
 }

@@ -20,12 +20,14 @@ from grebi_spark.functions import text as _text
 from grebi_spark.plans import closure as _closure
 from grebi_spark.plans import parity as _parity
 from grebi_spark.plans import relational as _relational
+from grebi_spark.plans import relational2 as _relational2
 from grebi_spark.plans import search as _search
 from grebi_spark.plans import temporal as _temporal
 from grebi_spark.streaming import ops as _streaming
 
 _MODULES = (
     _relational,
+    _relational2,
     _search,
     _closure,
     _parity,

@@ -17,6 +17,7 @@ from grebi_spark.functions import dedup as _dedup
 from grebi_spark.functions import multimodal as _multimodal
 from grebi_spark.functions import similarity as _similarity
 from grebi_spark.functions import text as _text
+from grebi_spark.functions import training as _training
 from grebi_spark.plans import closure as _closure
 from grebi_spark.plans import parity as _parity
 from grebi_spark.plans import relational as _relational
@@ -33,6 +34,7 @@ _MODULES = (
     _parity,
     _temporal,
     _text,
+    _training,
     _dedup,
     _similarity,
     _multimodal,

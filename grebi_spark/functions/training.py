@@ -1,0 +1,314 @@
+"""Training-corpus construction operators: deterministic mixture
+sampling, sliding-window document chunking, and embedding k-means —
+the pieces that turn a cleaned document pool into model-ready shards.
+
+All three are engine-portable by construction so the DuckDB oracle can
+hash-match them:
+
+- sampling keeps a row iff the md5-hex prefix of its id sorts below a
+  per-source threshold string (pure string compare, no float hashing);
+- chunking is built-in array ops (split/slice/md5) with identical
+  1-based slice semantics in Spark and DuckDB;
+- k-means rounds distances and centroids to 1e-6 on both sides so the
+  argmin and the exact integer-micron distance sums agree bit-for-bit.
+
+Scale notes per docstring.  Nothing here is a Python UDF; the only
+driver-side work is collecting the 8×64-float centroid table between
+Lloyd iterations (the same pattern every Spark k-means uses — MLlib
+collects centroids per iteration too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+# --- deterministic mixture sampling -----------------------------------------
+
+# target mixture: keep-rate per source tier. Rendered into BOTH the Spark
+# plan and the oracle SQL from this one dict.
+MIXTURE_RATES = {
+    **{f"src{i}": 1.0 for i in range(5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+    **{f"src{i}": 0.25 for i in range(10, 15)},
+    **{f"src{i}": 0.1 for i in range(15, 20)},
+}
+
+
+def _rate_threshold_hex(rate: float) -> str:
+    """8-hex-digit threshold: keep iff md5(id)[:8] < threshold (string
+    compare). 'zzzzzzzz' sorts after every hex digit → keep-all."""
+    if rate >= 1.0:
+        return "zzzzzzzz"
+    return f"{int(rate * 2**32):08x}"
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus mixing: each source keeps a deterministic,
+    id-stable fraction of its documents (re-running on a grown corpus
+    keeps exactly the previously-kept docs — the property reservoir or
+    rand() sampling lacks).
+
+    One narrow scan, no shuffle before the per-source aggregate; the
+    keep decision is a row-local md5 + string compare, fully code-gen'd.
+    At 100 TB the same predicate runs as a pushed scan filter when the
+    table is partitioned by source."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    hexpfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    expr = None
+    for src, rate in sorted(MIXTURE_RATES.items()):
+        cond = F.col("source") == src
+        val = F.lit(_rate_threshold_hex(rate))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    thr = expr.otherwise(F.lit("00000000"))
+    keep = hexpfx < thr
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def _mixture_case_sql() -> str:
+    lines = [
+        f"WHEN source = '{src}' THEN '{_rate_threshold_hex(rate)}'"
+        for src, rate in sorted(MIXTURE_RATES.items())
+    ]
+    return "CASE " + " ".join(lines) + " ELSE '00000000' END"
+
+
+ORACLE_MIXTURE = f"""
+SELECT source,
+       count(*) AS n_total,
+       sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < {_mixture_case_sql()} THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                     < {_mixture_case_sql()} THEN n_chars ELSE 0 END) AS chars_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- sliding-window chunking -------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token windows per document (context-window
+    shards with stride < window for cross-boundary continuity).
+
+    Tokenise → start offsets via sequence(0, n-1, stride) → slice +
+    md5, all JVM-side array expressions: the explode multiplies rows but
+    never shuffles — chunking is embarrassingly parallel and at 100 TB
+    runs as a map-only stage writing sharded output directly.  Output is
+    subsampled (doc_id % 50 = 0) to keep the result collectable."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    d = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n_tok", F.size("toks"))
+        .filter(F.col("n_tok") >= 1)
+    )
+    starts = F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(CHUNK_STRIDE))
+    d = d.select("doc_id", "toks", F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS)
+    return (
+        d.select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+  WHERE doc_id % 50 = 0
+),
+expanded AS (
+  SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS start
+  FROM toks
+  WHERE len(t) >= 1
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       len(list_slice(t, start + 1, start + {CHUNK_TOKENS})) AS n_tokens,
+       md5(array_to_string(list_slice(t, start + 1, start + {CHUNK_TOKENS}), ' '))
+         AS chunk_hash
+FROM expanded
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# --- embedding k-means (2 Lloyd iterations, deterministic init) --------------
+
+KMEANS_K = 8
+
+_CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _sq_euclid(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Argmin over the (small, literal) centroid set: array_min over
+    (rounded distance, cluster) structs — lexicographic min = nearest
+    centroid, ties to the lowest cluster id, identical to the oracle's
+    min-join."""
+    alts = [
+        F.struct(
+            F.round(_sq_euclid(vec, F.array(*[F.lit(x) for x in c])), 6).alias("d"),
+            F.lit(k).alias("cluster"),
+        )
+        for k, c in cents
+    ]
+    return F.array_min(F.array(*alts))
+
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations over the embedding table: init from the
+    first K vectors by vec_id, assign, recompute centroids, reassign;
+    output per-cluster sizes and exact mean distance.
+
+    Per iteration: the assignment is a map-only pass against K broadcast
+    literal centroids; the centroid update is one posexplode (n·d rows)
+    + two-key agg — the canonical distributed k-means step.  The K×d
+    centroid table is collected driver-side between iterations exactly
+    as MLlib does; at 100 TB that collect is still K·d floats.
+    Distances and centroids round to 1e-6 on both engines so argmin and
+    the integer-micron distance sum are hash-stable."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = _as_double(F.col("embedding"))
+
+    if sf_dir in _CENT_CACHE:
+        cent2 = _CENT_CACHE[sf_dir]
+    else:
+        init = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in e.filter(F.col("vec_id") < KMEANS_K)
+            .select("vec_id", "embedding")
+            .collect()
+        ]
+        init.sort()
+        a1 = e.select(
+            "vec_id",
+            "embedding",
+            _assign(v, init).getField("cluster").alias("cluster"),
+        )
+        dims = (
+            a1.select("cluster", F.posexplode(v).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("val"))
+        )
+        cent_rows = (
+            dims.groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s.getField("val"),
+                ).alias("c")
+            )
+            .collect()
+        )
+        cent2 = sorted((int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows)
+        _CENT_CACHE[sf_dir] = cent2
+
+    best = _assign(v, cent2)
+    return (
+        e.select(
+            best.getField("cluster").alias("cluster"),
+            F.round(best.getField("d") * 1_000_000, 0).cast("long").alias("d_micro"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            (F.sum("d_micro") / F.count("*") / 1_000_000.0).alias("mean_dist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+ORACLE_KMEANS = f"""
+WITH init AS (
+  SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+d1 AS (
+  SELECT vec_id, round(list_distance(embedding::DOUBLE[], c), 6) AS d, cluster
+  FROM embeddings, init
+),
+m1 AS (SELECT vec_id, min(d) AS md FROM d1 GROUP BY vec_id),
+assign1 AS (
+  SELECT d1.vec_id, min(cluster) AS cluster
+  FROM d1 JOIN m1 ON d1.vec_id = m1.vec_id AND d1.d = m1.md
+  GROUP BY d1.vec_id
+),
+exploded AS (
+  SELECT a.cluster,
+         generate_subscripts(e.embedding, 1) AS pos,
+         unnest(e.embedding::DOUBLE[]) AS x
+  FROM assign1 a JOIN embeddings e ON a.vec_id = e.vec_id
+),
+dims AS (
+  SELECT cluster, pos, round(avg(x), 6) AS val
+  FROM exploded GROUP BY cluster, pos
+),
+cent2 AS (
+  SELECT cluster, list(val ORDER BY pos) AS c FROM dims GROUP BY cluster
+),
+d2 AS (
+  SELECT vec_id, round(list_distance(embedding::DOUBLE[], c), 6) AS d, cluster
+  FROM embeddings, cent2
+),
+m2 AS (SELECT vec_id, min(d) AS md FROM d2 GROUP BY vec_id),
+assign2 AS (
+  SELECT d2.vec_id, min(d2.cluster) AS cluster, min(m2.md) AS d
+  FROM d2 JOIN m2 ON d2.vec_id = m2.vec_id AND d2.d = m2.md
+  GROUP BY d2.vec_id
+)
+SELECT cluster, count(*) AS n_vecs,
+       sum(CAST(round(d * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0
+         AS mean_dist
+FROM assign2
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
+QUERIES = {
+    "mixture_sample": mixture_sample,
+    "chunk_documents": chunk_documents,
+    "kmeans_embeddings": kmeans_embeddings,
+}
+
+ORACLES = {
+    "mixture_sample": ORACLE_MIXTURE,
+    "chunk_documents": ORACLE_CHUNKS,
+    "kmeans_embeddings": ORACLE_KMEANS,
+}

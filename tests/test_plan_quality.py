@@ -248,3 +248,68 @@ def test_pack_sequences_single_window(spark, sf_dir):
     plan = plan_of(pack_sequences(spark, sf_dir), mode="simple")
     assert "Window" in plan
     assert "Join" not in plan
+
+
+def test_q2_elects_min_via_window_not_self_join(spark, sf_dir):
+    """The per-part min must ride a Window over the offers aggregate —
+    a second scan + self-join of offers is the shape the window
+    replaces. All four dimension joins must broadcast."""
+    from grebi_spark.plans.relational2 import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, sf_dir), mode="simple")
+    assert "Window" in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_keeps_residual_on_join(spark, sf_dir):
+    """The priority filter must be a join residual (outer-preserving),
+    and the plan must stay a single hash join + two aggregates."""
+    from grebi_spark.plans.relational2 import q13_order_distribution
+
+    plan = plan_of(q13_order_distribution(spark, sf_dir), mode="simple")
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_denylist_is_anti_join(spark, sf_dir):
+    """NOT IN compiles to a broadcast left-anti hash join, and the
+    count-distinct plans as a two-phase (partial) aggregate."""
+    from grebi_spark.plans.relational2 import q16_supplier_counts
+
+    plan = plan_of(q16_supplier_counts(spark, sf_dir), mode="simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_mixture_sample_single_exchange(spark, sf_dir):
+    """The keep decision is row-local (md5 + string compare inside
+    codegen); the only exchange is the per-source aggregate."""
+    from grebi_spark.functions.training import mixture_sample
+
+    plan = plan_of(mixture_sample(spark, sf_dir), mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg + output sort
+
+
+def test_chunk_documents_map_only_until_sort(spark, sf_dir):
+    """Tokenise/explode/slice/md5 must all be narrow (generate inside
+    the scan stage); no join, no aggregate."""
+    from grebi_spark.functions.training import chunk_documents
+
+    plan = plan_of(chunk_documents(spark, sf_dir), mode="simple")
+    assert "Generate explode" in plan
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark, sf_dir):
+    """The final assignment pass against literal centroids must be a
+    scan → project → single aggregate: no join, no window, centroids
+    inlined as literals."""
+    from grebi_spark.functions.training import kmeans_embeddings
+
+    plan = plan_of(kmeans_embeddings(spark, sf_dir), mode="simple")
+    assert "Join" not in plan
+    assert "Window" not in plan

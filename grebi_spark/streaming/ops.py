@@ -344,13 +344,83 @@ def _oracle_docs_quality_stream() -> str:
     return ORACLE_TEXT_QUALITY
 
 
+def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window aggregation as a real streaming job: the built-in
+    ``session_window`` (dynamic-length windows merged on a 30-minute
+    inactivity gap) over the bounded events stream, append mode.
+
+    Append mode only emits sessions the watermark has CLOSED, so the
+    result is the deterministic subset with
+    ``last_event + gap <= max(ts) - delay`` — the oracle applies the
+    same cutoff to a gaps-and-islands restatement (new session iff the
+    gap to the previous event is >= 30 min, matching session_window's
+    strict merge). State is bounded by the watermark; at scale this
+    exact plan runs unbounded — the streaming twin of the batch
+    ``events_sessionize``. The custom applyInPandasWithState variant
+    (dynamic per-key gaps) is ``sessionize`` above, exercised by
+    tests/test_streaming.py."""
+    stream = _events_stream(spark, sf_dir)
+    sess = (
+        stream.withWatermark("ts", "1 second")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    name = _run_to_memory_sink(sess, "events_sessionize_stream", "append")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("end_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+ORACLE_EVENTS_SESSIONIZE_STREAM = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+), agg AS (
+  SELECT user_id, sid,
+         min(ts) AS start_ts, max(ts) AS last_ts,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id,
+       epoch_us(start_ts) AS start_us,
+       epoch_us(last_ts + INTERVAL 30 MINUTE) AS end_us,
+       n_events, sum_value
+FROM agg, mx
+WHERE last_ts + INTERVAL 30 MINUTE <= m - INTERVAL 1 SECOND
+ORDER BY user_id, start_us
+"""
+
+
 QUERIES = {
+    "events_sessionize_stream": events_sessionize_stream,
     "events_hourly_stream": events_hourly_stream,
     "events_dedup_stream": events_dedup_stream,
     "events_enrich_stream": events_enrich_stream,
     "docs_quality_stream": docs_quality_stream,
 }
 ORACLES = {
+    "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,
     "events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM,
     "events_dedup_stream": ORACLE_EVENTS_DEDUP_STREAM,
     "events_enrich_stream": ORACLE_EVENTS_ENRICH_STREAM,

@@ -355,10 +355,89 @@ ORDER BY query_id
 """
 
 
+IVF_NPROBE_TRAINED = 3
+
+
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with LEARNED centroids: the cells are the k-means centroids
+    from ``training.kmeans_embeddings`` (2 Lloyd iterations,
+    deterministic init), the query probes its IVF_NPROBE_TRAINED nearest
+    cells, exact top-5 by Euclidean distance inside the probed cells.
+
+    This closes the loop the seed-cell variant (``ann_ivf_topk``)
+    stubs: train → assign → prune → exact-rank, all oracle-checked —
+    the DuckDB oracle re-derives the same centroids from the same
+    pure-SQL k-means and must land on the same cells, probes, and
+    ranking. Scale shape: assignment is a map-only pass against K
+    broadcast literal centroids; written partitioned by cell, a query
+    scan prunes to nprobe/K of the data."""
+    from .training import _CENT_CACHE as _KM_CACHE
+    from .training import _assign, _sq_euclid, kmeans_embeddings
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    if sf_dir not in _KM_CACHE:
+        kmeans_embeddings(spark, sf_dir)  # trains + caches the centroids
+    cents = _KM_CACHE[sf_dir]
+    qv = _query_vector(e, sf_dir)
+
+    def dist(c):
+        s = 0.0
+        for x, y in zip(qv, c):
+            s += (x - y) * (x - y)
+        return round(s**0.5, 6)
+
+    # probe selection driver-side: K rounded distances, same sequential
+    # float fold as both engines → identical cell choice
+    probe = sorted(cents, key=lambda kc: (dist(kc[1]), kc[0]))[:IVF_NPROBE_TRAINED]
+    probe_ids = [k for k, _ in probe]
+
+    v = as_double(F.col("embedding"))
+    q = F.array(*[F.lit(x) for x in qv])
+    best = _assign(v, cents)
+    return (
+        e.withColumn("cell", best.getField("cluster"))
+        .filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_sq_euclid(v, q), 6).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(5)
+    )
+
+
+def _oracle_ann_ivf_trained() -> str:
+    from .training import KMEANS_K, ORACLE_KMEANS
+
+    # reuse the k-means oracle's CTE chain up to assign2 (vec → trained
+    # cell); strip its final SELECT
+    ctes = ORACLE_KMEANS[: ORACLE_KMEANS.index("SELECT cluster, count(*)")]
+    return (
+        ctes
+        + f""",
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cluster FROM cent2, qv
+  ORDER BY round(list_distance(c, q), 6), cluster
+  LIMIT {IVF_NPROBE_TRAINED}
+)
+SELECT a.vec_id, a.cluster AS cell,
+       round(list_distance(e.embedding::DOUBLE[], qv.q), 6) AS dist
+FROM assign2 a
+JOIN embeddings e ON e.vec_id = a.vec_id, qv
+WHERE a.cluster IN (SELECT cluster FROM probe) AND a.vec_id != 0
+ORDER BY dist, a.vec_id
+LIMIT 5
+"""
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "knn_label_purity": knn_label_purity,
     "knn_classify": knn_classify,
 }
@@ -367,6 +446,7 @@ ORACLES = {
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
+    "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),
     # knn_label_purity: centroid averaging is FP-order-sensitive across
     # engines (parallel vs serial sum) — driver runs the rows-only check;
     # knn_classify is its hash-checkable companion.

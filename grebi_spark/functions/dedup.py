@@ -179,7 +179,9 @@ _LSH_PAIRS_CACHE: dict[str, DataFrame] = {}
 
 
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = f"{id(spark)}:{sf_dir}"
+    # applicationId, not id(spark): a restarted session must rebuild, and
+    # a recycled object address must never resurrect a dead checkpoint
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _LSH_PAIRS_CACHE:
         return _LSH_PAIRS_CACHE[key]
     pairs, bands = _lsh_pairs_plan(spark, sf_dir)

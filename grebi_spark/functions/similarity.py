@@ -60,7 +60,7 @@ _VEC_CACHE: dict[tuple[str, int], list[float]] = {}
 
 
 def _query_vector(df: DataFrame, sf_dir: str = "", vec_id: int = 0):
-    key = (sf_dir, vec_id)
+    key = (df.sparkSession.sparkContext.applicationId, sf_dir, vec_id)
     if sf_dir and key in _VEC_CACHE:
         return _VEC_CACHE[key]
     row = df.filter(F.col("vec_id") == vec_id).select("embedding").head()
@@ -164,7 +164,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract here).
     """
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    byid = _IVF_SEED_CACHE.get(sf_dir)
+    seed_key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    byid = _IVF_SEED_CACHE.get(seed_key)
     if byid is None:
         rows = (
             e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= N_CELLS))
@@ -172,7 +173,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         byid = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
-        _IVF_SEED_CACHE[sf_dir] = byid
+        _IVF_SEED_CACHE[seed_key] = byid
     qv, cents = byid[0], [byid[i] for i in range(1, N_CELLS + 1)]
 
     def pydot(a, b):
@@ -371,20 +372,25 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking. Scale shape: assignment is a map-only pass against K
     broadcast literal centroids; written partitioned by cell, a query
     scan prunes to nprobe/K of the data."""
+    import math
+
     from .training import _CENT_CACHE as _KM_CACHE
-    from .training import _assign, _sq_euclid, kmeans_embeddings
+    from .training import _assign, _cache_key, _euclid_dist, kmeans_embeddings
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    if sf_dir not in _KM_CACHE:
+    ckey = _cache_key(spark, sf_dir)
+    if ckey not in _KM_CACHE:
         kmeans_embeddings(spark, sf_dir)  # trains + caches the centroids
-    cents = _KM_CACHE[sf_dir]
+    cents = _KM_CACHE[ckey]
     qv = _query_vector(e, sf_dir)
 
     def dist(c):
         s = 0.0
         for x, y in zip(qv, c):
             s += (x - y) * (x - y)
-        return round(s**0.5, 6)
+        # HALF_UP to match F.round and DuckDB round (Python's built-in
+        # round is banker's half-even — a different tie rule)
+        return math.floor(s**0.5 * 1e6 + 0.5) / 1e6
 
     # probe selection driver-side: K rounded distances, same sequential
     # float fold as both engines → identical cell choice
@@ -400,7 +406,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "cell",
-            F.round(_sq_euclid(v, q), 6).alias("dist"),
+            F.round(_euclid_dist(v, q), 6).alias("dist"),
         )
         .orderBy("dist", "vec_id")
         .limit(5)
@@ -408,13 +414,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_ann_ivf_trained() -> str:
-    from .training import KMEANS_K, ORACLE_KMEANS
+    from .training import ORACLE_KMEANS_CTES
 
-    # reuse the k-means oracle's CTE chain up to assign2 (vec → trained
-    # cell); strip its final SELECT
-    ctes = ORACLE_KMEANS[: ORACLE_KMEANS.index("SELECT cluster, count(*)")]
+    # the k-means oracle's shared CTE chain (init → assign2) + IVF probe
     return (
-        ctes
+        ORACLE_KMEANS_CTES
         + f""",
 qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
 probe AS (

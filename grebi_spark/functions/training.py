@@ -159,10 +159,17 @@ ORDER BY doc_id, chunk_idx
 
 KMEANS_K = 8
 
+# trained centroids per (application, sf_dir) — applicationId (not
+# id(spark)) so a restarted session can never be served DataFrame-free
+# floats from a dead context, and a new session retrains
 _CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
-def _sq_euclid(a: Column, b: Column) -> Column:
+def _cache_key(spark: SparkSession, sf_dir: str) -> str:
+    return f"{spark.sparkContext.applicationId}:{sf_dir}"
+
+
+def _euclid_dist(a: Column, b: Column) -> Column:
     return F.sqrt(
         F.aggregate(
             F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -183,7 +190,7 @@ def _assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     min-join."""
     alts = [
         F.struct(
-            F.round(_sq_euclid(vec, F.array(*[F.lit(x) for x in c])), 6).alias("d"),
+            F.round(_euclid_dist(vec, F.array(*[F.lit(x) for x in c])), 6).alias("d"),
             F.lit(k).alias("cluster"),
         )
         for k, c in cents
@@ -206,8 +213,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     v = _as_double(F.col("embedding"))
 
-    if sf_dir in _CENT_CACHE:
-        cent2 = _CENT_CACHE[sf_dir]
+    ckey = _cache_key(spark, sf_dir)
+    if ckey in _CENT_CACHE:
+        cent2 = _CENT_CACHE[ckey]
     else:
         init = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -237,7 +245,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         cent2 = sorted((int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows)
-        _CENT_CACHE[sf_dir] = cent2
+        _CENT_CACHE[ckey] = cent2
 
     best = _assign(v, cent2)
     return (
@@ -254,7 +262,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_KMEANS = f"""
+# the CTE chain (init → assign1 → cent2 → assign2) is shared with the
+# trained-IVF oracle in functions/similarity.py, which appends its own
+# probe/rank SELECT
+ORACLE_KMEANS_CTES = f"""
 WITH init AS (
   SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
   FROM embeddings WHERE vec_id < {KMEANS_K}
@@ -291,7 +302,11 @@ assign2 AS (
   SELECT d2.vec_id, min(d2.cluster) AS cluster, min(m2.md) AS d
   FROM d2 JOIN m2 ON d2.vec_id = m2.vec_id AND d2.d = m2.md
   GROUP BY d2.vec_id
-)
+)"""
+
+ORACLE_KMEANS = (
+    ORACLE_KMEANS_CTES
+    + """
 SELECT cluster, count(*) AS n_vecs,
        sum(CAST(round(d * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0
          AS mean_dist
@@ -299,6 +314,7 @@ FROM assign2
 GROUP BY cluster
 ORDER BY cluster
 """
+)
 
 
 QUERIES = {

@@ -95,7 +95,9 @@ _MERGED_CACHE: dict[str, DataFrame] = {}
 
 
 def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = f"{id(spark)}:{sf_dir}"
+    # applicationId, not id(spark): a restarted session must rebuild, and
+    # a recycled object address must never resurrect a dead checkpoint
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _MERGED_CACHE:
         return _MERGED_CACHE[key]
     long_dfs = _star_graph_long(spark, sf_dir)

@@ -339,7 +339,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-vs-scalar-of-the-same-aggregate shape.  The per-part agg
     is computed once and persisted; its grand total is a one-row
     broadcast, so the threshold filter costs no second scan.  Value is
-    rounded to cents before both the total and the comparison."""
+    rounded to cents before the total, and the cutoff itself is rounded
+    to cents too — the threshold comparison is between two identically
+    quantized numbers, so engine summation order cannot flip it."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(
@@ -356,7 +358,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    threshold = partval.agg((F.sum("value") * F.lit(0.001)).alias("cutoff"))
+    threshold = partval.agg(
+        F.round(F.sum("value") * F.lit(0.001), 2).alias("cutoff")
+    )
     out = (
         partval.crossJoin(F.broadcast(threshold))
         .filter(F.col("value") > F.col("cutoff"))
@@ -379,7 +383,7 @@ WITH partval AS (
 )
 SELECT p_partkey, value
 FROM partval
-WHERE value > (SELECT sum(value) * 0.001 FROM partval)
+WHERE value > (SELECT round(sum(value) * 0.001, 2) FROM partval)
 ORDER BY value DESC, p_partkey
 LIMIT 100
 """

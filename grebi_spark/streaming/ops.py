@@ -349,13 +349,17 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` (dynamic-length windows merged on a 30-minute
     inactivity gap) over the bounded events stream, append mode.
 
-    Append mode only emits sessions the watermark has CLOSED, so the
-    result is the deterministic subset with
-    ``last_event + gap <= max(ts) - delay`` — the oracle applies the
-    same cutoff to a gaps-and-islands restatement (new session iff the
-    gap to the previous event is >= 30 min, matching session_window's
-    strict merge). State is bounded by the watermark; at scale this
-    exact plan runs unbounded — the streaming twin of the batch
+    Append mode only emits sessions the watermark has CLOSED. Spark
+    truncates the event-time watermark to milliseconds, so instead of
+    reproducing that boundary exactly, both sides post-filter to
+    sessions ending ≥ 2 s before max(ts): every such session is
+    strictly inside the emitted set (watermark ≈ max − 1 s − <1 ms >
+    max − 2 s), making the comparison deterministic regardless of the
+    engine's watermark rounding. The oracle applies the same cutoff to
+    a gaps-and-islands restatement (new session iff the gap to the
+    previous event is >= 30 min, matching session_window's strict
+    merge). State is bounded by the watermark; at scale this exact plan
+    runs unbounded — the streaming twin of the batch
     ``events_sessionize``. The custom applyInPandasWithState variant
     (dynamic per-key gaps) is ``sessionize`` above, exercised by
     tests/test_streaming.py."""
@@ -369,6 +373,14 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _run_to_memory_sink(sess, "events_sessionize_stream", "append")
+    from ..session import load_tables
+
+    max_us = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .agg(F.max(F.unix_micros(F.col("ts").cast("timestamp"))))
+        .head()[0]
+    )
+    cutoff_us = max_us - 2_000_000
     return (
         spark.table(name)
         .select(
@@ -378,6 +390,7 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
+        .filter(F.col("end_us") <= F.lit(cutoff_us))
         .orderBy("user_id", "start_us")
     )
 
@@ -407,7 +420,7 @@ SELECT user_id,
        epoch_us(last_ts + INTERVAL 30 MINUTE) AS end_us,
        n_events, sum_value
 FROM agg, mx
-WHERE last_ts + INTERVAL 30 MINUTE <= m - INTERVAL 1 SECOND
+WHERE last_ts + INTERVAL 30 MINUTE <= m - INTERVAL 2 SECOND
 ORDER BY user_id, start_us
 """
 

@@ -81,3 +81,21 @@ def test_graphml_of_subgraph_all(graph):
 
 
 from .test_graph_queries import graph  # noqa: F401,E402  (module fixture)
+
+
+def test_cytoscape_of_subgraph_all(graph):  # noqa: F811
+    """The notebook's other export: subgraphAll(2) → cytoscape_data
+    JSON; shape and referential integrity."""
+    from grebi_spark.plans.graph_queries import subgraph_all
+    from grebi_spark.sinks.cytoscape import cytoscape_json
+
+    nodes, edges = subgraph_all(graph, "chebi:6801", max_level=2)
+    doc = cytoscape_json(nodes, edges)
+    assert doc["directed"] and doc["multigraph"]
+    ids = {n["data"]["id"] for n in doc["elements"]["nodes"]}
+    assert len(ids) >= 2
+    for n in doc["elements"]["nodes"]:
+        assert n["data"]["ids"] == n["data"]["id"]
+        assert isinstance(n["data"]["grebi:type"], list)
+    for e in doc["elements"]["edges"]:
+        assert e["data"]["source"] in ids and e["data"]["target"] in ids

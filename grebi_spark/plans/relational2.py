@@ -569,7 +569,98 @@ ORDER BY s_suppkey
 """
 
 
+# --- range-frame window: 7-day moving average -------------------------------
+
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily revenue per event type — a RANGE
+    window frame (value-based, gap-aware: a missing day still ages out
+    of the frame), distinct from the ROWS frames elsewhere.
+
+    One shuffle for the daily aggregate; the window reuses the
+    event_type partitioning. The frame sums ≤7 cent-rounded daily
+    values in window order — identical sequence on both engines."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("rev"))
+        .withColumn("day_num", F.datediff("d", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day_num",
+            "rev",
+            F.round(F.avg("rev").over(w), 4).alias("ma7"),
+        )
+        .orderBy("event_type", "day_num")
+    )
+
+
+ORACLE_MOVING_AVG = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+         round(sum(value), 2) AS rev
+  FROM events GROUP BY event_type, d
+)
+SELECT event_type,
+       CAST(datediff('day', DATE '1970-01-01', d) AS INTEGER) AS day_num,
+       rev,
+       round(avg(rev) OVER (
+         PARTITION BY event_type
+         ORDER BY datediff('day', DATE '1970-01-01', d)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM daily
+ORDER BY event_type, day_num
+"""
+
+
+# --- native PIVOT ------------------------------------------------------------
+
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per market segment pivoted by order status — the
+    relational PIVOT operator (one pass: partial aggregation per
+    (segment, status), then the pivot projection; no per-column scan).
+    Status values are pinned so the output schema is static — at scale
+    an unpinned pivot would need a distinct-values pre-pass."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    piv = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", list(PIVOT_STATUSES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_mktsegment",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}")
+            for s in PIVOT_STATUSES
+        ],
+    ).orderBy("c_mktsegment")
+
+
+ORACLE_ORDERS_PIVOT = """
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_P
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES = {
+    "events_moving_avg": events_moving_avg,
+    "orders_pivot": orders_pivot,
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
@@ -583,6 +674,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_moving_avg": ORACLE_MOVING_AVG,
+    "orders_pivot": ORACLE_ORDERS_PIVOT,
     "q2_min_cost_supplier": ORACLE_Q2,
     "q7_volume_shipping": ORACLE_Q7,
     "q8_market_share": ORACLE_Q8,

@@ -425,7 +425,69 @@ ORDER BY user_id, start_us
 """
 
 
+def events_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join as a real job: the click stream joined
+    to the purchase stream of the same user within 30 minutes after the
+    click — the attribution-join shape, and the one streaming join class
+    the stream-static enrich query doesn't cover.
+
+    Both sides carry watermarks and the join condition carries the time
+    bound, so Spark can expire join state (without the bound, stream-
+    stream state grows forever). An INNER interval join emits every
+    match as soon as both sides arrive — the watermark governs state
+    cleanup, not emission — so a bounded availableNow replay emits
+    exactly the batch join's rows and the oracle is the identical batch
+    SQL, no cutoff gymnastics needed. Aggregated per user-bucket to keep
+    the result small."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id"), F.col("ts").alias("click_ts"))
+    )
+    buys = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("value"),
+        )
+    )
+    joined = clicks.withWatermark("click_ts", "1 hour").join(
+        buys.withWatermark("buy_ts", "1 hour"),
+        (F.col("user_id") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = _run_to_memory_sink(joined, "events_join_stream", "append")
+    return (
+        spark.table(name)
+        .groupBy((F.col("user_id") % 10).cast("int").alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+ORACLE_EVENTS_JOIN_STREAM = """
+SELECT CAST(c.user_id % 10 AS INTEGER) AS user_bucket,
+       count(*) AS n_attributed,
+       round(sum(b.value), 2) AS attributed_value
+FROM (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+JOIN (SELECT user_id, ts AS buy_ts, value FROM events
+      WHERE event_type = 'purchase') b
+  ON c.user_id = b.user_id
+ AND b.buy_ts >= c.click_ts
+ AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+GROUP BY user_bucket
+ORDER BY user_bucket
+"""
+
+
 QUERIES = {
+    "events_join_stream": events_join_stream,
     "events_sessionize_stream": events_sessionize_stream,
     "events_hourly_stream": events_hourly_stream,
     "events_dedup_stream": events_dedup_stream,
@@ -433,6 +495,7 @@ QUERIES = {
     "docs_quality_stream": docs_quality_stream,
 }
 ORACLES = {
+    "events_join_stream": ORACLE_EVENTS_JOIN_STREAM,
     "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,
     "events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM,
     "events_dedup_stream": ORACLE_EVENTS_DEDUP_STREAM,

@@ -381,7 +381,160 @@ FROM packed GROUP BY source, bin ORDER BY source, bin
 """
 
 
+# --- PII redaction -----------------------------------------------------------
+
+# conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+LONG_NUM_RE = r"\b[0-9]{9,}\b"
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: replace emails and long digit runs with typed
+    placeholder tokens, report per-source redaction counts and the
+    post-redaction character volume.
+
+    The synthetic corpus carries no organic PII, so both engines plant
+    a deterministic email + numeric id on every 7th document (co-prime with the 20-source striping, so every source gets planted docs) before
+    scrubbing — the pass (and its oracle) then proves detection,
+    replacement, and counting on known ground truth. Map-only until the
+    per-source aggregate; all regex work is codegen'd JVM."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com id 1234567890"),
+        ),
+    ).otherwise(F.col("text"))
+    n_emails = F.size(F.regexp_extract_all(planted, F.lit(EMAIL_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(planted, EMAIL_RE, "<EMAIL>"), LONG_NUM_RE, "<ID>"
+    )
+    n_ids = F.size(
+        F.regexp_extract_all(
+            F.regexp_replace(planted, EMAIL_RE, "<EMAIL>"),
+            F.lit(LONG_NUM_RE),
+            F.lit(0),
+        )
+    )
+    return (
+        d.select("source", n_emails.alias("ne"), n_ids.alias("ni"), F.length(scrubbed).alias("len_after"))
+        .groupBy("source")
+        .agg(
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("ni").cast("long").alias("n_ids"),
+            F.sum((F.col("ne") + F.col("ni") > 0).cast("long")).alias("n_docs_with_pii"),
+            F.sum("len_after").cast("long").alias("chars_after"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_REDACT_PII = f"""
+WITH planted AS (
+  SELECT source,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com id 1234567890'
+              ELSE text END AS t
+  FROM documents
+), scrubbed AS (
+  SELECT source,
+         length(regexp_extract_all(t, '{EMAIL_RE}')) AS ne,
+         length(regexp_extract_all(
+           regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'), '{LONG_NUM_RE}')) AS ni,
+         length(regexp_replace(
+           regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{LONG_NUM_RE}', '<ID>', 'g')) AS len_after
+  FROM planted
+)
+SELECT source,
+       sum(ne)::bigint AS n_emails,
+       sum(ni)::bigint AS n_ids,
+       sum(CASE WHEN ne + ni > 0 THEN 1 ELSE 0 END)::bigint AS n_docs_with_pii,
+       sum(len_after)::bigint AS chars_after
+FROM scrubbed
+GROUP BY source ORDER BY source
+"""
+
+
+# --- Gopher-style repetition scoring ----------------------------------------
+
+REP_THRESHOLD = 0.2
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher/MassiveText family of
+    rules): per document, the fraction of word bigrams taken by the
+    single most frequent bigram; documents above REP_THRESHOLD flag as
+    repetitive. Integer counts → the ratio is engine-exact.
+
+    One explode to bigrams, a two-key count, a per-doc max — all narrow
+    aggregates keyed by doc; at 100 TB this is the same per-doc
+    map-combine shape as the token stats."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_bigram = (
+        d.select("doc_id", "source", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "source", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_bigram.groupBy("doc_id", "source").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_frac")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("top_frac") > REP_THRESHOLD).cast("long")).alias(
+                "n_repetitive"
+            ),
+            F.round(F.avg("top_frac"), 4).alias("avg_top_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(t) >= 2
+         THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+         ELSE [] END) AS bg
+  FROM toks
+), per_bigram AS (
+  SELECT doc_id, source, bg, count(*) AS c
+  FROM bigrams GROUP BY doc_id, source, bg
+), per_doc AS (
+  SELECT doc_id, source, round(max(c) * 1.0 / sum(c), 4) AS top_frac
+  FROM per_bigram GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_docs,
+       sum(CASE WHEN top_frac > {REP_THRESHOLD} THEN 1 ELSE 0 END)::bigint
+         AS n_repetitive,
+       round(avg(top_frac), 4) AS avg_top_frac
+FROM per_doc
+GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
+    "redact_pii": redact_pii,
+    "text_repetition": text_repetition,
     "text_token_stats": text_token_stats,
     "corpus_curation": corpus_curation,
     "text_quality": text_quality,
@@ -391,6 +544,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "redact_pii": ORACLE_REDACT_PII,
+    "text_repetition": ORACLE_REPETITION,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "corpus_curation": _oracle_curation(),
     "text_quality": ORACLE_TEXT_QUALITY,

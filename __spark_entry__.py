@@ -19,6 +19,7 @@ from grebi_spark.functions import similarity as _similarity
 from grebi_spark.functions import text as _text
 from grebi_spark.functions import training as _training
 from grebi_spark.plans import closure as _closure
+from grebi_spark.plans import graph_analytics as _graph_analytics
 from grebi_spark.plans import parity as _parity
 from grebi_spark.plans import relational as _relational
 from grebi_spark.plans import relational2 as _relational2
@@ -31,6 +32,7 @@ _MODULES = (
     _relational2,
     _search,
     _closure,
+    _graph_analytics,
     _parity,
     _temporal,
     _text,

@@ -317,14 +317,78 @@ ORDER BY cluster
 )
 
 
+# --- deterministic train/valid/test split ------------------------------------
+
+# bucket = md5-derived uniform int in [0, 100); boundaries are the
+# canonical 98/1/1 pretraining split. Salted ("split:") so the split is
+# independent of mixture_sample's keep-hash (the two decisions must not
+# correlate, or the valid set would over-sample the mixture's keeps).
+_SPLIT_BOUNDS = (("train", 98), ("valid", 99), ("test", 100))
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/valid/test corpus split: each doc's
+    split is a pure function of its id, so re-running on a grown corpus
+    never moves a document between splits (the leakage-safety property
+    rand() splits lack — a doc that was ever in valid stays in valid).
+
+    One narrow scan + one 3-group aggregate; the split decision is a
+    row-local md5 + modulo, fully code-gen'd. At 100 TB this same
+    expression becomes the partition key for writing split-segregated
+    shards (no shuffle beyond the write's own partitioning)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < _SPLIT_BOUNDS[0][1], _SPLIT_BOUNDS[0][0])
+        .when(bucket < _SPLIT_BOUNDS[1][1], _SPLIT_BOUNDS[1][0])
+        .otherwise(_SPLIT_BOUNDS[2][0])
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+ORACLE_SPLIT = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::bigint
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 98 THEN 'train'
+            WHEN bucket < 99 THEN 'valid'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       sum(n_chars) AS n_chars,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM b
+GROUP BY 1
+ORDER BY split
+"""
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
     "chunk_documents": chunk_documents,
     "kmeans_embeddings": kmeans_embeddings,
+    "corpus_split": corpus_split,
 }
 
 ORACLES = {
     "mixture_sample": ORACLE_MIXTURE,
     "chunk_documents": ORACLE_CHUNKS,
     "kmeans_embeddings": ORACLE_KMEANS,
+    "corpus_split": ORACLE_SPLIT,
 }

@@ -295,7 +295,67 @@ ORDER BY top.score DESC, top.doc_id
 """
 
 
+_INVIDX_TOPK = 25
+_INVIDX_POSTINGS = 10
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the engine-native version of what the
+    reference outsources to Solr's indexer (06_prepare_db_import →
+    create_solr): per-term document frequency plus the head of the
+    sorted posting list, for the 25 highest-df terms.
+
+    Scale shape: explode → distinct(term, doc) → ONE groupBy(term);
+    posting lists are the groupBy's collect_set, truncated to a bounded
+    prefix so no single term materializes an unbounded array (the
+    real-index equivalent is posting-block storage). Term skew (stop
+    words) is bounded by the same truncation; the df ranking is a
+    TakeOrdered, not a global sort."""
+    from ..functions.text import tokens
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    td = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .distinct()
+    )
+    return (
+        td.groupBy("tok")
+        .agg(
+            F.count("*").alias("df"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.sort_array(F.collect_set("doc_id")), 1, _INVIDX_POSTINGS
+                ).cast("array<string>"),
+            ).alias("postings_head"),
+        )
+        .orderBy(F.desc("df"), "tok")
+        .limit(_INVIDX_TOPK)
+    )
+
+
+ORACLE_INVIDX = f"""
+WITH td AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+),
+idx AS (
+  SELECT tok, count(*) AS df,
+         array_to_string(
+           list_transform(list_sort(list(doc_id))[1:{_INVIDX_POSTINGS}],
+                          x -> CAST(x AS VARCHAR)),
+           ',') AS postings_head
+  FROM td GROUP BY tok
+)
+SELECT tok, df, postings_head FROM idx
+ORDER BY df DESC, tok
+LIMIT {_INVIDX_TOPK}
+"""
+
+
 QUERIES = {
+    "inverted_index": inverted_index,
     "doc_search_page": doc_search_page,
     "doc_search_facets": doc_search_facets,
     "doc_search_bm25": doc_search_bm25,
@@ -304,6 +364,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "inverted_index": ORACLE_INVIDX,
     "doc_search_page": ORACLE_DOC_SEARCH,
     "doc_search_facets": ORACLE_DOC_FACETS,
     "doc_search_bm25": ORACLE_BM25,

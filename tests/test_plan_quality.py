@@ -318,3 +318,60 @@ def test_kmeans_assignment_is_map_only(spark, sf_dir):
     plan = plan_of(kmeans_embeddings(spark, sf_dir), mode="simple")
     assert "Join" not in plan
     assert "Window" not in plan
+
+def test_jaccard_no_cartesian_sizes_broadcast(spark, sf_dir):
+    """Candidate pairs must come from the order-key equi self-join —
+    never an all-pairs product; the per-part set sizes broadcast."""
+    from grebi_spark.plans.graph_analytics import node_jaccard_similar
+
+    plan = plan_of(node_jaccard_similar(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_superstep_is_equi_join_plus_agg(spark, sf_dir):
+    """One PageRank superstep must be exactly an equi-join on the source
+    key plus a partial-aggregating sum by target — the Pregel shuffle
+    shape; anything nested-loop is a 100TB-killer."""
+    from pyspark.sql import functions as F
+
+    from grebi_spark.plans import graph_analytics as ga
+
+    edges = ga._copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+    out = edges.join(deg, "u")
+    ranks = deg.select(F.col("u").alias("node")).withColumn(
+        "rank", F.lit(ga._PR_SCALE).cast("long")
+    )
+    contrib = (
+        out.join(ranks, out.u == ranks.node)
+        .select(F.col("v").alias("node"), F.expr("rank div deg").alias("c"))
+        .groupBy("node")
+        .agg(F.sum("c").alias("c"))
+    )
+    plan = plan_of(contrib, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_inverted_index_topk_no_global_sort(spark, sf_dir):
+    """df ranking must be TakeOrdered (per-partition heaps), and the
+    whole build is explode -> distinct -> one aggregate: no join."""
+    from grebi_spark.plans.search import inverted_index
+
+    plan = plan_of(inverted_index(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+
+
+def test_corpus_split_single_exchange(spark, sf_dir):
+    """The split decision is row-local md5+modulo inside codegen; the
+    only exchanges are the 3-group aggregate and its output sort."""
+    from grebi_spark.functions.training import corpus_split
+
+    plan = plan_of(corpus_split(spark, sf_dir), mode="simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2

@@ -532,8 +532,60 @@ GROUP BY source ORDER BY source
 """
 
 
+_RARITY_TOPK = 20
+
+
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by corpus-relative token rarity — an IDF-style
+    quality signal (docs full of rare vocabulary score high; boilerplate
+    scores low) computed ENTIRELY in integer arithmetic so any engine
+    agrees bit-for-bit: each token contributes total_tokens div
+    corpus_freq (integer division of exact counts), summed as bigint.
+    The float version of this (sum of ln(N/f)) is FP-accumulation-order
+    dependent and could flip the top-k boundary between engines.
+
+    Scale shape: one explode → one vocab aggregate → one equi-join of
+    the token stream with the (vocab-sized) frequency table → one
+    per-doc sum; the one-row corpus total broadcasts. Token-frequency
+    skew (stop words) is a join on the token key — AQE's skew handling
+    or salting applies unchanged."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    total = freq.agg(F.sum("freq").cast("long").alias("total"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.expr("total div freq").alias("r"))
+        .groupBy("doc_id")
+        .agg(F.sum("r").cast("long").alias("rarity"), F.count("*").alias("n_tokens"))
+        .orderBy(F.desc("rarity"), "doc_id")
+        .limit(_RARITY_TOPK)
+    )
+
+
+ORACLE_RARITY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), total AS (
+  SELECT sum(freq)::bigint AS total FROM freq
+)
+SELECT t.doc_id,
+       sum(total.total // f.freq)::bigint AS rarity,
+       count(*) AS n_tokens
+FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN total
+GROUP BY t.doc_id
+ORDER BY rarity DESC, t.doc_id
+LIMIT {_RARITY_TOPK}
+"""
+
+
 QUERIES = {
     "redact_pii": redact_pii,
+    "text_rarity": text_rarity,
     "text_repetition": text_repetition,
     "text_token_stats": text_token_stats,
     "corpus_curation": corpus_curation,
@@ -545,6 +597,7 @@ QUERIES = {
 
 ORACLES = {
     "redact_pii": ORACLE_REDACT_PII,
+    "text_rarity": ORACLE_RARITY,
     "text_repetition": ORACLE_REPETITION,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "corpus_curation": _oracle_curation(),

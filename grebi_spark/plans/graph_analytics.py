@@ -322,8 +322,126 @@ LIMIT {_JACCARD_TOPK}
 """
 
 
+_LP_ROUNDS = 4
+_LP_MIN_SHARED = 2
+_LP_TOPK = 10
+
+_STRONG_EDGES_SQL = f"""
+  SELECT u, v FROM (
+    SELECT a.l_partkey::bigint AS u, b.l_partkey::bigint AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {_LP_MIN_SHARED}
+  ) UNION ALL
+  SELECT v, u FROM (
+    SELECT a.l_partkey::bigint AS u, b.l_partkey::bigint AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2 HAVING count(*) >= {_LP_MIN_SHARED}
+  )
+"""
+
+
+def _strong_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase edges weighted ≥2 shared orders, symmetric — the
+    sparser 'strong-tie' graph where community structure survives."""
+    li = (
+        load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").cast("long").alias("u"),
+            F.col("b.l_partkey").cast("long").alias("v"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _LP_MIN_SHARED)
+        .select("u", "v")
+    )
+    return half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 communities after 4 rounds of SYNCHRONOUS min-label
+    propagation over the strong-tie co-purchase graph (≥2 shared
+    orders). Synchronous + min-tiebreak makes every round a pure
+    function of the previous labelling — deterministic in any engine,
+    so the oracle can unroll the same rounds in SQL (asynchronous LPA,
+    what ``gds.labelPropagation`` runs, is order-dependent and could
+    never hash-match).
+
+    Scale shape: each round is ONE equi-join (edges ⋈ labels on the
+    source key) + ONE min-aggregate by target — identical to the
+    PageRank superstep, lineage cut per round. This is also exactly the
+    operators/groups.py CC loop with a bounded round count."""
+    edges = _strong_edges(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(_LP_ROUNDS):
+        nbr = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(_LP_TOPK)
+    )
+
+
+def _label_propagation_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LP_ROUNDS + 1):
+        rounds.append(
+            f"""l{i} AS (
+  SELECT c.node,
+         least(c.label, coalesce(m.nl, c.label)) AS label
+  FROM {prev} c LEFT JOIN (
+    SELECT e.v AS node, min(p.label) AS nl
+    FROM edges e JOIN {prev} p ON e.u = p.node
+    GROUP BY e.v
+  ) m ON c.node = m.node
+)"""
+        )
+        prev = f"l{i}"
+    return f"""
+WITH edges AS ({_STRONG_EDGES_SQL}),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM edges),
+{",".join(rounds)}
+SELECT label AS community, count(*) AS n_members
+FROM {prev}
+GROUP BY label
+ORDER BY n_members DESC, community
+LIMIT {_LP_TOPK}
+"""
+
+
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
+    "label_propagation_communities": label_propagation_communities,
     "bfs_hops_copurchase": bfs_hops_copurchase,
     "degree_distribution": degree_distribution,
     "node_jaccard_similar": node_jaccard_similar,
@@ -331,6 +449,7 @@ QUERIES = {
 
 ORACLES = {
     "pagerank_copurchase": _pagerank_oracle(),
+    "label_propagation_communities": _label_propagation_oracle(),
     "bfs_hops_copurchase": ORACLE_BFS,
     "degree_distribution": ORACLE_DEGREES,
     "node_jaccard_similar": ORACLE_JACCARD,

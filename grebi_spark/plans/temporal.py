@@ -245,12 +245,110 @@ ORDER BY a_event_id
 """
 
 
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted by how many weeks after their cohort week they were active —
+    the standard product-analytics triangle, all exact integer arithmetic
+    (week truncation + day diffs).
+
+    Scale shape: two aggregates and one equi-join, all keyed on user_id —
+    the join co-partitions with the activity aggregate so AQE can plan it
+    shuffle-once; nothing is per-event after the first distinct."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    wk = F.date_trunc("week", F.col("ts"))
+    act = e.select(F.col("user_id"), F.to_date(wk).alias("wk")).distinct()
+    first = act.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.unix_date(F.col("cohort")).alias("cohort_day"),
+            ((F.datediff(F.col("wk"), F.col("cohort"))) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "week_offset")
+    )
+
+
+ORACLE_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts)::date AS wk FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id
+)
+SELECT (cohort - DATE '1970-01-01') AS cohort_day,
+       (datediff('day', cohort, wk) // 7)::int AS week_offset,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage
+    must strictly follow the user's first completion of the previous
+    stage. One row: users entering each stage.
+
+    Scale shape: three per-user aggregates chained by equi-joins on
+    user_id — every stage is min(ts)-conditional aggregation, so the
+    event stream is scanned per stage but reduced immediately; no
+    window over the full event history, no self-join on events."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    t1 = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.agg(F.count("*").alias("n_view"))
+        .crossJoin(t2.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(t3.agg(F.count("*").alias("n_full_funnel")))
+    )
+
+
+ORACLE_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+  GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM t1) AS n_view,
+       (SELECT count(*) FROM t2) AS n_view_click,
+       (SELECT count(*) FROM t3) AS n_full_funnel
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_sessionize": events_sessionize,
     "sample_per_source": sample_per_source,
     "events_asof_join": events_asof_join,
     "events_range_join": events_range_join,
+    "user_retention_cohorts": user_retention_cohorts,
+    "event_funnel": event_funnel,
 }
 
 ORACLES = {
@@ -259,4 +357,6 @@ ORACLES = {
     "sample_per_source": ORACLE_SAMPLE_PER_SOURCE,
     "events_asof_join": ORACLE_EVENTS_ASOF,
     "events_range_join": ORACLE_EVENTS_RANGE,
+    "user_retention_cohorts": ORACLE_RETENTION,
+    "event_funnel": ORACLE_FUNNEL,
 }

@@ -40,19 +40,21 @@ _PR_TOPK = 20
 
 
 # The projected edge list is a pipeline ARTIFACT shared by every graph
-# query (PageRank, BFS, degrees) — a real deployment materializes the
-# projection once and analyzes it many times, it never re-joins the
-# fact table per algorithm. Cached per (session, sf_dir);
-# localCheckpoint so it survives catalog.clearCache() like an on-disk
-# stage output would (the same contract as dedup._lsh_pairs and
-# parity._merged).
+# query (PageRank, BFS, degrees, triangles) — a real deployment
+# materializes the projection once and analyzes it many times, it never
+# re-joins the fact table per algorithm. The cached form is the
+# oriented (u < v) half: triangle counting wants exactly that, and the
+# symmetric list is a narrow no-shuffle union of it. Cached per
+# (session, sf_dir); localCheckpoint so it survives
+# catalog.clearCache() like an on-disk stage output would (the same
+# contract as dedup._lsh_pairs and parity._merged).
 _EDGES_CACHE: dict[str, DataFrame] = {}
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric co-purchase edge list (u, v): parts sharing an order,
-    both directions, distinct. One self-equi-join on the order key —
-    never all-pairs across orders (relational.py:802's projection)."""
+def copurchase_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented co-purchase edge list (u < v): parts sharing an order,
+    distinct. One self-equi-join on the order key — never all-pairs
+    across orders (relational.py:802's projection)."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _EDGES_CACHE:
         return _EDGES_CACHE[key]
@@ -72,12 +74,17 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_partkey").cast("long").alias("v"),
         )
         .distinct()
+        .localCheckpoint()
     )
-    edges = half.unionAll(
-        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    _EDGES_CACHE[key] = edges
-    return edges
+    _EDGES_CACHE[key] = half
+    return half
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric co-purchase edge list: the oriented half plus its
+    reverse — a narrow union over the cached artifact, no new shuffle."""
+    half = copurchase_half_edges(spark, sf_dir)
+    return half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
 
 _EDGES_SQL = """

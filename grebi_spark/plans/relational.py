@@ -812,18 +812,11 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the standard refinement is degree-ordering the orientation
     so hot vertices bound their wedge fan-out — count-identical, so the
     id-ordering here keeps the oracle exact."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-        .persist()  # three legs of the triangle join read this
-    )
+    from .graph_analytics import copurchase_half_edges
+
+    # the oriented projection is the session-shared graph artifact
+    # (graph_analytics._EDGES_CACHE) — built once, read by all three legs
+    pairs = copurchase_half_edges(spark, sf_dir)
     e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
     # explicit broadcasts: the edge set is ~20 MB here, so both legs build
     # a hash map once and the wedge stream pipelines through both probes

@@ -217,8 +217,9 @@ def test_triangles_all_joins_are_equi(spark, sf_dir):
     plan = plan_of(copurchase_triangles(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in plan
     # the single-row crossJoin of the two aggregates is the only
-    # nested-loop allowed: 1×1 rows
-    assert plan.count("InMemoryTableScan") >= 3
+    # nested-loop allowed: 1×1 rows. All three legs must read the
+    # session-shared checkpointed projection artifact, not re-project
+    assert plan.count("Scan ExistingRDD") >= 3
     spark.catalog.clearCache()
 
 

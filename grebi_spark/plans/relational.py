@@ -895,6 +895,117 @@ ORDER BY l_returnflag
 """
 
 
+_CMS_EPS = 0.0001
+_CMS_TOPK = 10
+
+
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters — the streaming/100 TB path for
+    'top keys by frequency' when the key space is too large for an
+    exact groupBy: the sketch is a fixed-size mergeable summary built
+    in one distributed pass (`DataFrame.stat.countMinSketch`, map-side
+    partials merged like any aggregate), and point-estimates cost O(1).
+
+    Same inverted contract as approx_distinct_check (relational.py:851):
+    the oracle returns the exact top-10 counts plus literal TRUE; this
+    query emits whether each CMS estimate respects the sketch's
+    guarantee (never undercounts; overcounts by at most eps*N). A
+    hash-match proves the error contract held, not just that code ran.
+    The exact side doubles as the verification oracle the way a real
+    pipeline would spot-check its sketches."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("l_partkey")
+    )
+    # one distributed pass: top-k, total, and the sketch; the sketch agg
+    # is mergeable partial state exactly like sum/count
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "l_partkey")
+        .limit(_CMS_TOPK)
+        .collect()
+    )
+    agg = li.agg(
+        F.count("*").alias("total"),
+        F.count_min_sketch("l_partkey", F.lit(_CMS_EPS), F.lit(0.99), F.lit(42)).alias(
+            "sketch"
+        ),
+    ).collect()[0]
+    # deserialize through Spark's public sketch API (the estimate side
+    # of the same class the aggregate serialized)
+    jcms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(agg["sketch"])
+    )
+    slack = _CMS_EPS * agg["total"]
+    rows = []
+    for r in top:
+        est = jcms.estimateCount(int(r["l_partkey"]))
+        rows.append(
+            (
+                int(r["l_partkey"]),
+                int(r["n_exact"]),
+                bool(r["n_exact"] <= est <= r["n_exact"] + slack),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "l_partkey bigint, n_exact bigint, cms_within_bound boolean"
+    ).orderBy(F.desc("n_exact"), "l_partkey")
+
+
+ORACLE_HEAVY_HITTERS = f"""
+SELECT l_partkey::bigint AS l_partkey,
+       count(*) AS n_exact,
+       TRUE AS cms_within_bound
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY n_exact DESC, l_partkey
+LIMIT {_CMS_TOPK}
+"""
+
+
+_KLL_QUANTILES = (0.5, 0.9, 0.99)
+_KLL_RANK_TOL = 0.02
+
+
+def quantile_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketch — the 100 TB path for percentiles
+    (value_percentiles' exact interpolation needs a global sort; the
+    KLL sketch is one mergeable pass with ~1% rank error at default k).
+
+    Inverted contract like approx_distinct_check: estimate p50/p90/p99
+    of l_extendedprice from the sketch, then measure each estimate's
+    EXACT rank in a second scan; hash-matches the oracle's literal TRUE
+    rows only if every estimated quantile's true rank is within ±2% of
+    its target — the DataSketches rank-error guarantee, checked."""
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_extendedprice").alias("v"))
+    est = li.agg(
+        F.expr(
+            f"kll_sketch_get_quantile_double(kll_sketch_agg_double(v), "
+            f"array({', '.join(str(q) for q in _KLL_QUANTILES)}))"
+        ).alias("est")
+    ).collect()[0]["est"]
+    checks = [
+        (
+            (F.sum((F.col("v") <= F.lit(float(e))).cast("long")) / F.count("*"))
+            .between(q - _KLL_RANK_TOL, q + _KLL_RANK_TOL)
+        ).alias(f"ok_{i}")
+        for i, (q, e) in enumerate(zip(_KLL_QUANTILES, est))
+    ]
+    row = li.agg(*checks).collect()[0]
+    return spark.createDataFrame(
+        [(q, bool(row[f"ok_{i}"])) for i, q in enumerate(_KLL_QUANTILES)],
+        "quantile double, rank_within_2pct boolean",
+    ).orderBy("quantile")
+
+
+ORACLE_QUANTILE_SKETCH = """
+SELECT CAST(quantile AS DOUBLE) AS quantile, rank_within_2pct
+FROM (VALUES (0.5, TRUE), (0.9, TRUE), (0.99, TRUE))
+  AS t(quantile, rank_within_2pct)
+ORDER BY quantile
+"""
+
+
 # --- graph stats (Q9) -------------------------------------------------------
 
 def stats_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,6 +1153,8 @@ QUERIES = {
     "salted_join_orders": salted_join_orders,
     "copurchase_triangles": copurchase_triangles,
     "approx_distinct_check": approx_distinct_check,
+    "heavy_hitters_sketch": heavy_hitters_sketch,
+    "quantile_sketch_check": quantile_sketch_check,
     "q21_late_shippers": q21_late_shippers,
     "q22_idle_customers": q22_idle_customers,
 }
@@ -1073,6 +1186,8 @@ ORACLES = {
     "salted_join_orders": ORACLE_SALTED,
     "copurchase_triangles": ORACLE_TRIANGLES,
     "approx_distinct_check": ORACLE_APPROX_DISTINCT,
+    "heavy_hitters_sketch": ORACLE_HEAVY_HITTERS,
+    "quantile_sketch_check": ORACLE_QUANTILE_SKETCH,
     "q21_late_shippers": ORACLE_Q21,
     "q22_idle_customers": ORACLE_Q22,
 }

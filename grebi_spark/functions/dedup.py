@@ -782,8 +782,111 @@ ORDER BY tr.doc_id
 """
 
 
+# --- fuzzy string-match join (edit distance with q-gram prefix blocking) ----
+
+_FUZZY_PREFIX_LEN = 24  # the compared "title": first 24 chars of each doc
+_FUZZY_MAX_ED = 3
+_FUZZY_Q = 4  # positional 4-grams
+# Ed-Join prefix principle (Xiao/Wang/Lin): ed(s,t) <= d disturbs at most
+# q*d of either side's positional q-grams, and every undisturbed gram
+# shifts by at most d positions. So under ANY global q-gram total order
+# the first q*d+1 positional grams of the two strings must share a gram
+# whose positions differ by <= d. Blocking on (prefix gram equality,
+# |Δpos| <= d) is therefore complete whenever a title has > q*d
+# positional grams (the >= 16-char filter guarantees it; the unblocked
+# oracle proves it per-run).
+_FUZZY_PREFIX_GRAMS = _FUZZY_Q * _FUZZY_MAX_ED + 1
+
+
+def fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-match join: document pairs whose 24-char title
+    prefixes are within Levenshtein distance 3 — the record-linkage /
+    near-duplicate-title shape (the reference's equivalence grouping
+    only links on EXACT identifier equality; this is the approximate
+    upgrade for dirty identifiers).
+
+    Scale shape: candidates come from an equi-join on the df-rarest
+    positional prefix 4-grams with the Ed-Join positional refinement
+    (|Δpos| <= d as a join residual — a repeated word at a far offset
+    never makes a candidate), then one Levenshtein verify per survivor.
+    Never all-pairs: the O(n^2) edit-distance matrix becomes
+    |candidates| verifications, and rarest-first prefix ordering keeps
+    stop-grams out of the blocking keys. The same machinery as
+    dedup_ngram_jaccard's AllPairs blocking, specialised to edit
+    distance."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    titles = docs.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, _FUZZY_PREFIX_LEN)).alias("t"),
+    ).filter(F.length("t") >= 16)
+    tg = titles.select(
+        "doc_id",
+        "t",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, char_length(t) - {_FUZZY_Q - 1}),"
+                f" i -> substring(t, i, {_FUZZY_Q}))"
+            )
+        ).alias("pos", "g"),
+    )
+    gdf = tg.groupBy("g").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    ranked = (
+        tg.join(gdf, "g")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "g", "pos")
+            ),
+        )
+        .filter(F.col("rk") <= _FUZZY_PREFIX_GRAMS)
+        .select("doc_id", "t", "g", "pos")
+        .persist()  # both sides of the candidate self-join read this
+    )
+    a = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"), "g",
+        F.col("pos").alias("pa"),
+    )
+    b = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"), "g",
+        F.col("pos").alias("pb"),
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= _FUZZY_MAX_ED)
+        )
+        .select("doc_a", "doc_b", "ta", "tb")
+        .distinct()
+    )
+    out = (
+        cand.withColumn("lev", F.levenshtein("ta", "tb"))
+        .filter(F.col("lev") <= _FUZZY_MAX_ED)
+        .select("doc_a", "doc_b", F.col("lev").cast("int").alias("lev"))
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+ORACLE_FUZZY = f"""
+WITH t AS (
+  SELECT doc_id, lower(substr(text, 1, {_FUZZY_PREFIX_LEN})) AS t
+  FROM documents
+  WHERE length(lower(substr(text, 1, {_FUZZY_PREFIX_LEN}))) >= 16
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.t, b.t)::int AS lev
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.t, b.t) <= {_FUZZY_MAX_ED}
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "fuzzy_title_pairs": fuzzy_title_pairs,
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -795,6 +898,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "fuzzy_title_pairs": ORACLE_FUZZY,
     "dedup_exact_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_decontaminate": _oracle_decontaminate(),
     "dedup_minhash_lsh": _oracle_minhash(),

@@ -21,6 +21,7 @@ from grebi_spark.functions import training as _training
 from grebi_spark.plans import closure as _closure
 from grebi_spark.plans import graph_analytics as _graph_analytics
 from grebi_spark.plans import parity as _parity
+from grebi_spark.plans import profiling as _profiling
 from grebi_spark.plans import relational as _relational
 from grebi_spark.plans import relational2 as _relational2
 from grebi_spark.plans import search as _search
@@ -34,6 +35,7 @@ _MODULES = (
     _closure,
     _graph_analytics,
     _parity,
+    _profiling,
     _temporal,
     _text,
     _training,

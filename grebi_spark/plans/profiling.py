@@ -1,0 +1,67 @@
+"""Table profiling — the generic form of J4's global index aggregates
+(04_index/grebi_index collects per-property value counts across the
+whole graph; this is the same scan specialised to any table's columns).
+
+One pass over the fact table: ``stack`` melts the row into
+(column, value-as-string) pairs — a single Expand operator, no
+re-scan per column — and one aggregate computes null and distinct
+counts per column. Casting to string is injective for every profiled
+type, so the distinct counts equal the raw columns'; the cast values
+never leave the engine.
+
+Scale shape: scan → Expand (×n_cols rows, still map-side) → one
+groupBy on the tiny column-name key with partial aggregation. The
+alternative (one aggregate pass per column) scans the table n_cols
+times; this is the standard profiling trade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+_PROFILE_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipdate",
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in _PROFILE_COLS
+    )
+    melted = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col, val)")
+    )
+    return (
+        melted.groupBy("col")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("val").isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct("val").alias("n_distinct"),
+        )
+        .orderBy("col")
+    )
+
+
+def _profile_oracle() -> str:
+    selects = [
+        f"""SELECT '{c}' AS col, count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::bigint AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(selects) + "\n) ORDER BY col"
+
+
+QUERIES = {"table_profile": table_profile}
+ORACLES = {"table_profile": _profile_oracle()}

@@ -379,11 +379,201 @@ ORDER BY split
 """
 
 
+# --- the composed corpus-preparation funnel ---------------------------------
+
+
+def _mixture_threshold_col() -> Column:
+    expr = None
+    for src, rate in sorted(MIXTURE_RATES.items()):
+        cond = F.col("source") == src
+        val = F.lit(_rate_threshold_hex(rate))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(F.lit("00000000"))
+
+
+def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus preparation pipeline as one operator,
+    reporting the yield funnel — docs and tokens surviving each stage:
+
+      0 ingest → 1 language filter (en) → 2 quality gate (>= 0.75)
+      → 3 exact dedup (canonical fingerprint copy) → 4 decontaminate
+      (drop the held-out eval docs and anything sharing a word 8-gram
+      with them) → 5 mixture sampling → 6 train split.
+
+    This is the report every corpus build publishes; each stage reuses
+    the SAME definitions as its standalone operator (quality_score,
+    fingerprint, DECON 8-grams, mixture thresholds, split buckets), so
+    the funnel is consistent with the per-stage queries by construction.
+
+    Scale shape: one scan computes every per-doc feature as codegen'd
+    expressions; the only shuffles are the fingerprint canonical
+    election (one aggregate), the contamination broadcast-join rollup,
+    and the final 7-row stage aggregate. Stage flags are cumulative
+    booleans on one row — no per-stage re-scan of the corpus."""
+    from .dedup import DECON_EVAL_MOD, DECON_NGRAM, word_shingles
+    from .text import fingerprint, quality_score, token_count
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    split_bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    feat = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("n_tok"),
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("mixhex"),
+        split_bucket.alias("bucket"),
+    )
+
+    sh = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("sh")
+    )
+    is_eval = (F.col("doc_id") % DECON_EVAL_MOD) == 0
+    contam = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(sh.filter(is_eval).select("sh").distinct()), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    feat = feat.join(contam, "doc_id", "left").withColumn(
+        "contaminated", F.coalesce("contaminated", F.lit(False))
+    )
+
+    s1 = F.col("lang") == "en"
+    s2 = s1 & (F.col("q") >= 0.75)
+    canon = (
+        feat.filter(s2)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    feat = feat.join(F.broadcast(canon), "fp", "left")
+    s3 = s2 & (F.col("doc_id") == F.col("keep_id"))
+    s4 = (
+        s3
+        & (F.col("doc_id") % DECON_EVAL_MOD != 0)
+        & ~F.col("contaminated")
+    )
+    s5 = s4 & (F.col("mixhex") < _mixture_threshold_col())
+    s6 = s5 & (F.col("bucket") < 98)
+
+    stages = [
+        ("0_ingest", F.lit(True)),
+        ("1_lang", s1),
+        ("2_quality", s2),
+        ("3_exact_dedup", s3),
+        ("4_decontaminate", s4),
+        ("5_mixture", s5),
+        ("6_train_split", s6),
+    ]
+    aggs = []
+    for name, flag in stages:
+        aggs.append(F.sum(flag.cast("long")).alias(f"d_{name}"))
+        aggs.append(
+            F.sum(F.when(flag, F.col("n_tok")).otherwise(0)).cast("long").alias(
+                f"t_{name}"
+            )
+        )
+    wide = feat.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', d_{name}, t_{name}" for name, _ in stages
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(stages)}, {stack_args}) as (stage, n_docs, n_tokens)"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+def _funnel_oracle() -> str:
+    from .dedup import DECON_EVAL_MOD, DECON_NGRAM
+
+    n = DECON_NGRAM
+    terms = " || ' ' || ".join([f"t[i+{j}]" for j in range(n)])
+    mix_case = _mixture_case_sql()
+    stage_selects = []
+    for name, cte in (
+        ("0_ingest", "feat"),
+        ("1_lang", "s1"),
+        ("2_quality", "s2"),
+        ("3_exact_dedup", "s3"),
+        ("4_decontaminate", "s4"),
+        ("5_mixture", "s5"),
+        ("6_train_split", "s6"),
+    ):
+        stage_selects.append(
+            f"SELECT '{name}' AS stage, count(*) AS n_docs,"
+            f" coalesce(sum(n_tok), 0)::bigint AS n_tokens FROM {cte}"
+        )
+    union = "\nUNION ALL\n".join(stage_selects)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, lang, text,
+         regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), feat AS (
+  SELECT doc_id, source, lang,
+         len(t) AS n_tok,
+         round((CASE WHEN len(t) >= 10 AND len(t) <= 10000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(t) > 0
+                      AND length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t) >= 3
+                      AND length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t) <= 10
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(t) > 0
+                      AND len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0 / len(t) >= 0.05
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN length(text) > 0
+                      AND length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / length(text) <= 0.1
+                     THEN 0.25 ELSE 0.0 END), 4) AS q,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                                 '\\s+', ' ', 'g'))) AS fp,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS mixhex,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::bigint
+           % 100 AS bucket
+  FROM toks
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
+              i -> {terms}))
+         ELSE [] END) AS sh
+  FROM toks
+), contam AS (
+  SELECT DISTINCT tr.doc_id
+  FROM sh tr JOIN sh ev ON tr.sh = ev.sh
+  WHERE tr.doc_id % {DECON_EVAL_MOD} <> 0 AND ev.doc_id % {DECON_EVAL_MOD} = 0
+), s1 AS (SELECT * FROM feat WHERE lang = 'en'),
+s2 AS (SELECT * FROM s1 WHERE q >= 0.75),
+canon AS (SELECT fp, min(doc_id) AS keep_id FROM s2 GROUP BY fp),
+s3 AS (SELECT s2.* FROM s2 JOIN canon ON s2.fp = canon.fp
+       WHERE s2.doc_id = canon.keep_id),
+s4 AS (SELECT * FROM s3
+       WHERE doc_id % {DECON_EVAL_MOD} <> 0
+         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+s5 AS (SELECT * FROM s4 WHERE mixhex < {mix_case}),
+s6 AS (SELECT * FROM s5 WHERE bucket < 98)
+SELECT * FROM (
+{union}
+) ORDER BY stage
+"""
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
     "chunk_documents": chunk_documents,
     "kmeans_embeddings": kmeans_embeddings,
     "corpus_split": corpus_split,
+    "corpus_funnel": corpus_funnel,
 }
 
 ORACLES = {
@@ -391,4 +581,5 @@ ORACLES = {
     "chunk_documents": ORACLE_CHUNKS,
     "kmeans_embeddings": ORACLE_KMEANS,
     "corpus_split": ORACLE_SPLIT,
+    "corpus_funnel": _funnel_oracle(),
 }

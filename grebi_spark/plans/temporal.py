@@ -341,8 +341,121 @@ SELECT (SELECT count(*) FROM t1) AS n_view,
 """
 
 
+def events_resample_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily resample: a complete day-by-type grid over the
+    events span with zero-filled counts — the time-series densification
+    every downstream window/forecast operator assumes (missing periods
+    must be explicit zeros, not absent rows).
+
+    Scale shape: the dense axis is generated (sequence + explode over
+    one min/max row), never scanned; the grid is a broadcast cross of
+    (days × types) joined LEFT to the sparse aggregate — the aggregate
+    is the only event-sized shuffle."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.to_date(F.date_trunc("day", "ts"))
+    sparse = e.groupBy(day.alias("d"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    span = e.agg(
+        F.min(day).alias("d0"),
+        F.max(day).alias("d1"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    return (
+        grid.join(sparse, ["d", "event_type"], "left")
+        .select(
+            F.unix_date(F.col("d")).alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+ORACLE_RESAMPLE = """
+WITH sparse AS (
+  SELECT date_trunc('day', ts)::date AS d, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(date_trunc('day', ts))::date AS d0,
+         max(date_trunc('day', ts))::date AS d1
+  FROM events
+), days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS d FROM span
+), types AS (SELECT DISTINCT event_type FROM events)
+SELECT (days.d - DATE '1970-01-01') AS day,
+       types.event_type,
+       coalesce(sparse.n, 0)::bigint AS n_events
+FROM days CROSS JOIN types
+LEFT JOIN sparse ON sparse.d = days.d AND sparse.event_type = types.event_type
+ORDER BY 1, 2
+"""
+
+
+def events_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma anomaly detection over hourly event-type counts in EXACT
+    integer arithmetic: with per-type moments n, s=Σx, ss=Σx², hour h
+    is anomalous iff (n·x_h − s)² > 9·(n·ss − s²) — the z² > 9 test
+    cross-multiplied into bigints (mean = s/n, n²·var = n·ss − s², so
+    z² = (n·x−s)²/(n·ss−s²)), and no engine can disagree on a boundary
+    (the float z-score version depends on stddev accumulation order).
+
+    Scale shape: one hourly aggregate (event-sized shuffle), one tiny
+    per-type moment aggregate broadcast back onto it — the standard
+    two-pass outlier scan."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = e.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        "event_type",
+    ).agg(F.count("*").alias("x"))
+    moments = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    flagged = (
+        hourly.join(F.broadcast(moments), "event_type")
+        .withColumn("lhs", (F.col("n") * F.col("x") - F.col("s")))
+        .filter(
+            F.col("lhs") * F.col("lhs")
+            > 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        )
+    )
+    return (
+        flagged.select(
+            "hour_us",
+            "event_type",
+            F.col("x").alias("n_events"),
+        )
+        .orderBy("hour_us", "event_type")
+    )
+
+
+ORACLE_ANOMALY = """
+WITH hourly AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), moments AS (
+  SELECT event_type, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+  FROM hourly GROUP BY event_type
+)
+SELECT h.hour_us, h.event_type, h.x AS n_events
+FROM hourly h JOIN moments m ON h.event_type = m.event_type
+WHERE (m.n * h.x - m.s) * (m.n * h.x - m.s)
+      > 9 * (m.n * m.ss - m.s * m.s)
+ORDER BY h.hour_us, h.event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "events_resample_fill": events_resample_fill,
+    "events_anomaly_hours": events_anomaly_hours,
     "events_sessionize": events_sessionize,
     "sample_per_source": sample_per_source,
     "events_asof_join": events_asof_join,
@@ -353,6 +466,8 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_resample_fill": ORACLE_RESAMPLE,
+    "events_anomaly_hours": ORACLE_ANOMALY,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "sample_per_source": ORACLE_SAMPLE_PER_SOURCE,
     "events_asof_join": ORACLE_EVENTS_ASOF,

@@ -486,7 +486,57 @@ ORDER BY user_bucket
 """
 
 
+def events_latest_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized view — latest event per user, continuously
+    upserted: the CDC/last-write-wins pattern (a serving table that
+    always reflects each key's newest record), run as a real job.
+
+    ``max_by`` over a zero-padded (ts, event_id) string key makes the
+    'latest' election total and deterministic (event_id breaks exact-ts
+    ties), so the drained view equals the batch arg_max — the oracle.
+    Complete output mode: the state store IS the view (one row per user;
+    key-bounded, the correct mode for an entity-state table). At scale
+    the same aggregate runs unbounded and the sink upserts per batch."""
+    stream = _events_stream(spark, sf_dir)
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    latest = stream.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("last_event_type"),
+        F.max_by("value", key).alias("last_value"),
+        F.max(F.unix_micros(F.col("ts"))).alias("last_ts_us"),
+    )
+    name = _run_to_memory_sink(latest, "events_latest_state_stream", "complete")
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "last_event_type",
+            F.round("last_value", 4).alias("last_value"),
+            "last_ts_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENTS_LATEST_STATE = """
+SELECT user_id,
+       arg_max(event_type,
+               lpad(epoch_us(ts)::varchar, 20, '0')
+                 || lpad(event_id::varchar, 12, '0')) AS last_event_type,
+       round(arg_max(value,
+               lpad(epoch_us(ts)::varchar, 20, '0')
+                 || lpad(event_id::varchar, 12, '0')), 4) AS last_value,
+       max(epoch_us(ts)) AS last_ts_us
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
+    "events_latest_state_stream": events_latest_state_stream,
     "events_join_stream": events_join_stream,
     "events_sessionize_stream": events_sessionize_stream,
     "events_hourly_stream": events_hourly_stream,
@@ -495,6 +545,7 @@ QUERIES = {
     "docs_quality_stream": docs_quality_stream,
 }
 ORACLES = {
+    "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE,
     "events_join_stream": ORACLE_EVENTS_JOIN_STREAM,
     "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,
     "events_hourly_stream": ORACLE_EVENTS_HOURLY_STREAM,

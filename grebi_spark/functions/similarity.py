@@ -246,33 +246,104 @@ LIMIT 5
 """
 
 
+_PURITY_QUANT = 1000  # milli-unit embedding quantization (see docstring)
+
+
 def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid cosine coherence: avg cosine of each vector to
-    its label centroid — a clustering-quality aggregate (exercises
-    array aggregation + rescaled fold)."""
+    its label centroid — a clustering-quality aggregate, restated in
+    EXACT integer arithmetic so it is fully oracle-checkable (the float
+    version's centroid sums and cosine averaging are FP-accumulation-
+    order-dependent across engines).
+
+    How the FP-order dependence is eliminated:
+    - vectors are quantized to milli-unit bigints (round(x·1000)) —
+      identical in any engine on identical input doubles;
+    - cos(v, centroid) == cos(v, S) where S is the un-divided integer
+      SUM vector (the 1/n scaling cancels), so the centroid is an exact
+      bigint vector with order-free summation;
+    - dot products and squared norms are exact bigint folds; the only
+      float ops are two correctly-rounded sqrts and one fixed division
+      — bit-identical everywhere;
+    - per-vector cosines are re-quantized to micro-units before the
+      per-label average, so the final sum is exact again.
+
+    Scale note: bigint headroom holds to ~1e5 vectors/label at
+    milli-quantization; beyond that, coarsen the quantization or switch
+    the norm accumulators to decimal(38,0) — same plan shape."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    v = as_double(F.col("embedding"))
     dim = 64
-    sums = e.select(F.col("label").cast("int").alias("label"), v.alias("v")).groupBy(
-        "label"
-    ).agg(
-        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
-        F.count("*").alias("n"),
+    q = _PURITY_QUANT
+    iv = F.expr(
+        f"transform(embedding, x -> cast(round(cast(x as double) * {q}) as bigint))"
     )
-    centroid = F.array(*[(F.col(f"s{i}") / F.col("n")) for i in range(dim)])
-    cents = sums.select("label", centroid.alias("c"), "n")
-    joined = e.select(F.col("label").cast("int").alias("label"), v.alias("v")).join(
-        F.broadcast(cents), "label"
+    base = e.select(F.col("label").cast("int").alias("label"), iv.alias("v"))
+    sums = base.groupBy("label").agg(
+        *[
+            F.sum(F.element_at("v", i + 1)).cast("long").alias(f"s{i}")
+            for i in range(dim)
+        ],
     )
+    cents = sums.select(
+        "label", F.array(*[F.col(f"s{i}") for i in range(dim)]).alias("s")
+    )
+    joined = base.join(F.broadcast(cents), "label")
+    per_vec = joined.select(
+        "label",
+        F.expr(
+            "aggregate(zip_with(v, s, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"
+        ).alias("dot"),
+        F.expr(
+            "aggregate(v, 0L, (acc, x) -> acc + x * x)"
+        ).alias("na2"),
+        F.expr(
+            "aggregate(s, 0L, (acc, x) -> acc + x * x)"
+        ).alias("nc2"),
+    )
+    cs_u = F.round(
+        F.col("dot") / (F.sqrt("na2") * F.sqrt("nc2")) * 1000000, 0
+    ).cast("long")
     return (
-        joined.select("label", cosine(F.col("v"), F.col("c")).alias("cs"), "n")
+        per_vec.select("label", cs_u.alias("cu"))
         .groupBy("label")
         .agg(
-            F.max("n").cast("long").alias("n_vectors"),
-            F.round(F.avg("cs"), 4).alias("avg_centroid_cosine"),
+            F.count("*").cast("long").alias("n_vectors"),
+            F.round(F.sum("cu") / (F.count("*") * 1000000.0), 4).alias(
+                "avg_centroid_cosine"
+            ),
         )
         .orderBy("label")
     )
+
+
+ORACLE_LABEL_PURITY = f"""
+WITH iv AS (
+  SELECT label::int AS label,
+         list_transform(embedding::DOUBLE[],
+                        x -> round(x * {_PURITY_QUANT})::bigint) AS v
+  FROM embeddings
+), ex AS (
+  SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM iv
+), cent AS (
+  SELECT label, pos, sum(x)::bigint AS s FROM ex GROUP BY label, pos
+), cl AS (
+  SELECT label, list(s ORDER BY pos) AS s FROM cent GROUP BY label
+), per_vec AS (
+  SELECT iv.label,
+         list_sum(list_transform(range(1, 65), i -> iv.v[i] * cl.s[i]))::bigint
+           AS dot,
+         list_sum(list_transform(iv.v, x -> x * x))::bigint AS na2,
+         list_sum(list_transform(cl.s, x -> x * x))::bigint AS nc2
+  FROM iv JOIN cl USING (label)
+), u AS (
+  SELECT label,
+         round(dot / (sqrt(na2) * sqrt(nc2)) * 1000000)::bigint AS cu
+  FROM per_vec
+)
+SELECT label, count(*)::bigint AS n_vectors,
+       round(sum(cu) / (count(*) * 1000000.0), 4) AS avg_centroid_cosine
+FROM u GROUP BY label ORDER BY label
+"""
 
 
 KNN_K = 5
@@ -286,8 +357,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Fully deterministic and oracle-checkable — the cosine is the same
     sequential zip_with fold both engines run, neighbour rank ties break
-    on vec_id, and the vote argmax breaks on label — unlike
-    knn_label_purity, whose centroid averaging is FP-order-sensitive.
+    on vec_id, and the vote argmax breaks on label.
 
     Scale shape: the probe side is a BROADCAST of the (tiny) query set
     against one corpus scan — per-row work is |Q|·d multiply-adds,
@@ -451,8 +521,6 @@ ORACLES = {
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),
-    # knn_label_purity: centroid averaging is FP-order-sensitive across
-    # engines (parallel vs serial sum) — driver runs the rows-only check;
-    # knn_classify is its hash-checkable companion.
+    "knn_label_purity": ORACLE_LABEL_PURITY,
     "knn_classify": ORACLE_KNN_CLASSIFY,
 }

@@ -19,7 +19,7 @@ bit-for-bit before rounding).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -507,7 +507,129 @@ LIMIT 5
     )
 
 
+_RECALL_N_QUERIES = 20
+_RECALL_K = 10
+
+
+def ann_recall_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: per-query recall@10 of the sign-bit LSH
+    bucket probe against exact brute force, for 20 query vectors — the
+    eval harness every production ANN deployment runs before trusting
+    an index.
+
+    All-integer output (bucket candidate count + overlap hits per
+    query), with cross-engine-safe ordering: cosines are rounded to
+    1e-4 with vec_id tiebreak (the same convention the passing ann_*
+    oracles use), so both engines elect identical top-k SETS and the
+    recall is bit-identical — a FULL oracle, not an inverted contract.
+
+    Scale shape: the 20-query probe set broadcasts against ONE corpus
+    scan (per-row work is 20·d multiply-adds); both top-k elections are
+    windows partitioned by query id. The LSH leg demonstrates the
+    pruning economics: candidates ~ corpus/16 per bucket."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    v = as_double(F.col("embedding"))
+    corpus = e.select("vec_id", v.alias("v"), sign_bucket(v).alias("b"))
+    queries = corpus.filter(F.col("vec_id") < _RECALL_N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("b").alias("qb")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            "b",
+            "qb",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("cs"),
+        )
+    )
+    by_q = Window.partitionBy("qid").orderBy(F.desc("cs"), "vec_id")
+    brute = (
+        scored.withColumn("rn", F.row_number().over(by_q))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    lsh = (
+        scored.filter(F.col("b") == F.col("qb"))
+        .withColumn("rn", F.row_number().over(by_q))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    n_bucket = (
+        scored.filter(F.col("b") == F.col("qb"))
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_bucket"))
+    )
+    hits = (
+        brute.join(lsh, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
+    )
+    return (
+        queries.select("qid")
+        .join(n_bucket, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("n_bucket", F.lit(0)).cast("long").alias("n_bucket"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("recall_hits"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _oracle_ann_recall() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN v[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_PLANES)
+    )
+    return f"""
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), corpus AS (
+  SELECT vec_id, v, {bits} AS b FROM c
+), queries AS (
+  SELECT vec_id AS qid, v AS qv, b AS qb FROM corpus
+  WHERE vec_id < {_RECALL_N_QUERIES}
+), scored AS (
+  SELECT q.qid, co.vec_id, co.b, q.qb,
+         round(list_dot_product(co.v, q.qv)
+               / (sqrt(list_dot_product(co.v, co.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cs
+  FROM corpus co CROSS JOIN queries q
+  WHERE co.vec_id != q.qid
+), brute AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+    FROM scored
+  ) WHERE rn <= {_RECALL_K}
+), lsh AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id) AS rn
+    FROM scored WHERE b = qb
+  ) WHERE rn <= {_RECALL_K}
+), nb AS (
+  SELECT qid, count(*) AS n_bucket FROM scored WHERE b = qb GROUP BY qid
+), h AS (
+  SELECT brute.qid, count(*) AS hits
+  FROM brute JOIN lsh ON brute.qid = lsh.qid AND brute.vec_id = lsh.vec_id
+  GROUP BY brute.qid
+)
+SELECT q.qid,
+       coalesce(nb.n_bucket, 0)::bigint AS n_bucket,
+       coalesce(h.hits, 0)::bigint AS recall_hits
+FROM queries q
+LEFT JOIN nb ON q.qid = nb.qid
+LEFT JOIN h ON q.qid = h.qid
+ORDER BY q.qid
+"""
+
+
 QUERIES = {
+    "ann_recall_check": ann_recall_check,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -517,6 +639,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_recall_check": _oracle_ann_recall(),
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": ORACLE_ANN_IVF,

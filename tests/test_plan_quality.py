@@ -376,3 +376,48 @@ def test_corpus_split_single_exchange(spark, sf_dir):
     plan = plan_of(corpus_split(spark, sf_dir), mode="simple")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 2
+
+def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
+    """The 100TB fact-fact join pruning path: with runtime bloom filters
+    on, Catalyst builds a bloom_filter_agg over the selective build side
+    and injects might_contain() into the probe-side SCAN, so the big
+    table is pruned before the shuffle. (applicationSideScanSizeThreshold
+    is lowered only because the test tables are small — at production
+    scale the default 10GB threshold triggers it naturally.)"""
+    from pyspark.sql import functions as F
+
+    from grebi_spark.session import load_tables
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+        sel = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        j = (
+            t["lineitem"]
+            .join(sel, t["lineitem"].l_orderkey == sel.o_orderkey)
+            .agg(F.count("*").alias("n"))
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -78,50 +78,82 @@ SESSION_SCHEMA = T.StructType(
         T.StructField("n_events", T.LongType()),
     ]
 )
-_STATE_SCHEMA = "start_ts double, end_ts double, n long"
+_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+_SESSION_GAP_S = 30 * 60
+
+
+def _session_df(sessions: list, user_id) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
+            "session_start": pd.Series(
+                [pd.Timestamp(s[0], unit="us") for s in sessions],
+                dtype="datetime64[ns]",
+            ),
+            "session_end": pd.Series(
+                [pd.Timestamp(s[1], unit="us") for s in sessions],
+                dtype="datetime64[ns]",
+            ),
+            "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+        }
+    )
 
 
 def _session_fn(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """applyInPandasWithState session builder: 30-minute inactivity gap.
+    """applyInPandasWithState session builder: 30-minute inactivity gap,
+    EVENT-time semantics — byte-for-byte the built-in session_window's
+    gap rule (a new session starts when the inter-event gap reaches the
+    threshold), plus the thing session_window cannot express: custom
+    per-key state and emission policy.
 
-    Emits a row per *closed* session (on timeout); open sessions are held
-    in state. This is the custom-stateful-operator pattern the engine
-    offers where built-in ``session_window`` is not expressive enough
-    (e.g. per-key dynamic gaps)."""
+    A gap OBSERVED inside a batch closes a session immediately (the
+    data itself proves no event can land in it); only the per-key tail
+    session is held in state, with an event-time timeout at
+    (session_end + gap) so the watermark — not wall clock — closes it.
+    State per key is one (start, end, n) triple: bounded."""
+    gap_us = _SESSION_GAP_S * 1_000_000
     if state.hasTimedOut:
-        (start_ts, end_ts, n) = state.get
+        start_us, end_us, n = state.get
         state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start_ts, unit="s")],
-                "session_end": [pd.Timestamp(end_ts, unit="s")],
-                "n_events": [n],
-            }
-        )
+        yield _session_df([(start_us, end_us, n)], key[0])
         return
     rows = pd.concat(list(batches))
-    ts = rows["ts"].astype("int64") / 1e9
-    lo, hi, n = float(ts.min()), float(ts.max()), len(rows)
+    ts = sorted(rows["ts"].astype("int64") // 1000)  # exact microseconds
+    sessions: list[tuple[int, int, int]] = []
+    cur = [ts[0], ts[0], 1]
+    for t in ts[1:]:
+        if t - cur[1] >= gap_us:
+            sessions.append(tuple(cur))
+            cur = [t, t, 1]
+        else:
+            cur[1] = t
+            cur[2] += 1
     if state.exists:
-        (start_ts, end_ts, n0) = state.get
-        lo, hi, n = min(lo, start_ts), max(hi, end_ts), n + n0
-    state.update((lo, hi, n))
-    state.setTimeoutDuration(30 * 60 * 1000)
-    yield pd.DataFrame(
-        {
-            "user_id": pd.Series([], dtype="int64"),
-            "session_start": pd.Series([], dtype="datetime64[ns]"),
-            "session_end": pd.Series([], dtype="datetime64[ns]"),
-            "n_events": pd.Series([], dtype="int64"),
-        }
-    )
+        s0, e0, n0 = state.get
+        head = sessions[0] if sessions else tuple(cur)
+        if head[0] - e0 < gap_us:  # batch head continues the carried session
+            merged = (min(s0, head[0]), max(e0, head[1]), n0 + head[2])
+            if sessions:
+                sessions[0] = merged
+            else:
+                cur = list(merged)
+        else:  # carried session is provably closed by the new data
+            sessions.insert(0, (s0, e0, n0))
+    state.update((int(cur[0]), int(cur[1]), int(cur[2])))
+    # close the tail when event time (the watermark) passes end + gap;
+    # the timestamp must sit above the current watermark or Spark rejects it
+    wm = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(wm + 1, cur[1] // 1000 + _SESSION_GAP_S * 1000))
+    yield _session_df(sessions, key[0])
 
 
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Custom stateful sessionization via applyInPandasWithState."""
+    """Custom stateful sessionization via applyInPandasWithState —
+    event-time timeouts, so results are a pure function of the data and
+    the watermark, never of wall-clock scheduling."""
     return (
         events.withWatermark("ts", gap)
         .groupBy("user_id")
@@ -130,7 +162,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             outputStructType=SESSION_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -535,7 +567,102 @@ ORDER BY user_id
 """
 
 
+def events_custom_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful sessionizer (applyInPandasWithState, event-
+    time timeouts) run as a real streaming job over the events table —
+    the operator pattern for semantics session_window can't express.
+
+    Bounded-drain protocol: the events file is staged with two
+    far-future sentinel files behind it (maxFilesPerTrigger=1 → three
+    micro-batches). Sentinel batch 1 advances the watermark past every
+    real session's (end + gap) timeout; sentinel batch 2 gives Spark
+    the extra batch in which those event-time timeouts fire. Every real
+    session therefore closes deterministically — either by an observed
+    in-batch gap or by the watermark — and the result equals the batch
+    gaps-and-islands SQL, which is the oracle. Sentinel keys are
+    filtered out of the output."""
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"{sf_dir}/events.parquet"
+    stage = tempfile.mkdtemp(prefix="grebi_sessions_")
+    shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
+    sch = pq.read_schema(src)
+    last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
+    import datetime as _dt
+
+    for i, days in enumerate((365, 366)):
+        row = {
+            "event_id": [10**12 + i],
+            "ts": [last_ts + _dt.timedelta(days=days)],
+            "user_id": [-1],
+            "event_type": ["sentinel"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+        tbl = pa.Table.from_pydict(
+            {f.name: row[f.name] for f in sch}, schema=sch
+        )
+        pq.write_table(tbl, os.path.join(stage, f"0{i + 1}_sentinel.parquet"))
+    # oldest-first processing order (the source orders by mtime)
+    for i, name in enumerate(
+        ("00_events.parquet", "01_sentinel.parquet", "02_sentinel.parquet")
+    ):
+        os.utime(os.path.join(stage, name), (1_000_000 + i, 1_000_000 + i))
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = sessionize(stream)
+    name = _run_to_memory_sink(sessions, "events_custom_session_stream", "append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+ORACLE_CUSTOM_SESSIONS = """
+WITH o AS (
+  SELECT user_id, epoch_us(ts) AS tus FROM events
+), d AS (
+  SELECT user_id, tus,
+         CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+                OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                   >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM o
+), g AS (
+  SELECT user_id, tus,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, min(tus) AS session_start_us, max(tus) AS session_end_us,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+
 QUERIES = {
+    "events_custom_session_stream": events_custom_session_stream,
     "events_latest_state_stream": events_latest_state_stream,
     "events_join_stream": events_join_stream,
     "events_sessionize_stream": events_sessionize_stream,
@@ -545,6 +672,7 @@ QUERIES = {
     "docs_quality_stream": docs_quality_stream,
 }
 ORACLES = {
+    "events_custom_session_stream": ORACLE_CUSTOM_SESSIONS,
     "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE,
     "events_join_stream": ORACLE_EVENTS_JOIN_STREAM,
     "events_sessionize_stream": ORACLE_EVENTS_SESSIONIZE_STREAM,

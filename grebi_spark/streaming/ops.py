@@ -567,6 +567,49 @@ ORDER BY user_id
 """
 
 
+_SESSION_STAGE_CACHE: dict[str, str] = {}
+
+
+def _session_stage(spark: SparkSession, src: str) -> str:
+    """Stage dir for the bounded-drain protocol: the events file plus
+    two far-future sentinel files behind it, mtime-ordered so the file
+    source replays them as three micro-batches. Built once per
+    (session, source file)."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = f"{spark.sparkContext.applicationId}:{src}"
+    if key in _SESSION_STAGE_CACHE:
+        return _SESSION_STAGE_CACHE[key]
+    stage = tempfile.mkdtemp(prefix="grebi_sessions_")
+    shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
+    sch = pq.read_schema(src)
+    last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
+    for i, days in enumerate((365, 366)):
+        row = {
+            "event_id": [10**12 + i],
+            "ts": [last_ts + _dt.timedelta(days=days)],
+            "user_id": [-1],
+            "event_type": ["sentinel"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+        tbl = pa.Table.from_pydict({f.name: row[f.name] for f in sch}, schema=sch)
+        pq.write_table(tbl, os.path.join(stage, f"0{i + 1}_sentinel.parquet"))
+    # oldest-first processing order (the source orders by mtime)
+    for i, name in enumerate(
+        ("00_events.parquet", "01_sentinel.parquet", "02_sentinel.parquet")
+    ):
+        os.utime(os.path.join(stage, name), (1_000_000 + i, 1_000_000 + i))
+    _SESSION_STAGE_CACHE[key] = stage
+    return stage
+
+
 def events_custom_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CUSTOM stateful sessionizer (applyInPandasWithState, event-
     time timeouts) run as a real streaming job over the events table —
@@ -581,39 +624,8 @@ def events_custom_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-batch gap or by the watermark — and the result equals the batch
     gaps-and-islands SQL, which is the oracle. Sentinel keys are
     filtered out of the output."""
-    import os
-    import shutil
-    import tempfile
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     src = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="grebi_sessions_")
-    shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
-    sch = pq.read_schema(src)
-    last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
-    import datetime as _dt
-
-    for i, days in enumerate((365, 366)):
-        row = {
-            "event_id": [10**12 + i],
-            "ts": [last_ts + _dt.timedelta(days=days)],
-            "user_id": [-1],
-            "event_type": ["sentinel"],
-            "value": [0.0],
-            "props": ["{}"],
-        }
-        tbl = pa.Table.from_pydict(
-            {f.name: row[f.name] for f in sch}, schema=sch
-        )
-        pq.write_table(tbl, os.path.join(stage, f"0{i + 1}_sentinel.parquet"))
-    # oldest-first processing order (the source orders by mtime)
-    for i, name in enumerate(
-        ("00_events.parquet", "01_sentinel.parquet", "02_sentinel.parquet")
-    ):
-        os.utime(os.path.join(stage, name), (1_000_000 + i, 1_000_000 + i))
-
+    stage = _session_stage(spark, src)
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)

@@ -379,6 +379,77 @@ ORDER BY split
 """
 
 
+# --- deterministic masking (MLM-style span corruption) -----------------------
+
+_MASK_RATE = 0.15
+
+
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 15% token masking for masked-LM training data:
+    each (doc, position) masks iff md5(doc_id:pos) sorts under the rate
+    threshold — the id-stable property rand() masking lacks (re-running
+    on a grown corpus reproduces every existing example bit-for-bit,
+    so training examples are versionable).
+
+    Per-source report: docs, tokens, masked tokens, realised mask rate.
+    Scale shape: tokenise + posexplode + a row-local md5 decision, all
+    codegen'd; ONE aggregate. The masked-sequence materialisation (not
+    shown) is the same expression inside transform() — zero extra
+    shuffles."""
+    from .text import tokens
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    thr = _rate_threshold_hex(_MASK_RATE)
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    masked = F.substring(
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+            )
+        ),
+        1,
+        8,
+    ) < F.lit(thr)
+    return (
+        tok.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_tokens"),
+            F.sum(masked.cast("long")).alias("n_masked"),
+            F.round(
+                F.sum(masked.cast("long")) / F.count("*"), 4
+            ).alias("mask_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_SPAN_CORRUPTION = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) - 1
+           AS pos
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+         CASE WHEN substr(md5(doc_id::varchar || ':' || pos::varchar), 1, 8)
+                   < '{_rate_threshold_hex(_MASK_RATE)}'
+              THEN 1 ELSE 0 END AS masked
+  FROM tok
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_tokens,
+       sum(masked)::bigint AS n_masked,
+       round(sum(masked) / count(*), 4) AS mask_rate
+FROM m GROUP BY source ORDER BY source
+"""
+
+
 # --- the composed corpus-preparation funnel ---------------------------------
 
 
@@ -574,6 +645,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "corpus_split": corpus_split,
     "corpus_funnel": corpus_funnel,
+    "span_corruption": span_corruption,
 }
 
 ORACLES = {
@@ -582,4 +654,5 @@ ORACLES = {
     "kmeans_embeddings": ORACLE_KMEANS,
     "corpus_split": ORACLE_SPLIT,
     "corpus_funnel": _funnel_oracle(),
+    "span_corruption": ORACLE_SPAN_CORRUPTION,
 }

@@ -446,8 +446,116 @@ LIMIT {_LP_TOPK}
 """
 
 
+_SSSP_SOURCE = 1
+_SSSP_ROUNDS = 4
+_SSSP_TOPK = 20
+_SSSP_COST_NUM = 1_000_000  # edge cost = 1e6 div shared-order count
+
+_WEIGHTED_EDGES_SQL = f"""
+  SELECT u, v, {_SSSP_COST_NUM} // w AS cost FROM (
+    SELECT a.l_partkey::bigint AS u, b.l_partkey::bigint AS v, count(*) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) UNION ALL
+  SELECT v, u, {_SSSP_COST_NUM} // w AS cost FROM (
+    SELECT a.l_partkey::bigint AS u, b.l_partkey::bigint AS v, count(*) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  )
+"""
+
+
+def weighted_paths_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest parts to part 1 by 4-round bounded Bellman-Ford
+    over the WEIGHTED co-purchase graph (edge cost = 1e6 div shared
+    orders — frequent co-purchase is 'near'). All-integer costs, so the
+    relaxation and the final ranking are bit-identical in any engine
+    and the oracle can unroll the same rounds.
+
+    Scale shape: each round is ONE equi-join (frontier-less Bellman-Ford
+    relaxation: dist ⋈ edges on the source key) + ONE min-aggregate by
+    target — the same superstep shape as PageRank/LPA, lineage cut per
+    round. Bounded rounds = bounded cost; for full convergence swap the
+    round count for a fixpoint check exactly like
+    operators/groups.py's CC loop."""
+    li = (
+        load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+        .select("l_orderkey", "l_partkey")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").cast("long").alias("u"),
+            F.col("b.l_partkey").cast("long").alias("v"),
+        )
+        .agg(F.count("*").alias("w"))
+        .select("u", "v", F.expr(f"{_SSSP_COST_NUM} div w").alias("cost"))
+    )
+    edges = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "cost")
+    ).localCheckpoint()
+    dist = (
+        spark.range(1)
+        .select(
+            F.lit(_SSSP_SOURCE).cast("long").alias("node"),
+            F.lit(0).cast("long").alias("cost"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_SSSP_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.u)
+            .select(F.col("v").alias("node"), (dist.cost + edges.cost).alias("cost"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return (
+        dist.filter(F.col("node") != _SSSP_SOURCE)
+        .orderBy("cost", "node")
+        .limit(_SSSP_TOPK)
+    )
+
+
+def _sssp_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _SSSP_ROUNDS + 1):
+        rounds.append(
+            f"""d{i} AS (
+  SELECT node, min(cost) AS cost FROM (
+    SELECT node, cost FROM {prev}
+    UNION ALL
+    SELECT e.v AS node, d.cost + e.cost AS cost
+    FROM {prev} d JOIN edges e ON e.u = d.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{i}"
+    return f"""
+WITH edges AS ({_WEIGHTED_EDGES_SQL}),
+d0 AS (SELECT {_SSSP_SOURCE}::bigint AS node, 0::bigint AS cost),
+{",".join(rounds)}
+SELECT node, cost FROM {prev}
+WHERE node != {_SSSP_SOURCE}
+ORDER BY cost, node
+LIMIT {_SSSP_TOPK}
+"""
+
+
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
+    "weighted_paths_copurchase": weighted_paths_copurchase,
     "label_propagation_communities": label_propagation_communities,
     "bfs_hops_copurchase": bfs_hops_copurchase,
     "degree_distribution": degree_distribution,
@@ -456,6 +564,7 @@ QUERIES = {
 
 ORACLES = {
     "pagerank_copurchase": _pagerank_oracle(),
+    "weighted_paths_copurchase": _sssp_oracle(),
     "label_propagation_communities": _label_propagation_oracle(),
     "bfs_hops_copurchase": ORACLE_BFS,
     "degree_distribution": ORACLE_DEGREES,

@@ -452,10 +452,68 @@ ORDER BY h.hour_us, h.event_type
 """
 
 
+_SLIDING_DAYS = 7
+
+
+def events_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct active users ending each day (the WAU
+    curve). Distinct-over-sliding-window has no direct window-function
+    form (countDistinct is unsupported over RANGE frames in any
+    engine); the scalable shape is replicate-by-offset: each (user,
+    active-day) pair contributes to the 7 window-end days it falls in,
+    then ONE distinct-count per end day.
+
+    Scale shape: the distinct (user, day) reduction happens FIRST (the
+    only event-sized shuffle), the ×7 replication is a narrow explode
+    of the already-reduced pairs, and the final aggregate is day-keyed.
+    Replication factor == window length — bounded and explicit."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    day = F.to_date(F.date_trunc("day", "ts"))
+    act = e.select("user_id", day.alias("d")).distinct()
+    span = e.agg(F.min(day).alias("d0"), F.max(day).alias("d1")).collect()[0]
+    ends = (
+        act.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(d, date_add(d, {_SLIDING_DAYS - 1}), interval 1 day)")
+            ).alias("end_day"),
+        )
+        .filter(
+            (F.col("end_day") >= F.lit(span["d0"]))
+            & (F.col("end_day") <= F.lit(span["d1"]))
+        )
+    )
+    return (
+        ends.groupBy(F.unix_date(F.col("end_day")).alias("end_day"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("end_day")
+    )
+
+
+ORACLE_SLIDING = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts)::date AS d FROM events
+), span AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM act
+), ends AS (
+  SELECT user_id,
+         unnest(generate_series(d, d + INTERVAL {_SLIDING_DAYS - 1} DAY,
+                                INTERVAL 1 DAY))::date AS end_day
+  FROM act
+)
+SELECT (end_day - DATE '1970-01-01') AS end_day,
+       count(DISTINCT user_id) AS n_active_users
+FROM ends, span
+WHERE end_day BETWEEN span.d0 AND span.d1
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_resample_fill": events_resample_fill,
     "events_anomaly_hours": events_anomaly_hours,
+    "events_sliding_users": events_sliding_users,
     "events_sessionize": events_sessionize,
     "sample_per_source": sample_per_source,
     "events_asof_join": events_asof_join,
@@ -468,6 +526,7 @@ ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_resample_fill": ORACLE_RESAMPLE,
     "events_anomaly_hours": ORACLE_ANOMALY,
+    "events_sliding_users": ORACLE_SLIDING,
     "events_sessionize": ORACLE_EVENTS_SESSIONIZE,
     "sample_per_source": ORACLE_SAMPLE_PER_SOURCE,
     "events_asof_join": ORACLE_EVENTS_ASOF,

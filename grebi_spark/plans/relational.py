@@ -963,7 +963,35 @@ LIMIT {_CMS_TOPK}
 """
 
 
-_KLL_QUANTILES = (0.5, 0.9, 0.99)
+# One SQL text, two engines: the engine's SQL surface is dialect-
+# compatible ANSI for the relational core, so user queries written
+# against the registered views run UNCHANGED — this string is both the
+# Spark query and, verbatim, its DuckDB oracle.
+ANSI_PASSTHROUGH_SQL = """
+SELECT n.n_name AS nation,
+       count(*) AS n_orders,
+       CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       min(c.c_acctbal) AS min_acctbal
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+HAVING count(*) > 10
+ORDER BY nation
+"""
+
+
+def ansi_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialect-portability proof: one ANSI SQL string over the
+    registered views executes on Spark AND serves verbatim as its own
+    DuckDB oracle — the 'bring your SQL unchanged' contract of the
+    batch-query surface (GrEBI's stage-08 users write Cypher against
+    Neo4j; this engine's users write SQL against the same tables).
+    Catalyst still gets full rein: broadcast dims, partial aggregates,
+    pushdown — the text being portable costs no plan quality."""
+    load_tables(spark, sf_dir, ("orders", "customer", "nation"))
+    return spark.sql(ANSI_PASSTHROUGH_SQL)
 _KLL_RANK_TOL = 0.02
 
 
@@ -1155,6 +1183,7 @@ QUERIES = {
     "approx_distinct_check": approx_distinct_check,
     "heavy_hitters_sketch": heavy_hitters_sketch,
     "quantile_sketch_check": quantile_sketch_check,
+    "ansi_sql_passthrough": ansi_sql_passthrough,
     "q21_late_shippers": q21_late_shippers,
     "q22_idle_customers": q22_idle_customers,
 }
@@ -1188,6 +1217,7 @@ ORACLES = {
     "approx_distinct_check": ORACLE_APPROX_DISTINCT,
     "heavy_hitters_sketch": ORACLE_HEAVY_HITTERS,
     "quantile_sketch_check": ORACLE_QUANTILE_SKETCH,
+    "ansi_sql_passthrough": ANSI_PASSTHROUGH_SQL,
     "q21_late_shippers": ORACLE_Q21,
     "q22_idle_customers": ORACLE_Q22,
 }

@@ -734,6 +734,91 @@ ORDER BY returnflag, linestatus
 """
 
 
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((flag, status), (flag), (status)) — the
+    general form rollup/cube are shorthands for, still ONE aggregation
+    pass (Expand duplicates rows per set map-side, partial-aggregates
+    before the single shuffle). grouping_id() disambiguates subtotal
+    rows whose key collides with a real value — the portable marker
+    both engines compute identically."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               round(sum(l_extendedprice), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus))
+        ORDER BY gid, returnflag, linestatus
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus))
+ORDER BY gid, returnflag, linestatus
+"""
+
+
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation across two INDEPENDENT fact
+    streams: per-key order counts vs per-key event counts, keeping keys
+    present on EITHER side — the ledger-reconciliation shape (which
+    entities ordered but never emitted events, emitted events but never
+    ordered, or both). Distinct Catalyst path from left/semi/anti: full
+    outer cannot broadcast either side, so it exercises the
+    shuffle-both-sides hash join."""
+    o = _t(spark, sf_dir, "orders")
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    order_counts = o.groupBy(F.col("o_custkey").cast("long").alias("k")).agg(
+        F.count("*").alias("n_orders")
+    )
+    event_counts = ev.groupBy(F.col("user_id").cast("long").alias("k")).agg(
+        F.count("*").alias("n_events")
+    )
+    j = order_counts.join(event_counts, "k", "full_outer")
+    return (
+        j.groupBy()
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum(F.col("n_events").isNull().cast("long")).alias("n_orders_only"),
+            F.sum(F.col("n_orders").isNull().cast("long")).alias("n_events_only"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"),
+            F.sum(F.coalesce("n_events", F.lit(0))).alias("total_events"),
+        )
+    )
+
+
+ORACLE_FULL_OUTER = """
+WITH order_counts AS (
+  SELECT o_custkey::bigint AS k, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+), event_counts AS (
+  SELECT user_id::bigint AS k, count(*) AS n_events
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT a.n_orders, b.n_events
+  FROM order_counts a FULL OUTER JOIN event_counts b USING (k)
+)
+SELECT count(*) AS n_keys,
+       sum(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END)::bigint AS n_orders_only,
+       sum(CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END)::bigint AS n_events_only,
+       coalesce(sum(n_orders), 0)::bigint AS total_orders,
+       coalesce(sum(n_events), 0)::bigint AS total_events
+FROM j
+"""
+
+
 # --- exact percentiles ------------------------------------------------------
 
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1184,6 +1269,8 @@ QUERIES = {
     "heavy_hitters_sketch": heavy_hitters_sketch,
     "quantile_sketch_check": quantile_sketch_check,
     "ansi_sql_passthrough": ansi_sql_passthrough,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "full_outer_reconcile": full_outer_reconcile,
     "q21_late_shippers": q21_late_shippers,
     "q22_idle_customers": q22_idle_customers,
 }
@@ -1218,6 +1305,8 @@ ORACLES = {
     "heavy_hitters_sketch": ORACLE_HEAVY_HITTERS,
     "quantile_sketch_check": ORACLE_QUANTILE_SKETCH,
     "ansi_sql_passthrough": ANSI_PASSTHROUGH_SQL,
+    "grouping_sets_revenue": ORACLE_GROUPING_SETS,
+    "full_outer_reconcile": ORACLE_FULL_OUTER,
     "q21_late_shippers": ORACLE_Q21,
     "q22_idle_customers": ORACLE_Q22,
 }

@@ -1077,6 +1077,7 @@ def ansi_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown — the text being portable costs no plan quality."""
     load_tables(spark, sf_dir, ("orders", "customer", "nation"))
     return spark.sql(ANSI_PASSTHROUGH_SQL)
+_KLL_QUANTILES = (0.5, 0.9, 0.99)
 _KLL_RANK_TOL = 0.02
 
 

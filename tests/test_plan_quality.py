@@ -421,3 +421,36 @@ def test_runtime_bloom_filter_prunes_fact_fact_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+def test_full_outer_shuffles_both_sides(spark, sf_dir):
+    """Full outer cannot broadcast either side: the plan must be a
+    shuffle/sort-merge FullOuter, never nested-loop."""
+    from grebi_spark.plans.relational import full_outer_reconcile
+
+    plan = plan_of(full_outer_reconcile(spark, sf_dir), mode="simple")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grouping_sets_single_pass(spark, sf_dir):
+    """GROUPING SETS must compile to one Expand + one aggregate chain —
+    the input is read once, never once per grouping set."""
+    from grebi_spark.plans.relational import grouping_sets_revenue
+
+    plan = plan_of(grouping_sets_revenue(spark, sf_dir), mode="simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_sliding_users_reduces_before_replicating(spark, sf_dir):
+    """The (user, day) distinct must run BEFORE the x7 offset explode:
+    the plan's explode(Generate) must sit above an aggregate, so the
+    replication factor applies to reduced pairs, not raw events."""
+    from grebi_spark.plans.temporal import events_sliding_users
+
+    plan = plan_of(events_sliding_users(spark, sf_dir), mode="simple")
+    gen = plan.index("Generate explode")
+    # some HashAggregate (the distinct) must appear BELOW the Generate
+    # in the tree — i.e. later in the printed plan text
+    assert "HashAggregate" in plan[gen:]

@@ -63,5 +63,54 @@ FROM lineitem"""
     return "SELECT * FROM (\n" + "\nUNION ALL\n".join(selects) + "\n) ORDER BY col"
 
 
-QUERIES = {"table_profile": table_profile}
-ORACLES = {"table_profile": _profile_oracle()}
+def table_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of table_profile: HLL `approx_count_distinct`
+    in the SAME melt plan (the 64× soak measured the exact variant
+    linear in rows×cols — this one is a fixed-size mergeable sketch per
+    column). Inverted contract like approx_distinct_check: the oracle
+    pins the exact distinct counts plus literal TRUE; a hash-match
+    proves every sketch estimate landed within the 5% bound."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    stack_args = ", ".join(
+        f"'{c}', cast({c} as string)" for c in _PROFILE_COLS
+    )
+    melted = li.select(
+        F.expr(f"stack({len(_PROFILE_COLS)}, {stack_args}) as (col, val)")
+    )
+    prof = melted.groupBy("col").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("val").alias("exact"),
+        F.approx_count_distinct("val", rsd=0.02).alias("approx"),
+    )
+    return (
+        prof.select(
+            "col",
+            "n_rows",
+            F.col("exact").alias("n_distinct"),
+            (
+                F.abs(F.col("approx") - F.col("exact")) / F.col("exact") <= 0.05
+            ).alias("sketch_within_5pct"),
+        )
+        .orderBy("col")
+    )
+
+
+def _profile_sketch_oracle() -> str:
+    selects = [
+        f"""SELECT '{c}' AS col, count(*) AS n_rows,
+       count(DISTINCT {c}) AS n_distinct,
+       TRUE AS sketch_within_5pct
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "SELECT * FROM (\n" + "\nUNION ALL\n".join(selects) + "\n) ORDER BY col"
+
+
+QUERIES = {
+    "table_profile": table_profile,
+    "table_profile_sketch": table_profile_sketch,
+}
+ORACLES = {
+    "table_profile": _profile_oracle(),
+    "table_profile_sketch": _profile_sketch_oracle(),
+}

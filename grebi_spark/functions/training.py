@@ -591,7 +591,10 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"))
     )
-    feat = feat.join(F.broadcast(canon), "fp", "left")
+    # NO broadcast hint: the canonical table is corpus-sized (one row
+    # per distinct fingerprint), so this must stay a shuffle join on fp
+    # at scale; AQE still broadcasts it at harness scale on its own
+    feat = feat.join(canon, "fp", "left")
     s3 = s2 & (F.col("doc_id") == F.col("keep_id"))
     s4 = (
         s3

@@ -289,9 +289,12 @@ def node_jaccard_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("p").alias("u"), F.col("n").alias("nu"))
     sb = sizes.select(F.col("p").alias("v"), F.col("n").alias("nv"))
+    # no broadcast hints: the size table is node-count-sized (not a
+    # bounded dim), so these must be able to degrade to shuffle joins
+    # at scale; AQE broadcasts them at harness scale on its own
     sim = (
-        shared.join(F.broadcast(sa), "u")
-        .join(F.broadcast(sb), "v")
+        shared.join(sa, "u")
+        .join(sb, "v")
         .withColumn(
             "sim",
             F.col("shared") / (F.col("nu") + F.col("nv") - F.col("shared")),

@@ -583,9 +583,70 @@ LIMIT {_RARITY_TOPK}
 """
 
 
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile curriculum bucketing: every document assigned to
+    one of 10 equal-size difficulty tiers by quality score (curriculum
+    training consumes easy tiers first). ntile over the (q, doc_id)
+    TOTAL order — the tiebreak makes tier assignment deterministic in
+    any engine even where quality scores tie (they tie a lot: the score
+    is a 4-step ladder).
+
+    Scale shape: ntile needs a global order; at 100 TB the same tiers
+    come from ONE quantile-sketch pass (kll/approx_percentile bounds)
+    plus a row-local bucket lookup — the quantile_sketch_check query is
+    that path's error-bound proof. Exact ntile here keeps the oracle
+    byte-exact."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("q")
+    )
+    tiered = scored.withColumn(
+        "tier",
+        F.ntile(10).over(Window.orderBy("q", "doc_id")).cast("int"),
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("tier")
+    )
+
+
+ORACLE_CURRICULUM = """
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         round((CASE WHEN len(t) >= 10 AND len(t) <= 10000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(t) > 0
+                      AND length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t) >= 3
+                      AND length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t) <= 10
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(t) > 0
+                      AND len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0 / len(t) >= 0.05
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN length(text) > 0
+                      AND length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text) <= 0.1
+                     THEN 0.25 ELSE 0.0 END), 4)::DOUBLE AS q
+  FROM toks
+), tiered AS (
+  SELECT doc_id, q, ntile(10) OVER (ORDER BY q, doc_id)::int AS tier FROM q
+)
+SELECT tier, count(*) AS n_docs, min(q) AS min_q, max(q) AS max_q
+FROM tiered GROUP BY tier ORDER BY tier
+"""
+
+
 QUERIES = {
     "redact_pii": redact_pii,
     "text_rarity": text_rarity,
+    "curriculum_buckets": curriculum_buckets,
     "text_repetition": text_repetition,
     "text_token_stats": text_token_stats,
     "corpus_curation": corpus_curation,
@@ -598,6 +659,7 @@ QUERIES = {
 ORACLES = {
     "redact_pii": ORACLE_REDACT_PII,
     "text_rarity": ORACLE_RARITY,
+    "curriculum_buckets": ORACLE_CURRICULUM,
     "text_repetition": ORACLE_REPETITION,
     "text_token_stats": ORACLE_TOKEN_STATS,
     "corpus_curation": _oracle_curation(),

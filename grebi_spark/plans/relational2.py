@@ -658,7 +658,73 @@ ORDER BY c_mktsegment
 """
 
 
+# --- bucketed co-located join ------------------------------------------------
+
+_BUCKETED_DB_CACHE: dict[str, str] = {}
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority computed over BUCKETED tables:
+    lineitem and orders are written once per session as
+    bucketBy(orderkey)+sortBy managed tables, and the join then plans
+    ZERO exchanges on either side — the write-time layout buys back the
+    join shuffle, exactly the bucketed graph store's contract
+    (sinks/bucketed.py:26, plan-gated in tests/test_bucketed.py).
+
+    This is the signature 100 TB technique for repeatedly-joined fact
+    tables: pay one clustered write, then every orderkey join is
+    co-located forever. The oracle computes the same aggregate from the
+    raw tables — a hash-match proves the bucketed layout is lossless."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    suffix = abs(hash(key)) % 10**8
+    db = f"grebi_bucketed_{suffix}"
+    if key not in _BUCKETED_DB_CACHE:
+        t = load_tables(spark, sf_dir, ("lineitem", "orders"))
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        (
+            t["lineitem"]
+            .select("l_orderkey", "l_extendedprice")
+            .write.format("parquet")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+        (
+            t["orders"]
+            .select("o_orderkey", "o_orderpriority")
+            .write.format("parquet")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        _BUCKETED_DB_CACHE[key] = db
+    li = spark.table(f"{db}.lineitem_b")
+    o = spark.table(f"{db}.orders_b")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
+    "bucketed_join_revenue": bucketed_join_revenue,
     "events_moving_avg": events_moving_avg,
     "orders_pivot": orders_pivot,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -674,6 +740,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bucketed_join_revenue": ORACLE_BUCKETED_JOIN,
     "events_moving_avg": ORACLE_MOVING_AVG,
     "orders_pivot": ORACLE_ORDERS_PIVOT,
     "q2_min_cost_supplier": ORACLE_Q2,

@@ -454,3 +454,19 @@ def test_sliding_users_reduces_before_replicating(spark, sf_dir):
     # some HashAggregate (the distinct) must appear BELOW the Generate
     # in the tree — i.e. later in the printed plan text
     assert "HashAggregate" in plan[gen:]
+
+def test_bucketed_join_query_is_exchange_free(spark, sf_dir):
+    """The harness bucketed join must plan ZERO exchanges on the join
+    itself (only the downstream groupBy shuffles) — the write-time
+    bucketing contract, with broadcast disabled so the plan can't pass
+    for the wrong reason."""
+    from grebi_spark.plans.relational2 import bucketed_join_revenue
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = plan_of(bucketed_join_revenue(spark, sf_dir), mode="simple")
+        assert plan.count("Exchange hashpartitioning") <= 1
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -55,6 +55,11 @@ def get_spark(
         # the harness events table stores TIMESTAMP(NANOS) which the Spark
         # parquet reader rejects by default; read as long (nanos since epoch)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed (bucketed) tables go to a scratch warehouse, never the cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/grebi_spark_warehouse"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -689,7 +689,124 @@ ORDER BY user_id, session_start_us
 """
 
 
+_LATE_STAGE_CACHE: dict[str, str] = {}
+
+
+def _late_stage(spark: SparkSession, src: str) -> str:
+    """Stage dir proving watermark semantics, one file per micro-batch:
+
+      batch 0  the events file          (builds window state; wm still 0)
+      batch 1  far-future sentinel A    (wm jumps past every real window
+                                         → state EVICTED, windows emitted)
+      batch 2  replay of the first day  (late duplicates arriving after
+                                         eviction → the engine MUST drop
+                                         them; merged-into-live-state is
+                                         no longer possible)
+      batch 3  far-future sentinel B    (flushes sentinel A's window)
+
+    The eviction-before-replay ordering matters: Spark only guarantees
+    dropping late rows once the target window's state is gone — a late
+    row for a still-live window is merged, not dropped."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = f"{spark.sparkContext.applicationId}:{src}"
+    if key in _LATE_STAGE_CACHE:
+        return _LATE_STAGE_CACHE[key]
+    stage = tempfile.mkdtemp(prefix="grebi_late_")
+    shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
+    tbl = pq.read_table(src)
+    ts = tbl["ts"].to_pylist()
+    t_min, t_max = min(ts), max(ts)
+    sch = pq.read_schema(src)
+
+    def sentinel(i: int, days: int, name: str) -> None:
+        row = {
+            "event_id": [10**12 + i],
+            "ts": [t_max + _dt.timedelta(days=days)],
+            "user_id": [-1],
+            "event_type": ["sentinel"],
+            "value": [0.0],
+            "props": ["{}"],
+        }
+        t2 = pa.Table.from_pydict({f.name: row[f.name] for f in sch}, schema=sch)
+        pq.write_table(t2, os.path.join(stage, name))
+
+    sentinel(0, 365, "01_sentinel_a.parquet")
+    cutoff = t_min + _dt.timedelta(days=1)
+    late = tbl.filter(pa.array([t < cutoff for t in ts]))
+    pq.write_table(late, os.path.join(stage, "02_late_replay.parquet"))
+    sentinel(1, 366, "03_sentinel_b.parquet")
+    for i, name in enumerate(sorted(os.listdir(stage))):
+        os.utime(os.path.join(stage, name), (1_000_000 + i, 1_000_000 + i))
+    _LATE_STAGE_CACHE[key] = stage
+    return stage
+
+
+def events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics PROVEN, not just configured: the
+    stream replays the corpus's entire first day AFTER the watermark
+    has advanced to the stream's end (file-per-batch staging makes the
+    watermark's progression deterministic), runs the hourly windowed
+    rollup in APPEND mode with a 1-hour watermark, and drains via
+    far-future sentinels so every window closes.
+
+    If the engine dropped no late rows, the first day's counts would
+    double and the hash-check would fail; the oracle is the batch
+    hourly rollup over the ORIGINAL events only. State is also bounded
+    by the same watermark — this is the memory-safety contract an
+    unbounded deployment relies on, exercised end-to-end.
+
+    NB the sentinel rows flow THROUGH the aggregate (no pre-agg filter:
+    a pushed-down filter would hide them from the EventTimeWatermark
+    stats and the watermark would never advance); their own windows are
+    removed from the drained table afterwards."""
+    src = f"{sf_dir}/events.parquet"
+    stage = _late_stage(spark, src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = _run_to_memory_sink(counts, "events_late_data_stream", "append")
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "sentinel")
+        .orderBy("hour_us", "event_type")
+    )
+
+
+ORACLE_LATE_DATA = """
+SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+       event_type,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
+    "events_late_data_stream": events_late_data_stream,
     "events_custom_session_stream": events_custom_session_stream,
     "events_latest_state_stream": events_latest_state_stream,
     "events_join_stream": events_join_stream,
@@ -700,6 +817,7 @@ QUERIES = {
     "docs_quality_stream": docs_quality_stream,
 }
 ORACLES = {
+    "events_late_data_stream": ORACLE_LATE_DATA,
     "events_custom_session_stream": ORACLE_CUSTOM_SESSIONS,
     "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE,
     "events_join_stream": ORACLE_EVENTS_JOIN_STREAM,

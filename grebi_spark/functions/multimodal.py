@@ -279,13 +279,119 @@ LIMIT {_IMG_TOPK}
 """
 
 
+def build_wav_header(doc_id: int) -> bytes:
+    """A REAL RIFF/WAVE header (RIFF chunk + fmt subchunk, PCM) whose
+    sample rate is a pure function of the id; audio frames omitted."""
+    import struct
+
+    sample_rate = 8000 + (doc_id % 8) * 4000
+    channels, bits = 1, 16
+    byte_rate = sample_rate * channels * bits // 8
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+    )
+
+
+def build_mp4_header(doc_id: int) -> bytes:
+    """A REAL ISO-BMFF ftyp box (major brand isom) — the minimal valid
+    MP4 prefix every demuxer sniffs first."""
+    import struct
+
+    brands = b"isom" + struct.pack(">I", 512) + b"isomiso2mp41"
+    return struct.pack(">I", 8 + len(brands)) + b"ftyp" + brands
+
+
+def sniff_container(payload: bytes) -> tuple[str, int]:
+    """REAL magic-byte container dispatch + per-format field extraction:
+    PNG → IHDR width, WAV → fmt sample rate, MP4 → ftyp box size.
+    The metadata router every mixed-modality lake runs before choosing
+    a decoder."""
+    import struct
+
+    if payload[:8] == _PNG_SIG:
+        return "png", parse_png_header(payload)["width"]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        (sample_rate,) = struct.unpack("<I", payload[24:28])
+        return "wav", sample_rate
+    if payload[4:8] == b"ftyp":
+        (size,) = struct.unpack(">I", payload[:4])
+        return "mp4", size
+    return "unknown", -1
+
+
+def multimodal_container_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-modality container sniffing over a binary column: each doc
+    carries a spec-correct PNG, WAV, or MP4 header (by id mod 3); one
+    mapInPandas pass detects the format from magic bytes and extracts
+    the format's headline field. Per-format rollup: docs and exact
+    feature sums (PNG widths, WAV sample rates, MP4 box sizes) — all
+    closed-form functions of the ids, so the oracle proves the whole
+    build→sniff→parse dispatch byte-exact."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    ids = d.select("doc_id").repartition(par)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        builders = (build_png, build_wav_header, build_mp4_header)
+        for batch in batches:
+            rows = []
+            for i in batch["doc_id"]:
+                i = int(i)
+                kind, feat = sniff_container(builders[i % 3](i))
+                rows.append((i, kind, feat))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "feature"])
+
+    sniffed = ids.mapInPandas(run, schema="doc_id long, kind string, feature long")
+    return (
+        sniffed.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("feature").cast("long").alias("feature_sum"),
+        )
+        .orderBy("kind")
+    )
+
+
+# closed-form expectations: png width = 16 + id % 1024; wav sample rate
+# = 8000 + (id % 8) * 4000; mp4 ftyp box size = 8 header + 20 brand
+# bytes = 28
+ORACLE_CONTAINER_SNIFF = """
+SELECT kind, count(*) AS n_docs, sum(feature)::bigint AS feature_sum
+FROM (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END
+           AS kind,
+         CASE doc_id % 3
+           WHEN 0 THEN 16 + doc_id % 1024
+           WHEN 1 THEN 8000 + (doc_id % 8) * 4000
+           ELSE 28 END AS feature
+  FROM documents
+)
+GROUP BY kind ORDER BY kind
+"""
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_headers": multimodal_image_headers,
+    "multimodal_container_sniff": multimodal_container_sniff,
 }
 ORACLES = {
     "multimodal_features": ORACLE_MULTIMODAL,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "multimodal_image_headers": ORACLE_IMAGE_HEADERS,
+    "multimodal_container_sniff": ORACLE_CONTAINER_SNIFF,
 }

@@ -246,3 +246,71 @@ def test_turtle_roundtrip(triples):
         lines.append(f"<{base}{s}> <{base}{p}> {obj} .")
     got = turtle_to_triples("\n".join(lines))
     assert sorted(got) == sorted(want)
+
+
+def test_edjoin_positional_prefix_blocking_complete():
+    """Pure-Python stress proof of fuzzy_title_pairs' blocking theory
+    (dedup.py:_FUZZY_PREFIX_GRAMS): for thousands of adversarial string
+    pairs within edit distance d — tiny alphabets, insert/delete
+    position shifts — the rarest-first positional q-gram prefixes of
+    length q*d+1 always share a gram with |Δpos| <= d. A miss here
+    would mean the Spark operator can silently drop a qualifying pair
+    (today only the per-run oracle would catch it)."""
+    import random
+
+    Q, D = 4, 3
+    PREFIX = Q * D + 1
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev = dp[0]
+            dp[0] = i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return dp[n]
+
+    def grams(s):
+        return [(i, s[i : i + Q]) for i in range(len(s) - Q + 1)]
+
+    def blocked(sa, sb, df):
+        pa = sorted(grams(sa), key=lambda pg: (df.get(pg[1], 0), pg[1], pg[0]))[:PREFIX]
+        pb = sorted(grams(sb), key=lambda pg: (df.get(pg[1], 0), pg[1], pg[0]))[:PREFIX]
+        return any(
+            ga == gb and abs(ia - ib) <= D
+            for ia, ga in pa
+            for ib, gb in pb
+        )
+
+    rng = random.Random(7)
+    trials = 0
+    for _ in range(1500):
+        n = rng.randint(16, 24)
+        alpha = rng.choice(["ab", "abc", "abcdefgh"])
+        s = "".join(rng.choice(alpha) for _ in range(n))
+        t = list(s)
+        for _ in range(rng.randint(0, D)):
+            op = rng.choice("sid")
+            i = rng.randrange(len(t)) if t else 0
+            if op == "s":
+                t[i] = rng.choice(alpha)
+            elif op == "i":
+                t.insert(i, rng.choice(alpha))
+            elif len(t) > 16:
+                del t[i]
+        t = "".join(t)
+        if lev(s, t) > D or len(t) < 16:
+            continue
+        trials += 1
+        corpus = [s, t] + [
+            "".join(rng.choice(alpha) for _ in range(n)) for _ in range(6)
+        ]
+        df = {}
+        for c in corpus:
+            for _, g in set(grams(c)):
+                df[g] = df.get(g, 0) + 1
+        assert blocked(s, t, df), (s, t)
+    assert trials > 500  # the generator actually produced in-threshold pairs

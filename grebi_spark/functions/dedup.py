@@ -478,6 +478,104 @@ ORDER BY doc_a, doc_b
 """
 
 
+CONTAIN_T = 0.8  # containment threshold: |A∩B| / |A|
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT dedup: ordered pairs (a, b) where at
+    least ``CONTAIN_T`` of a's shingle set also appears in b — the
+    asymmetric near-dup relation (quote inclusion, subset/superset
+    documents, boilerplate wrapping) that symmetric Jaccard structurally
+    misses: a 10-shingle doc fully quoted inside a 1000-shingle doc has
+    C(a→b) = 1.0 but J ≈ 0.01.
+
+    Blocking is the ONE-SIDED prefix filter: order a's shingles
+    rarest-first (global df, ties by shingle); if C(a→b) ≥ t then
+    |A∩B| ≥ ⌈t·|A|⌉, so B must hit at least one of a's first
+    ``n - ⌈t·n⌉ + 1`` shingles — the contained side prunes to that
+    prefix while the containing side streams in FULL (no length filter
+    can apply: b may be arbitrarily larger). Exact-complete, proven by
+    the naively-blocked oracle.
+
+    Scale shape: one shuffle to df-rank shingles, one prefix⋈stream
+    join whose collision lists stay short because prefixes hold the
+    lowest-df shingles, and a candidate-sized verify join on the
+    collected shingle sets. Nothing quadratic in the corpus."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode(word_shingles(F.col("text"))).alias("sh"))
+        .persist()
+    )
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    by_doc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(df, "sh")
+        .withColumn("rn", F.row_number().over(by_doc.orderBy("df", "sh")))
+        .withColumn("n_sh", F.count("*").over(by_doc))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n_sh") - F.ceil(F.lit(CONTAIN_T) * F.col("n_sh")) + 1
+    ).select("doc_id", "sh")
+    cand = (
+        prefix.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_ = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("shs"), F.count("*").alias("n_sh")
+    )
+    va = sets_.select(
+        F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha"), F.col("n_sh").alias("na")
+    )
+    vb = sets_.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb"))
+    shared = F.size(F.array_intersect("sha", "shb"))
+    return (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .withColumn("containment", F.round(shared / F.col("na"), 4))
+        .filter(F.col("containment") >= CONTAIN_T)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# Naive shared-shingle blocking at oracle scale; parity proves the
+# one-sided prefix filter dropped no qualifying ordered pair.
+ORACLE_CONTAINMENT = """
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), shingled AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= 3
+         THEN list_distinct(list_transform(range(1, len(t) - 1),
+              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         ELSE [] END) AS sh
+  FROM docs
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM shingled GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingled a JOIN shingled b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(shared * 1.0 / sa.n_sh, 4) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE round(shared * 1.0 / sa.n_sh, 4) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 COSINE_T = 0.95        # cosine threshold for embedding near-dup
 SRP_PLANES = 128       # signed-random-projection bits
 SRP_BANDS = 8          # bands of SRP_PLANES/SRP_BANDS bits each
@@ -892,6 +990,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
 }
@@ -904,6 +1003,7 @@ ORACLES = {
     "dedup_minhash_lsh": _oracle_minhash(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "dedup_clusters": _oracle_clusters(),
 }

@@ -708,8 +708,72 @@ SELECT * FROM (
 """
 
 
+_BPE_TOPK = 20
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop: corpus-weighted adjacent character-
+    pair frequencies (the statistic every merge step of byte-pair
+    encoding ranks on), top-20 pairs.
+
+    Scale shape — the classic BPE trick: the corpus stream is first
+    reduced to the VOCABULARY (word → occurrence count, one shuffle with
+    map-side partial counts), and pair generation then explodes over
+    distinct words only — bounded by vocabulary size, not corpus size.
+    At 100 TB the vocab table is millions of rows while the corpus is
+    trillions of tokens; generating pairs after the reduce is the
+    difference between a bounded second stage and re-scanning the
+    corpus. All pure JVM expressions (sequence/transform/substring
+    inside whole-stage codegen)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    wc = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("wn"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1),"
+                " i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wn",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPK)
+    )
+
+
+ORACLE_BPE_PAIRS = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, count(*) AS wn FROM words GROUP BY w
+), pos AS (
+  SELECT w, wn, unnest(range(1, length(w))) AS i FROM wc
+)
+SELECT substring(w, CAST(i AS INT), 2) AS pair,
+       CAST(sum(wn) AS BIGINT) AS n
+FROM pos
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT {_BPE_TOPK}
+"""
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
+    "bpe_pair_counts": bpe_pair_counts,
     "chunk_documents": chunk_documents,
     "kmeans_embeddings": kmeans_embeddings,
     "corpus_split": corpus_split,
@@ -720,6 +784,7 @@ QUERIES = {
 
 ORACLES = {
     "mixture_sample": ORACLE_MIXTURE,
+    "bpe_pair_counts": ORACLE_BPE_PAIRS,
     "chunk_documents": ORACLE_CHUNKS,
     "kmeans_embeddings": ORACLE_KMEANS,
     "corpus_split": ORACLE_SPLIT,

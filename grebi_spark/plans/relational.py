@@ -1240,8 +1240,43 @@ ORDER BY c_mktsegment
 """
 
 
+def intersect_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set operators — the remaining ANSI set surface
+    next to ``union_distinct_nations``: nation keys reached by customers
+    vs by suppliers, tagged 'both' (INTERSECT), 'customer_only' and
+    'supplier_only' (EXCEPT each way).
+
+    Scale shape: each side is first reduced to its distinct key set
+    (dimension-key-sized, map-side partial distinct), so the three set
+    ops run over tiny inputs regardless of fact cardinality; Spark plans
+    intersect/subtract as hash joins on those reduced sets."""
+    t = load_tables(spark, sf_dir, ("customer", "supplier"))
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nationkey")  # noqa: E731
+    return (
+        tag(c.intersect(s), "both")
+        .unionByName(tag(c.subtract(s), "customer_only"))
+        .unionByName(tag(s.subtract(c), "supplier_only"))
+        .orderBy("op", "nationkey")
+    )
+
+
+ORACLE_INTERSECT_EXCEPT = """
+WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'both' AS op, nationkey FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'customer_only' AS op, nationkey FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
+UNION ALL
+SELECT 'supplier_only' AS op, nationkey FROM (SELECT nationkey FROM s EXCEPT SELECT nationkey FROM c)
+ORDER BY op, nationkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "intersect_except_nations": intersect_except_nations,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "semi_join_parts": semi_join_parts,
@@ -1278,6 +1313,7 @@ QUERIES = {
 
 ORACLES = {
     "q1_pricing_summary": ORACLE_Q1,
+    "intersect_except_nations": ORACLE_INTERSECT_EXCEPT,
     "q3_shipping_priority": ORACLE_Q3,
     "q5_local_supplier_volume": ORACLE_Q5,
     "semi_join_parts": ORACLE_SEMI,

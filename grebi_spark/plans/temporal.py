@@ -509,8 +509,138 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gaps via LEAD/LAG — the sequential-window shape
+    (reorder-time analytics, churn signals) the catalog's other windows
+    (ROWS/RANGE frames, session_window) do not cover: per customer, the
+    day gaps between consecutive orders, aggregated per market segment
+    in exact integers.
+
+    Scale shape: ONE shuffle on o_custkey for the lag window, then one
+    segment-sized aggregate after a broadcast join to the customer dim.
+    Ties on o_orderdate are broken by o_orderkey in the window ordering
+    on BOTH engines, so the lag pairing is deterministic."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        t["orders"]
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return (
+        gaps.join(
+            F.broadcast(
+                t["customer"].select(
+                    F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_days").cast("long").alias("sum_gap_days"),
+            F.max("gap_days").cast("long").alias("max_gap_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+ORACLE_ORDER_GAPS = """
+WITH g AS (
+  SELECT o_custkey,
+         date_diff('day',
+                   lag(CAST(o_orderdate AS DATE))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       count(*) AS n_gaps,
+       CAST(sum(gap_days) AS BIGINT) AS sum_gap_days,
+       CAST(max(gap_days) AS BIGINT) AS max_gap_days
+FROM g JOIN customer ON c_custkey = o_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build — the CDC/dimension-history operator:
+    each user's event stream becomes validity intervals
+    [ts, next_ts) via LEAD, the open-ended current version identified
+    per key; reported per user as version count, the current value, and
+    the total closed-interval coverage in exact epoch microseconds.
+
+    This is the batch twin of ``events_latest_state_stream`` (the
+    last-write-wins serving view): same key ordering, but keeping the
+    FULL version history instead of only the head — what a warehouse
+    dimension load does on every merge.
+
+    Scale shape: one shuffle on user_id; both windows (the LEAD and the
+    current-row rank) share that exchange. Ordering ties on ts break by
+    event_id on both engines."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    v = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros(F.lead("ts").over(wv)).alias("next_us"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return (
+        v.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_versions"),
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+                "current_type"
+            ),
+            F.coalesce(
+                F.sum(F.col("next_us") - F.col("ts_us")), F.lit(0)
+            )
+            .cast("long")
+            .alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_SCD2 = """
+WITH v AS (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS ts_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS next_us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       count(*) AS n_versions,
+       max(CASE WHEN rn = 1 THEN event_type END) AS current_type,
+       CAST(coalesce(sum(next_us - ts_us), 0) AS BIGINT) AS covered_us
+FROM v
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "order_gap_stats": order_gap_stats,
+    "events_scd2_intervals": events_scd2_intervals,
     "events_resample_fill": events_resample_fill,
     "events_anomaly_hours": events_anomaly_hours,
     "events_sliding_users": events_sliding_users,
@@ -524,6 +654,8 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "order_gap_stats": ORACLE_ORDER_GAPS,
+    "events_scd2_intervals": ORACLE_SCD2,
     "events_resample_fill": ORACLE_RESAMPLE,
     "events_anomaly_hours": ORACLE_ANOMALY,
     "events_sliding_users": ORACLE_SLIDING,

@@ -805,8 +805,120 @@ ORDER BY 1, 2
 """
 
 
+def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window streaming aggregate (2-hour windows advancing
+    every hour): each event lands in two overlapping windows, so the
+    state store holds window-count × key-count entries — the streaming
+    semantics the tumbling rollup (``events_hourly_stream``) doesn't
+    exercise (window replication happens map-side via Expand, state is
+    still one entry per (window, key)).
+
+    Complete mode on the bounded drain emits every window, so the
+    result equals the batch two-starts-per-event expansion — the
+    oracle. At scale the same plan runs append + watermark; windows
+    age out of state ⌈window/slide⌉ = 2 slides after they close."""
+    stream = _events_stream(spark, sf_dir)
+    agg = stream.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    name = _run_to_memory_sink(agg, "events_sliding_stream", "complete")
+    return (
+        spark.table(name)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("win_us"),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("win_us", "event_type")
+    )
+
+
+# epoch-aligned 2h/1h windows: event t belongs to windows starting at
+# trunc_hour(t) - 1h and trunc_hour(t)
+ORACLE_SLIDING_STREAM = """
+WITH starts AS (
+  SELECT event_type,
+         unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                 date_trunc('hour', ts)]) AS ws
+  FROM events
+)
+SELECT epoch_us(ws) AS win_us, event_type, count(*) AS n_events
+FROM starts GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink with idempotent re-delivery — the
+    exactly-once-by-construction pattern for sinks Spark has no native
+    transactional writer for: each micro-batch overwrites its OWN
+    batch-id-keyed parquet partition (`replaceWhere` semantics via
+    partitioned overwrite), so a replayed batch rewrites the same files
+    instead of double-appending. The drained sink directory is read
+    back and aggregated; equality with the batch aggregate over the
+    source table — the oracle — proves no loss and no duplication
+    through the sink round-trip.
+
+    maxFilesPerTrigger staging is unnecessary: one availableNow drain,
+    batch ids assigned by the engine. At scale this is the pattern for
+    JDBC/object-store sinks; the partition key would be
+    (batch_id, shard)."""
+    import os
+    import shutil
+    import tempfile
+
+    stream = _events_stream(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="grebi_fes_")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="grebi_fes_ckpt_"),
+            )
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    written = spark.read.parquet(out_dir)
+    result = (
+        written.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+    rows = result.collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+ORACLE_FOREACHBATCH = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_late_data_stream": events_late_data_stream,
+    "events_sliding_stream": events_sliding_stream,
+    "events_foreachbatch_sink": events_foreachbatch_sink,
     "events_custom_session_stream": events_custom_session_stream,
     "events_latest_state_stream": events_latest_state_stream,
     "events_join_stream": events_join_stream,
@@ -818,6 +930,8 @@ QUERIES = {
 }
 ORACLES = {
     "events_late_data_stream": ORACLE_LATE_DATA,
+    "events_sliding_stream": ORACLE_SLIDING_STREAM,
+    "events_foreachbatch_sink": ORACLE_FOREACHBATCH,
     "events_custom_session_stream": ORACLE_CUSTOM_SESSIONS,
     "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE,
     "events_join_stream": ORACLE_EVENTS_JOIN_STREAM,

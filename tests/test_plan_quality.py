@@ -470,3 +470,59 @@ def test_bucketed_join_query_is_exchange_free(spark, sf_dir):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_containment_no_cartesian(spark, sf_dir):
+    """The one-sided prefix filter must block via an equi join on the
+    shingle key — never a cartesian/nested-loop pair enumeration."""
+    from grebi_spark.functions.dedup import dedup_containment
+
+    plan = plan_of(dedup_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()
+
+
+def test_scd2_windows_and_group_share_one_exchange(spark, sf_dir):
+    """Both windows (LEAD asc, row_number desc) and the final groupBy
+    all key on user_id — the plan must carry exactly ONE
+    hash-partitioning exchange, reused across all three."""
+    from grebi_spark.plans.temporal import events_scd2_intervals
+
+    plan = plan_of(events_scd2_intervals(spark, sf_dir), mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_order_gap_broadcasts_dim_two_exchanges(spark, sf_dir):
+    """The lag window shuffles on o_custkey, the rollup on segment; the
+    customer dim must broadcast, adding no third exchange."""
+    from grebi_spark.plans.temporal import order_gap_stats
+
+    plan = plan_of(order_gap_stats(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_bpe_pairs_explode_above_vocab_reduce(spark, sf_dir):
+    """Pair generation must explode over the REDUCED vocabulary: the
+    pair Generate sits above the word-count aggregate, so replication
+    scales with vocab size, not corpus size."""
+    from grebi_spark.functions.training import bpe_pair_counts
+
+    plan = plan_of(bpe_pair_counts(spark, sf_dir), mode="simple")
+    gens = [i for i in range(len(plan)) if plan.startswith("Generate", i)]
+    assert gens, "no explode in plan"
+    # the vocab-reduce HashAggregate must appear BELOW (later in text
+    # than) the pair explode
+    assert "HashAggregate" in plan[gens[0]:]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_set_ops_plan_as_joins_no_cartesian(spark, sf_dir):
+    """INTERSECT/EXCEPT must lower to hash (semi/anti) joins over the
+    pre-reduced distinct key sets."""
+    from grebi_spark.plans.relational import intersect_except_nations
+
+    plan = plan_of(intersect_except_nations(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -108,3 +108,30 @@ def test_events_hourly_stream_matches_batch(spark):
     got = [tuple(r) for r in events_hourly_stream(spark, sf).collect()]
     want = [tuple(r) for r in events_hourly(spark, sf).collect()]
     assert got == want
+
+
+def test_foreachbatch_partition_overwrite_is_idempotent(spark, tmp_path):
+    """The foreachBatch sink contract: re-delivering the SAME batch id
+    (what happens on recovery after a crash between sink write and
+    checkpoint commit) must rewrite that batch's partition, not append
+    a second copy."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "sink")
+    df = spark.range(10).withColumn("v", F.col("id") * 2)
+
+    def write_batch(batch_df, batch_id):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+
+    write_batch(df, 0)
+    write_batch(df, 0)  # replay of the same batch
+    write_batch(df.withColumn("id", F.col("id") + 100), 1)
+    back = spark.read.parquet(out)
+    assert back.count() == 20  # 10 per batch — no duplication from replay
+    assert back.filter("batch_id = 0").count() == 10

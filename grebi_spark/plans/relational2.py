@@ -723,8 +723,111 @@ ORDER BY o_orderpriority
 """
 
 
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): props
+    parses ONCE into the binary shredded form, and every extraction is
+    a typed `variant_get` over that parse — versus
+    ``json_filter_events``'s `get_json_object`, which re-parses the
+    JSON string per access. At 100 TB with tens of keys per document
+    the parse-once contract is the difference between one scan-side
+    decode and K of them.
+
+    Decile histogram of the `k` prop: one map-side parse + bucket, one
+    bucket-count shuffle."""
+    e = _t(spark, sf_dir, "events")
+    v = e.select(F.parse_json("props").alias("vp"), "event_type")
+    k = F.expr("variant_get(vp, '$.k', 'int')")
+    return (
+        v.select(
+            (F.floor(k / 10) * 10).cast("long").alias("k_bucket"),
+            k.alias("k"),
+            "event_type",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("k").alias("max_k"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_VARIANT_PROPS = """
+WITH v AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
+  FROM events
+)
+SELECT CAST((k // 10) * 10 AS BIGINT) AS k_bucket,
+       count(*) AS n_events,
+       max(k) AS max_k,
+       count(DISTINCT event_type) AS n_types
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+# the same text runs on both engines — LATERAL is ANSI
+LATERAL_TOP_ORDERS_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    top-N-per-key shape written the way an analyst writes it, left to
+    the optimizer to decorrelate (Catalyst rewrites the lateral
+    correlated limit into a window/DomainJoin plan rather than
+    re-executing the subquery per customer row; compare
+    ``top_parts_per_brand``, which hand-writes the same shape as a
+    rank() window). The identical text is the DuckDB oracle — LATERAL
+    is ANSI."""
+    load_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(LATERAL_TOP_ORDERS_SQL)
+
+
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — the full 2^k grouping-set
+    lattice completing the rollup/grouping-sets family: detail cells,
+    both one-dimension margins, and the grand total in ONE aggregation
+    pass (Expand replicates rows map-side, partial-aggregates before
+    the single shuffle). `grouping_id` disambiguates a real NULL key
+    from a margin row — the reason hash comparison is safe."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_CUBE = """
+SELECT grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+       l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY gid, l_returnflag, l_linestatus
+"""
+
+
 QUERIES = {
     "bucketed_join_revenue": bucketed_join_revenue,
+    "events_variant_props": events_variant_props,
+    "lateral_top_orders": lateral_top_orders,
+    "cube_revenue": cube_revenue,
     "events_moving_avg": events_moving_avg,
     "orders_pivot": orders_pivot,
     "q2_min_cost_supplier": q2_min_cost_supplier,
@@ -741,6 +844,9 @@ QUERIES = {
 
 ORACLES = {
     "bucketed_join_revenue": ORACLE_BUCKETED_JOIN,
+    "events_variant_props": ORACLE_VARIANT_PROPS,
+    "lateral_top_orders": LATERAL_TOP_ORDERS_SQL,
+    "cube_revenue": ORACLE_CUBE,
     "events_moving_avg": ORACLE_MOVING_AVG,
     "orders_pivot": ORACLE_ORDERS_PIVOT,
     "q2_min_cost_supplier": ORACLE_Q2,

@@ -135,3 +135,30 @@ def test_foreachbatch_partition_overwrite_is_idempotent(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20  # 10 per batch — no duplication from replay
     assert back.filter("batch_id = 0").count() == 10
+
+
+def test_rocksdb_state_store_same_results(spark):
+    """The 100 TB state path: the RocksDB state store provider keeps
+    streaming state on disk instead of the executor heap (the default
+    HDFSBackedStateStoreProvider holds every key in memory — the thing
+    that OOMs at production key cardinality). The provider is a
+    pluggable conf; results must be identical."""
+    from grebi_spark.streaming.ops import events_dedup_stream
+
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    default = [tuple(r) for r in events_dedup_stream(spark, sf).collect()]
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)
+        got = [tuple(r) for r in events_dedup_stream(spark, sf).collect()]
+    finally:
+        if old:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    assert got == default and len(got) > 0

@@ -10,7 +10,7 @@ filter applied, stable pagination.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -185,6 +185,19 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parity note: this is the scoring Solr/Lucene actually applies under
     GrEBI's edismax search (GrebiSolrClient.java:105-147); the reference
     delegates it wholesale to Solr, here it is native to the engine."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = _bm25_scored(spark, sf_dir)
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPK)
+    return (
+        top.join(d.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "score")
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) for the fixed query terms — the shared lexical
+    leg of ``doc_search_bm25`` and ``hybrid_search_rrf``."""
     from ..functions.text import token_count, tokens
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -243,16 +256,12 @@ def doc_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = F.lit(0.0)
     for t in _BM25_TERMS:
         score = score + F.col(f"w_{t}")
-    scored = per_term.select("doc_id", F.round(score, 4).alias("score"))
-    top = scored.orderBy(F.desc("score"), "doc_id").limit(_BM25_TOPK)
-    return (
-        top.join(d.select("doc_id", "lang", "source"), "doc_id")
-        .select("doc_id", "lang", "source", "score")
-        .orderBy(F.desc("score"), "doc_id")
-    )
+    return per_term.select("doc_id", F.round(score, 4).alias("score"))
 
 
-ORACLE_BM25 = f"""
+# shared CTE chain ending at `s` = (doc_id, score): the lexical leg of
+# both the BM25 oracle and the hybrid-RRF oracle
+_BM25_SCORE_CTE = f"""
 WITH lens AS (
   SELECT doc_id, length(regexp_extract_all(lower(text), '\\S+')) AS dl
   FROM documents
@@ -286,12 +295,109 @@ WITH lens AS (
                    + coalesce(sum(CASE WHEN tok = 'stream' THEN w END), 0.0),
                4) AS score
   FROM w GROUP BY doc_id
-), top AS (
+)"""
+
+ORACLE_BM25 = f"""{_BM25_SCORE_CTE}
+, top AS (
   SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT {_BM25_TOPK}
 )
 SELECT top.doc_id, d.lang, d.source, top.score
 FROM top JOIN documents d ON top.doc_id = d.doc_id
 ORDER BY top.score DESC, top.doc_id
+"""
+
+
+_RRF_K = 60       # the standard reciprocal-rank-fusion constant
+_RRF_LEG_TOPK = 20
+_RRF_TOPK = 10
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving query shape: a lexical BM25
+    leg and a dense embedding-cosine leg, fused by reciprocal-rank
+    fusion (score = Σ 1/(k + rank), k=60). Rank fusion uses RANKS, not
+    raw scores, so the fusion is scale-free and — because both legs'
+    rankings are independently hash-checked queries
+    (``doc_search_bm25``, ``ann_cosine_topk``) with rounded keys and
+    doc_id tiebreaks — engine-exact: each fused score is a fixed-order
+    sum of exactly two double reciprocals of small integers.
+
+    Scale shape: each leg is its own bounded top-K (the lexical leg's
+    plan is doc_search_bm25's; the dense leg is one scan + TakeOrdered);
+    the fusion is a full-outer join of two 20-row tables. Docs without
+    an embedding simply never enter the dense leg (the realistic
+    contract: only embedded docs participate in dense retrieval)."""
+    from ..functions.similarity import _query_vector, as_double, cosine
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    q = F.array(*[F.lit(x) for x in _query_vector(e, sf_dir)])
+    v = as_double(F.col("embedding"))
+
+    wlex = Window.orderBy(F.desc("score"), "doc_id")
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .withColumn("r", F.row_number().over(wlex))
+        .filter(F.col("r") <= _RRF_LEG_TOPK)
+        .select("doc_id", F.col("r").alias("r_lex"))
+    )
+    wden = Window.orderBy(F.desc("cos"), "doc_id")
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(v, as_double(q)), 4).alias("cos"),
+        )
+        .withColumn("r", F.row_number().over(wden))
+        .filter(F.col("r") <= _RRF_LEG_TOPK)
+        .select("doc_id", F.col("r").alias("r_den"))
+    )
+    fused = (
+        lex.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_den")), F.lit(0.0)),
+                6,
+            ).alias("rrf"),
+            (
+                F.col("r_lex").isNotNull().cast("int")
+                + F.col("r_den").isNotNull().cast("int")
+            ).alias("n_legs"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(_RRF_TOPK)
+
+
+ORACLE_HYBRID_RRF = f"""{_BM25_SCORE_CTE}
+, lex AS (
+  SELECT doc_id, r AS r_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+    FROM s
+  ) WHERE r <= {_RRF_LEG_TOPK}
+), qv AS (
+  SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0
+), cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(embedding::DOUBLE[], q)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(q, q))), 4) AS c
+  FROM embeddings, qv WHERE vec_id != 0
+), dense AS (
+  SELECT doc_id, r AS r_den FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r
+    FROM cos
+  ) WHERE r <= {_RRF_LEG_TOPK}
+), fused AS (
+  SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         round(coalesce(1.0 / ({_RRF_K} + r_lex), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + r_den), 0.0), 6) AS rrf,
+         (CASE WHEN r_lex IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN r_den IS NOT NULL THEN 1 ELSE 0 END) AS n_legs
+  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id
+)
+SELECT doc_id, rrf, n_legs FROM fused
+ORDER BY rrf DESC, doc_id LIMIT {_RRF_TOPK}
 """
 
 
@@ -359,6 +465,7 @@ QUERIES = {
     "doc_search_page": doc_search_page,
     "doc_search_facets": doc_search_facets,
     "doc_search_bm25": doc_search_bm25,
+    "hybrid_search_rrf": hybrid_search_rrf,
     "autocomplete_parts": autocomplete_parts,
     "edge_page_incoming": edge_page_incoming,
 }
@@ -368,6 +475,7 @@ ORACLES = {
     "doc_search_page": ORACLE_DOC_SEARCH,
     "doc_search_facets": ORACLE_DOC_FACETS,
     "doc_search_bm25": ORACLE_BM25,
+    "hybrid_search_rrf": ORACLE_HYBRID_RRF,
     "autocomplete_parts": ORACLE_AUTOCOMPLETE,
     "edge_page_incoming": ORACLE_EDGE_PAGE,
 }

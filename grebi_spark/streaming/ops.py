@@ -805,6 +805,137 @@ ORDER BY 1, 2
 """
 
 
+_OUTER_STAGE_CACHE: dict[str, str] = {}
+
+
+def _outer_stage(spark: SparkSession, src: str) -> str:
+    """Stage dir for the outer-join drain: the events file plus two
+    far-future sentinel files each holding one CLICK and one PURCHASE
+    row (user_id −1). The types must be real leg types — Catalyst
+    pushes the legs' event_type filters into the parquet SCAN, below
+    the EventTimeWatermark operator, so a row of any other type never
+    reaches the watermark nodes and cannot advance them (observed:
+    'sentinel'-typed rows left the final click un-evictable). Two
+    sentinel batches: the first moves both watermarks past all real
+    data, the second executes with that watermark and flushes the
+    remaining null-extended rows."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = f"{spark.sparkContext.applicationId}:{src}"
+    if key in _OUTER_STAGE_CACHE:
+        return _OUTER_STAGE_CACHE[key]
+    stage = tempfile.mkdtemp(prefix="grebi_outer_")
+    shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
+    sch = pq.read_schema(src)
+    last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
+    for i, days in enumerate((365, 366)):
+        row = {
+            "event_id": [10**12 + 2 * i, 10**12 + 2 * i + 1],
+            "ts": [last_ts + _dt.timedelta(days=days)] * 2,
+            "user_id": [-1, -1],
+            "event_type": ["click", "purchase"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+        tbl = pa.Table.from_pydict(
+            {f.name: row[f.name] for f in sch}, schema=sch
+        )
+        pq.write_table(tbl, os.path.join(stage, f"0{i + 1}_sentinel.parquet"))
+    for i, name in enumerate(
+        ("00_events.parquet", "01_sentinel.parquet", "02_sentinel.parquet")
+    ):
+        os.utime(os.path.join(stage, name), (1_000_000 + i, 1_000_000 + i))
+    _OUTER_STAGE_CACHE[key] = stage
+    return stage
+
+
+def events_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the join class whose
+    semantics the inner join can't show: a click with NO purchase in its
+    30-minute window must still emit (null-extended), and Spark only
+    releases such rows once the WATERMARK proves no matching purchase
+    can still arrive. A plain bounded drain would therefore hold every
+    unmatched click in state forever and emit nothing; the sentinel
+    staging protocol (``_outer_stage``: two far-future click+purchase
+    files behind the events file, maxFilesPerTrigger=1) advances both
+    watermarks past every click's window in batch 2, and batch 3
+    executes with that watermark and flushes the null-extended rows
+    deterministically. Sentinel rows (user_id −1) are dropped before
+    the rollup. Result == the batch LEFT JOIN, the oracle."""
+    src = f"{sf_dir}/events.parquet"
+    stage = _outer_stage(spark, src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        stream.select("user_id", F.col("ts").alias("click_ts"), "event_type")
+        .withWatermark("click_ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
+    buys = (
+        stream.select(
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+            "value",
+            "event_type",
+        )
+        .withWatermark("buy_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    )
+    name = _run_to_memory_sink(joined, "events_outer_join_stream", "append")
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)  # drop the watermark sentinels
+        .groupBy((F.col("user_id") % 10).cast("int").alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("buy_ts").isNull().cast("long")).alias("n_unmatched"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+ORACLE_OUTER_JOIN_STREAM = """
+SELECT CAST(c.user_id % 10 AS INTEGER) AS user_bucket,
+       count(*) AS n_rows,
+       sum(CASE WHEN b.buy_ts IS NULL THEN 1 ELSE 0 END)::bigint
+         AS n_unmatched,
+       round(coalesce(sum(b.value), 0.0), 2) AS attributed_value
+FROM (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT user_id AS buy_user, ts AS buy_ts, value FROM events
+           WHERE event_type = 'purchase') b
+  ON c.user_id = b.buy_user
+ AND b.buy_ts >= c.click_ts
+ AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+GROUP BY user_bucket
+ORDER BY user_bucket
+"""
+
+
 def events_sliding_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SLIDING-window streaming aggregate (2-hour windows advancing
     every hour): each event lands in two overlapping windows, so the
@@ -918,6 +1049,7 @@ FROM events GROUP BY event_type ORDER BY event_type
 QUERIES = {
     "events_late_data_stream": events_late_data_stream,
     "events_sliding_stream": events_sliding_stream,
+    "events_outer_join_stream": events_outer_join_stream,
     "events_foreachbatch_sink": events_foreachbatch_sink,
     "events_custom_session_stream": events_custom_session_stream,
     "events_latest_state_stream": events_latest_state_stream,
@@ -931,6 +1063,7 @@ QUERIES = {
 ORACLES = {
     "events_late_data_stream": ORACLE_LATE_DATA,
     "events_sliding_stream": ORACLE_SLIDING_STREAM,
+    "events_outer_join_stream": ORACLE_OUTER_JOIN_STREAM,
     "events_foreachbatch_sink": ORACLE_FOREACHBATCH,
     "events_custom_session_stream": ORACLE_CUSTOM_SESSIONS,
     "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE,

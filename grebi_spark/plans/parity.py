@@ -207,6 +207,27 @@ def equivalence_groups_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups.orderBy("id")
 
 
+def equivalence_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME equivalence grouping computed by the alternating
+    large-star/small-star algorithm (Kiveris et al., SoCC'14 —
+    ``operators.groups.connected_components_star``): the
+    high-diameter-safe alternative that contracts the GRAPH instead of
+    propagating labels, converging in O(log² n) rounds on any topology.
+    Shares ``equivalence_groups_events``'s oracle — the two algorithms
+    are result-interchangeable, proven per run."""
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    pairs = (
+        e.filter(F.col("value") > 180)
+        .select(
+            F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+            F.concat(F.lit("k:"), F.get_json_object("props", "$.k")).alias("dst"),
+        )
+        .distinct()
+    )
+    groups = build_groups(pairs, None, algorithm="star")
+    return groups.orderBy("id")
+
+
 ORACLE_EQUIV_GROUPS = """
 WITH RECURSIVE edges AS (
   SELECT DISTINCT 'u:' || user_id::varchar AS src,
@@ -436,6 +457,7 @@ QUERIES = {
     "graph_merge_nodes": graph_merge_nodes,
     "graph_edges_fk": graph_edges_fk,
     "equivalence_groups_events": equivalence_groups_events,
+    "equivalence_groups_star": equivalence_groups_star,
     "tsv_ingest_roundtrip": tsv_ingest_roundtrip,
     "jsonl_ingest_roundtrip": jsonl_ingest_roundtrip,
     "neo4j_nodes_pivot": neo4j_nodes_pivot,
@@ -446,6 +468,7 @@ ORACLES = {
     "graph_merge_nodes": ORACLE_MERGE_NODES,
     "graph_edges_fk": ORACLE_EDGES_FK,
     "equivalence_groups_events": ORACLE_EQUIV_GROUPS,
+    "equivalence_groups_star": ORACLE_EQUIV_GROUPS,
     "tsv_ingest_roundtrip": ORACLE_TSV_ROUNDTRIP,
     "jsonl_ingest_roundtrip": ORACLE_JSONL_ROUNDTRIP,
     "neo4j_nodes_pivot": ORACLE_NEO4J_PIVOT,

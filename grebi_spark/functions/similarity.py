@@ -628,8 +628,189 @@ ORDER BY q.qid
 """
 
 
+PQ_M = 4        # subspaces
+PQ_SUB = 16     # dims per subspace (PQ_M * PQ_SUB = SRP_DIM = 64)
+PQ_K = 16       # codes per subspace codebook
+_PQ_TOPK = 5
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN — the memory-compression half of the
+    IVF-PQ index every billion-vector deployment runs: each vector is
+    encoded as PQ_M=4 codebook ids (4 bytes standing in for 64 floats,
+    64× compression), and the query scans CODES, not vectors, via
+    asymmetric distance computation (ADC): dist ≈ Σ_m qd[m][code_m],
+    where qd is the query's precomputed distance table to every
+    centroid — per-vector work is 4 array lookups + 3 additions.
+
+    Codebook here = the subvectors of seed vecs 1..PQ_K (deterministic
+    init, same convention as ``ann_ivf_topk``; the LEARNED-codebook
+    path is the ``ann_ivf_trained_topk`` pattern applied per subspace).
+    Every arithmetic step (subspace L2, rounded to 1e-6 before the
+    argmin; the 4-term ADC sum in fixed order) is identical sequential
+    double math in both engines, so encode AND estimate hash-match the
+    oracle end-to-end. Top-5 by (estimated distance, vec_id).
+
+    Scale shape: encode is one map-side pass over literal-broadcast
+    codebooks (no shuffle, no UDF); the ADC scan is map-side + one
+    TakeOrdered. At 100 TB the code table is 64× smaller than the
+    vectors — the point of PQ."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    seed_key = f"pq:{spark.sparkContext.applicationId}:{sf_dir}"
+    byid = _IVF_SEED_CACHE.get(seed_key)
+    if byid is None:
+        rows = (
+            e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= PQ_K))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        byid = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+        _IVF_SEED_CACHE[seed_key] = byid
+    qv = byid[0]
+    # cb[m][k] = subvector m of seed vec k+1
+    cb = [
+        [byid[k + 1][m * PQ_SUB:(m + 1) * PQ_SUB] for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+
+    def lit_arr(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    def d2(sub: Column, cvals) -> Column:
+        return F.round(
+            F.aggregate(
+                F.zip_with(sub, lit_arr(cvals), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+
+    def encode(v: Column) -> Column:
+        fields = []
+        for m in range(PQ_M):
+            sub = F.slice(v, m * PQ_SUB + 1, PQ_SUB)
+            code = F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            d2(sub, cb[m][k]).alias("d"),
+                            F.lit(k).alias("k"),
+                        )
+                        for k in range(PQ_K)
+                    ]
+                )
+            )["k"]
+            fields.append(code.alias(f"c{m}"))
+        return F.struct(*fields)
+
+    # the query's distance table per subspace: constant-folded JVM
+    # expressions (literal q sub × literal centroids), same sequential
+    # double math the oracle performs from the table
+    qd_arrays = []
+    for m in range(PQ_M):
+        qsub = lit_arr(qv[m * PQ_SUB:(m + 1) * PQ_SUB])
+        qd_arrays.append(
+            F.array(
+                *[
+                    F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                qsub,
+                                lit_arr(cb[m][k]),
+                                lambda x, y: (x - y) * (x - y),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        6,
+                    )
+                    for k in range(PQ_K)
+                ]
+            )
+        )
+
+    v = as_double(F.col("embedding"))
+    enc = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.element_at(F.transform(F.array(v), encode), 1).alias("codes"),
+    )
+    est = F.lit(0.0)
+    for m in range(PQ_M):
+        est = est + F.element_at(qd_arrays[m], F.col(f"codes.c{m}") + 1)
+    return (
+        enc.select(
+            "vec_id",
+            *[F.col(f"codes.c{m}").alias(f"c{m}") for m in range(PQ_M)],
+            F.round(est, 6).alias("dist_est"),
+        )
+        .orderBy("dist_est", "vec_id")
+        .limit(_PQ_TOPK)
+    )
+
+
+def _oracle_ann_pq() -> str:
+    sub_cases_v = []
+    sub_cases_c = []
+    for m in range(PQ_M):
+        lo, hi = m * PQ_SUB + 1, (m + 1) * PQ_SUB
+        sub_cases_v.append(f"WHEN {m} THEN ev[{lo}:{hi}]")
+        sub_cases_c.append(f"WHEN {m} THEN cv[{lo}:{hi}]")
+    est_terms = " + ".join(
+        f"coalesce(sum(CASE WHEN code.m = {m} THEN qd END), 0.0)"
+        for m in range(PQ_M)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+), cbv AS (
+  SELECT vec_id - 1 AS k, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id BETWEEN 1 AND {PQ_K}
+), q AS (
+  SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id = 0
+), m_axis AS (
+  SELECT unnest(range(0, {PQ_M})) AS m
+), dist AS (
+  SELECT v.vec_id, m_axis.m, cbv.k,
+         round(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+           i -> ((CASE m_axis.m {' '.join(sub_cases_v)} END)[i]
+                 - (CASE m_axis.m {' '.join(sub_cases_c)} END)[i])
+              * ((CASE m_axis.m {' '.join(sub_cases_v)} END)[i]
+                 - (CASE m_axis.m {' '.join(sub_cases_c)} END)[i]))), 6) AS d
+  FROM v CROSS JOIN m_axis CROSS JOIN cbv
+  WHERE v.vec_id != 0
+), code AS (
+  SELECT vec_id, m, k AS c FROM (
+    SELECT vec_id, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dist
+  ) WHERE rn = 1
+), qdist AS (
+  SELECT m_axis.m, cbv.k,
+         round(list_sum(list_transform(range(1, {PQ_SUB + 1}),
+           i -> ((CASE m_axis.m {' '.join(sub_cases_v)} END)[i]
+                 - (CASE m_axis.m {' '.join(sub_cases_c)} END)[i])
+              * ((CASE m_axis.m {' '.join(sub_cases_v)} END)[i]
+                 - (CASE m_axis.m {' '.join(sub_cases_c)} END)[i]))), 6) AS qd
+  FROM q AS v, m_axis, cbv
+), est AS (
+  SELECT code.vec_id,
+         max(CASE WHEN code.m = 0 THEN c END) AS c0,
+         max(CASE WHEN code.m = 1 THEN c END) AS c1,
+         max(CASE WHEN code.m = 2 THEN c END) AS c2,
+         max(CASE WHEN code.m = 3 THEN c END) AS c3,
+         round({est_terms}, 6) AS dist_est
+  FROM code JOIN qdist ON code.m = qdist.m AND code.c = qdist.k
+  GROUP BY code.vec_id
+)
+SELECT vec_id, c0, c1, c2, c3, dist_est
+FROM est ORDER BY dist_est, vec_id LIMIT {_PQ_TOPK}
+"""
+
+
 QUERIES = {
     "ann_recall_check": ann_recall_check,
+    "ann_pq_topk": ann_pq_topk,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -641,6 +822,7 @@ QUERIES = {
 ORACLES = {
     "ann_recall_check": _oracle_ann_recall(),
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
+    "ann_pq_topk": _oracle_ann_pq(),
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),

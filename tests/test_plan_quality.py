@@ -526,3 +526,28 @@ def test_set_ops_plan_as_joins_no_cartesian(spark, sf_dir):
     plan = plan_of(intersect_except_nations(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_encode_is_map_only_takeordered(spark, sf_dir):
+    """PQ encode + ADC must stay a narrow plan: codebooks are literal
+    (broadcast-free), per-vector work is in-row, and the top-k is a
+    per-partition heap — no shuffle, no join, no cartesian."""
+    from grebi_spark.functions.similarity import ann_pq_topk
+
+    plan = plan_of(ann_pq_topk(spark, sf_dir), mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    for op in ("Join", "Exchange hashpartitioning", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_hybrid_rrf_fuses_bounded_legs(spark, sf_dir):
+    """The RRF fusion itself must be an equi full-outer join on doc_id
+    (hash or merge), never a cartesian. The single allowed
+    BroadcastNestedLoopJoin is BM25's one-row corpus-stats crossJoin —
+    the standard scalar-broadcast pattern, not a pair enumeration."""
+    from grebi_spark.plans.search import hybrid_search_rrf
+
+    plan = plan_of(hybrid_search_rrf(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "FullOuter" in plan

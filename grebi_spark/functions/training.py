@@ -771,9 +771,71 @@ LIMIT {_BPE_TOPK}
 """
 
 
+_VOCAB_K = 100
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate measurement — the check run
+    before committing to a tokenizer vocabulary: what fraction of the
+    corpus token stream is covered by the top-K vocabulary, per source
+    (a source with high OOV under the global vocab will tokenize into
+    long byte-fallback sequences and train badly).
+
+    Scale shape: one token-count shuffle builds the vocabulary, the
+    top-K is a TakeOrdered (no global sort), and coverage is the token
+    stream left-joined to the BROADCAST vocab — no second big shuffle.
+    Counts are exact longs."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = d.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"\S+"), 0)
+        ).alias("t"),
+    )
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "t")
+        .limit(_VOCAB_K)
+        .select("t", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_VOCAB_COVERAGE = f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\\S+')) AS t
+  FROM documents
+), vocab AS (
+  SELECT t FROM (
+    SELECT t, count(*) AS n FROM toks GROUP BY t
+    ORDER BY n DESC, t LIMIT {_VOCAB_K}
+  )
+)
+SELECT source,
+       count(*) AS total_tokens,
+       CAST(sum(CASE WHEN vocab.t IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS covered_tokens
+FROM toks LEFT JOIN vocab ON toks.t = vocab.t
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
     "bpe_pair_counts": bpe_pair_counts,
+    "vocab_coverage": vocab_coverage,
     "chunk_documents": chunk_documents,
     "kmeans_embeddings": kmeans_embeddings,
     "corpus_split": corpus_split,
@@ -785,6 +847,7 @@ QUERIES = {
 ORACLES = {
     "mixture_sample": ORACLE_MIXTURE,
     "bpe_pair_counts": ORACLE_BPE_PAIRS,
+    "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "chunk_documents": ORACLE_CHUNKS,
     "kmeans_embeddings": ORACLE_KMEANS,
     "corpus_split": ORACLE_SPLIT,

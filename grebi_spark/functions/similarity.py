@@ -634,7 +634,7 @@ PQ_K = 16       # codes per subspace codebook
 _PQ_TOPK = 5
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the memory-compression half of the
     IVF-PQ index every billion-vector deployment runs: each vector is
     encoded as PQ_M=4 codebook ids (4 bytes standing in for 64 floats,
@@ -738,14 +738,66 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.lit(0.0)
     for m in range(PQ_M):
         est = est + F.element_at(qd_arrays[m], F.col(f"codes.c{m}") + 1)
-    return (
-        enc.select(
-            "vec_id",
-            *[F.col(f"codes.c{m}").alias(f"c{m}") for m in range(PQ_M)],
-            F.round(est, 6).alias("dist_est"),
-        )
+    return enc.select(
+        "vec_id",
+        *[F.col(f"codes.c{m}").alias(f"c{m}") for m in range(PQ_M)],
+        F.round(est, 6).alias("dist_est"),
+    )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 PQ/ADC neighbours of the query vector — see
+    ``_pq_estimates`` for the full design; the estimate scan is shared
+    with ``ann_pq_recall``."""
+    return _pq_estimates(spark, sf_dir).orderBy("dist_est", "vec_id").limit(
+        _PQ_TOPK
+    )
+
+
+_PQ_RECALL_K = 20
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ quality evaluation — recall@20 of the ADC estimate against
+    the EXACT L2 ranking for the query vector: how many of the true 20
+    nearest survive quantization to 4 bytes/vector. The accept/reject
+    gate every PQ deployment runs before trusting the compressed index
+    (low recall → more subspaces or a trained codebook).
+
+    Engine-exact: both legs rank by values rounded to 1e-6 with vec_id
+    tiebreaks, so both engines elect identical top-K SETS and the hit
+    count is bit-identical — a full oracle, not an inverted contract.
+    One corpus scan per leg, TakeOrdered each, a 20×20 semi-join to
+    intersect."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    qv = _query_vector(e, sf_dir)
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    v = as_double(F.col("embedding"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(v, q, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", d2.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(_PQ_RECALL_K)
+        .select("vec_id")
+    )
+    pq = (
+        _pq_estimates(spark, sf_dir)
         .orderBy("dist_est", "vec_id")
-        .limit(_PQ_TOPK)
+        .limit(_PQ_RECALL_K)
+        .select("vec_id")
+    )
+    hits = exact.join(pq, "vec_id", "left_semi")
+    return hits.agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.lit(_PQ_RECALL_K).cast("long").alias("k"),
     )
 
 
@@ -808,9 +860,30 @@ FROM est ORDER BY dist_est, vec_id LIMIT {_PQ_TOPK}
 """
 
 
+def _oracle_ann_pq_recall() -> str:
+    # the full PQ estimate CTE chain, re-terminated with the recall
+    # intersection against the exact-L2 top-K
+    body = _oracle_ann_pq()
+    cte = body[: body.rindex("SELECT vec_id, c0")]
+    return f"""{cte}, pq AS (
+  SELECT vec_id FROM est ORDER BY dist_est, vec_id LIMIT {_PQ_RECALL_K}
+), exact AS (
+  SELECT v.vec_id FROM v CROSS JOIN q
+  WHERE v.vec_id != 0
+  ORDER BY round(list_sum(list_transform(range(1, 65),
+            i -> (v.ev[i] - q.ev[i]) * (v.ev[i] - q.ev[i]))), 6), v.vec_id
+  LIMIT {_PQ_RECALL_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS n_hits,
+       CAST({_PQ_RECALL_K} AS BIGINT) AS k
+FROM exact SEMI JOIN pq ON exact.vec_id = pq.vec_id
+"""
+
+
 QUERIES = {
     "ann_recall_check": ann_recall_check,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_recall": ann_pq_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -823,6 +896,7 @@ ORACLES = {
     "ann_recall_check": _oracle_ann_recall(),
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_pq_topk": _oracle_ann_pq(),
+    "ann_pq_recall": _oracle_ann_pq_recall(),
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),

@@ -982,8 +982,105 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --- boilerplate / template-span detection --------------------------------
+
+BP_NGRAM = 5       # span length in words
+BP_MIN_DOCS = 3    # a span in >= this many distinct docs is boilerplate
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span detection — the template-removal signal every
+    web-scale corpus pipeline computes before training (headers, nav
+    bars, licence blurbs repeat verbatim across documents): per source,
+    what fraction of the corpus' distinct word 5-gram spans are
+    corpus-repeated (present in >= BP_MIN_DOCS distinct documents), and
+    how many documents are majority-boilerplate.
+
+    Scale shape: shingles are distinct-per-doc by construction, so the
+    span document-frequency is a plain count(*) after ONE shuffle on the
+    span key; the per-doc rollup re-uses the exploded frame through a
+    self-equi-join on that same key (co-partitioned — AQE plans no
+    second exchange of the big side), then two cheap rollups (doc,
+    source). Never all-pairs, no Python. The final rate is a single
+    IEEE division of two exact integers — bit-identical on any engine
+    (the same portability contract as the graph fixed-point queries).
+
+    Reference tie-in: the merge stage's dedup key (key, value,
+    datasource) removes only EXACT whole-value repeats
+    (03_merge/grebi_merge/src/main.rs:280-282); this is the sub-document
+    upgrade of that semantics for free text.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(word_shingles(F.col("text"), BP_NGRAM)).alias("sh"),
+    )
+    df = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") >= BP_MIN_DOCS).cast("long")).alias("n_boiler"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                (F.col("n_boiler") * 2 >= F.col("n_grams")).cast("long")
+            ).alias("n_flagged"),
+            F.sum("n_boiler").alias("sum_boiler"),
+            F.sum("n_grams").alias("sum_grams"),
+        )
+        .withColumn(
+            "boiler_rate",
+            F.round(F.col("sum_boiler") / F.col("sum_grams"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_boilerplate() -> str:
+    n = BP_NGRAM
+    terms = " || ' ' || ".join([f"t[i+{j}]" for j in range(n)])
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
+              i -> {terms}))
+         ELSE [] END) AS sh
+  FROM docs
+), df AS (
+  SELECT sh, count(*) AS df FROM sh GROUP BY sh
+), per_doc AS (
+  SELECT s.doc_id, s.source,
+         count(*) AS n_grams,
+         sum(CASE WHEN d.df >= {BP_MIN_DOCS} THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh s JOIN df d ON s.sh = d.sh
+  GROUP BY s.doc_id, s.source
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_boiler * 2 >= n_grams THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       CAST(sum(n_boiler) AS BIGINT) AS sum_boiler,
+       CAST(sum(n_grams) AS BIGINT) AS sum_grams,
+       round(CAST(sum(n_boiler) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE), 6)
+         AS boiler_rate
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "boilerplate_ngrams": boilerplate_ngrams,
     "fuzzy_title_pairs": fuzzy_title_pairs,
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_decontaminate": dedup_decontaminate,
@@ -997,6 +1094,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "boilerplate_ngrams": _oracle_boilerplate(),
     "fuzzy_title_pairs": ORACLE_FUZZY,
     "dedup_exact_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_decontaminate": _oracle_decontaminate(),

@@ -18,6 +18,7 @@ from grebi_spark.functions import multimodal as _multimodal
 from grebi_spark.functions import similarity as _similarity
 from grebi_spark.functions import text as _text
 from grebi_spark.functions import training as _training
+from grebi_spark.plans import api_surface as _api_surface
 from grebi_spark.plans import closure as _closure
 from grebi_spark.plans import graph_analytics as _graph_analytics
 from grebi_spark.plans import parity as _parity
@@ -32,6 +33,7 @@ _MODULES = (
     _relational,
     _relational2,
     _search,
+    _api_surface,
     _closure,
     _graph_analytics,
     _parity,

@@ -1,0 +1,168 @@
+"""Python-extensibility API surface: the Spark 4 Python DataSource API
+(pluggable formats with zero JVM code) and Python UDTFs (user-defined
+TABLE functions) — the two extension points a PySpark-native engine
+offers where the reference offers "write another Rust binary"
+(01_ingest/* each being one; Cargo.toml:5-24).
+
+Both queries here are *demonstrations with teeth*: full DuckDB-oracle
+hash checks over real data, not smoke tests.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import load_tables
+
+# one JSONL staging dir per (session, sf_dir) — the write happens once,
+# every re-run of the query re-READS through the custom source (the
+# artifact contract of parity._merged / dedup._lsh_pairs)
+_DS_STAGE: dict[str, str] = {}
+
+_DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+def python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents written through the custom ``grebi_jsonl`` Python
+    DataSource WRITER (one shard per task, WriterCommitMessage per
+    partition) and read back through its READER (one InputPartition per
+    file — the reference's per-file ingest parallelism,
+    nextflow/01_create_subgraph.nf:86-116), then aggregated per source.
+
+    The aggregate recomputes ``length(text)`` next to the stored
+    ``n_chars`` so a value-corrupting roundtrip cannot hash-match the
+    oracle (which reads the original parquet — the full write→read path
+    is inside the checked plan).
+
+    Scale shape: Python data sources stream rows to the JVM as Arrow
+    batches; reader parallelism = file count, writer parallelism =
+    input partitions. The only driver-side work is the directory
+    listing. A production deployment points the same plugin at an
+    object-store prefix.
+    """
+    from ..sources import pysource
+
+    pysource.register(spark)
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _DS_STAGE:
+        out = tempfile.mkdtemp(prefix="grebi_pyds_")
+        docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+        docs.write.mode("append").format("grebi_jsonl").option(
+            "path", out
+        ).save()
+        _DS_STAGE[key] = out
+    back = (
+        spark.read.format("grebi_jsonl")
+        .schema(_DOCS_SCHEMA)
+        .option("path", _DS_STAGE[key])
+        .load()
+    )
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_PYDS = """
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# --- Python UDTF: run-length token spans -----------------------------------
+
+_MIN_RUN = 2
+
+
+def udtf_token_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal same-token runs per document via a Python UDTF (lateral
+    join), rolled up per token: how often each token appears repeated
+    back-to-back and the longest such run — the stutter/repetition
+    probe at token granularity (text_repetition's bigram cousin).
+
+    The UDTF is the *table-function* extension point: one input row
+    expands to 0..n output rows with imperative per-row state (the run
+    walker) — the shape GrEBI implements as hand-rolled Rust iterators
+    over entity lines (e.g. 04_index/grebi_index/src/main.rs's per-line
+    prop walk). ``useArrow=True`` batches rows across the Python
+    boundary. The SQL equivalent needs two window passes
+    (gaps-and-islands — exactly what the DuckDB oracle runs, proving
+    the UDTF's semantics); the UDTF does it in one streaming pass per
+    row with no shuffle before the final rollup.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, run_len int", useArrow=True)
+    class TokenRuns:
+        def eval(self, text: str):
+            if not text:
+                return
+            prev = None
+            n = 0
+            for tok in text.lower().split():
+                if tok == prev:
+                    n += 1
+                else:
+                    if n >= _MIN_RUN:
+                        yield prev, n
+                    prev, n = tok, 1
+            if n >= _MIN_RUN:
+                yield prev, n
+
+    spark.udtf.register("token_runs", TokenRuns)
+    load_tables(spark, sf_dir, ("documents",))["documents"].createOrReplaceTempView(
+        "_docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT r.tok, count(*) AS n_runs, max(r.run_len) AS max_run
+        FROM _docs_udtf d, LATERAL token_runs(d.text) r
+        GROUP BY r.tok ORDER BY r.tok
+        """
+    )
+
+
+ORACLE_TOKEN_RUNS = f"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS i FROM docs
+), grp AS (
+  SELECT doc_id, tok, i,
+         i - row_number() OVER (PARTITION BY doc_id, tok ORDER BY i) AS g
+  FROM pos
+), runs AS (
+  SELECT doc_id, tok, count(*) AS run_len FROM grp GROUP BY doc_id, tok, g
+)
+SELECT tok, count(*) AS n_runs, CAST(max(run_len) AS INT) AS max_run
+FROM runs WHERE run_len >= {_MIN_RUN}
+GROUP BY tok ORDER BY tok
+"""
+
+
+QUERIES = {
+    "python_datasource_roundtrip": python_datasource_roundtrip,
+    "udtf_token_runs": udtf_token_runs,
+}
+
+ORACLES = {
+    "python_datasource_roundtrip": ORACLE_PYDS,
+    "udtf_token_runs": ORACLE_TOKEN_RUNS,
+}

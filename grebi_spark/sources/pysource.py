@@ -1,0 +1,126 @@
+"""Custom Python DataSource (Spark 4 DataSource API): the GrEBI JSONL
+entity interchange format as a first-class pluggable source AND sink.
+
+The reference's stages talk newline-delimited JSON entities over pipes
+(03_merge/grebi_merge/src/main.rs:88-150, nextflow/01_create_subgraph.nf:
+108-114). Spark reads JSONL natively, but the point here is the *plugin
+surface*: Spark 4's Python DataSource API lets an engine ship its own
+formats without JVM code — `spark.dataSource.register(...)` then
+`spark.read.format("grebi_jsonl")` / `df.write.format("grebi_jsonl")`.
+
+Scale shape: the reader plans ONE InputPartition PER FILE (driver lists
+the directory; executors each open only their file — the same
+split-by-file parallelism the reference's per-file ingest jobs use,
+nextflow/01_create_subgraph.nf:86-116). The writer runs per-partition on
+executors, emitting one shard per task with the partition id in the file
+name (deterministic, collision-free), and reports rows written through
+WriterCommitMessage so the driver can log the commit. Python-source rows
+cross to the JVM via Arrow batches. For a 100 TB directory the file
+listing is the only driver-side work; everything else is per-executor
+streaming IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+
+@dataclass
+class _FilePartition(InputPartition):
+    path: str
+
+
+@dataclass
+class _WriteResult(WriterCommitMessage):
+    rows: int
+    path: str
+
+
+class GrebiJsonlReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("grebi_jsonl requires a path")
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".jsonl")
+        )
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition: _FilePartition):
+        fields = [f.name for f in self._schema.fields]
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                obj = json.loads(line)
+                yield tuple(obj.get(f) for f in fields)
+
+
+class GrebiJsonlWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("grebi_jsonl requires a path")
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        out = os.path.join(self._path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _WriteResult(rows=n, path=out)
+
+
+class GrebiJsonlDataSource(DataSource):
+    """format name: ``grebi_jsonl``. Schema must be supplied by the
+    caller on read (open-schema JSONL has no self-description — the
+    reference solves this the same way, with the summary.json prop
+    universe driving downstream readers)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "grebi_jsonl"
+
+    def schema(self):
+        # default shape: the documents table (the main corpus artifact)
+        return (
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+
+    def reader(self, schema: StructType) -> GrebiJsonlReader:
+        return GrebiJsonlReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> GrebiJsonlWriter:
+        return GrebiJsonlWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration."""
+    key = "grebi_jsonl_registered"
+    if spark.conf.get(f"spark.grebi.{key}", None) == "true":
+        return
+    spark.dataSource.register(GrebiJsonlDataSource)
+    spark.conf.set(f"spark.grebi.{key}", "true")

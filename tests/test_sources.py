@@ -373,3 +373,37 @@ def test_nodes_to_edges(spark):
     assert e["prop_key"] == "assoc:linked_to"
     assert e["value"] == "d:2"
     assert '"pval":["0.05"]' in e["value_props"]
+
+
+def test_python_datasource_roundtrip(spark, tmp_path):
+    """Spark 4 Python DataSource: writer emits one shard per input
+    partition, reader plans one InputPartition per file, values survive
+    the JSONL roundtrip."""
+    from grebi_spark.sources import pysource
+
+    pysource.register(spark)
+    out = str(tmp_path / "pyds")
+    df = spark.range(0, 100, 1, 3).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("srcX").alias("source"),
+        F.length(F.concat(F.lit("text "), F.col("id"))).cast("long").alias("n_chars"),
+    )
+    df.write.mode("append").format("grebi_jsonl").option("path", out).save()
+    import os
+
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    assert len(shards) == 3  # one per input partition
+    back = (
+        spark.read.format("grebi_jsonl")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .option("path", out)
+        .load()
+    )
+    # reader parallelism = file count
+    assert back.rdd.getNumPartitions() == 3
+    got = {r["doc_id"]: r for r in back.collect()}
+    assert len(got) == 100
+    assert got[7]["text"] == "text 7"
+    assert got[7]["n_chars"] == len("text 7")

@@ -556,8 +556,93 @@ LIMIT {_SSSP_TOPK}
 """
 
 
+# --- k-core peeling ---------------------------------------------------------
+
+_KCORE_ROUNDS = 4
+
+
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the co-purchase graph: 4 synchronous
+    rounds of "drop every node with degree < K, restrict edges to
+    survivors", reporting (round, nodes, edges) after each round — the
+    dense-subgraph extraction operator (spam/fraud rings, community
+    cores; Neo4j ships it as ``gds.kcore``). Full coreness is this loop
+    to fixpoint; the bounded form is what makes it engine-portable AND
+    hash-checkable (the oracle unrolls the same rounds as chained CTEs,
+    the label-propagation contract). K is data-derived — 3/4 of the
+    mean degree, in integer arithmetic — so the peel cascade actually bites at
+    every scale factor instead of pinning a constant that is dense at
+    one sf and vacuous at another.
+
+    Scale shape: each round is ONE degree aggregate (shuffle on the
+    node key) + TWO semi-joins of the edge list against the survivor
+    set (equi-joins on u then v — co-partitioned with the aggregate's
+    output). The edge list only shrinks; lineage is cut per round
+    (localCheckpoint) so round N plans like round 1. K is a 1-row frame
+    cross-joined into the degree filter (broadcast-nested-loop of one
+    row) — no collect anywhere; the per-round stats are 1-row
+    aggregates unioned at the end.
+    """
+    cur = _copurchase_edges(spark, sf_dir).localCheckpoint()
+    kdf = cur.agg(
+        F.expr("count(*) DIV count(DISTINCT u) * 3 DIV 4").alias("k")
+    ).localCheckpoint()
+    out = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .crossJoin(kdf)
+            .filter(F.col("deg") >= F.col("k"))
+            .select("u")
+            .localCheckpoint()
+        )
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        out.append(
+            keep.agg(F.count("*").alias("n_nodes")).crossJoin(
+                cur.agg((F.count("*") / 2).cast("long").alias("n_edges"))
+            ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        )
+    res = out[0]
+    for frame in out[1:]:
+        res = res.unionAll(frame)
+    return res.orderBy("round")
+
+
+def _kcore_oracle() -> str:
+    ctes = []
+    prev = "e0"
+    selects = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        ctes.append(
+            f"""k{r} AS (
+  SELECT u FROM {prev} GROUP BY u HAVING count(*) >= (SELECT k FROM kv)
+), e{r} AS (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN k{r} a ON e.u = a.u JOIN k{r} b ON e.v = b.u
+)"""
+        )
+        selects.append(
+            f"SELECT {r} AS round, (SELECT count(*) FROM k{r}) AS n_nodes,"
+            f" (SELECT count(*) // 2 FROM e{r}) AS n_edges"
+        )
+        prev = f"e{r}"
+    return f"""
+WITH e0 AS ({_EDGES_SQL}),
+kv AS (SELECT count(*) // count(DISTINCT u) * 3 // 4 AS k FROM e0),
+{",".join(ctes)}
+SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY round
+"""
+
+
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
+    "kcore_peeling": kcore_peeling,
     "weighted_paths_copurchase": weighted_paths_copurchase,
     "label_propagation_communities": label_propagation_communities,
     "bfs_hops_copurchase": bfs_hops_copurchase,
@@ -567,6 +652,7 @@ QUERIES = {
 
 ORACLES = {
     "pagerank_copurchase": _pagerank_oracle(),
+    "kcore_peeling": _kcore_oracle(),
     "weighted_paths_copurchase": _sssp_oracle(),
     "label_propagation_communities": _label_propagation_oracle(),
     "bfs_hops_copurchase": ORACLE_BFS,

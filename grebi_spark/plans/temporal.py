@@ -637,8 +637,81 @@ ORDER BY user_id
 """
 
 
+def events_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily volume trend: the OLS regression slope of daily
+    event counts over the day index, per event type — grouped model
+    fitting, the growth/decay detector run over every metric stream
+    before alerting on it.
+
+    Engine-portability: ``regr_slope`` accumulates floats in partition
+    order, so its last bits differ between engines. Instead the closed
+    form slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) is computed with
+    EXACT bigint sums (x = epoch day number, y = the day's count) and
+    ONE final IEEE division — bit-identical anywhere, the PageRank
+    contract. Both integer terms ship in the output so the oracle
+    checks the sums, not just the quotient.
+
+    Scale shape: one shuffle for the (type, day) pre-aggregate, one for
+    the per-type rollup of five integer sums — partial-aggregated
+    map-side. Headroom: day numbers ~2×10⁴, so n·Σx² needs ~62 bits at
+    a century of days × 10⁹ events/day; past that, scale x to
+    days-since-corpus-min (the oracle's CTE does the same).
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        sums.select(
+            "event_type",
+            "n_days",
+            num.cast("long").alias("num"),
+            den.cast("long").alias("den"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias("slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type,
+         count(*) AS n_days,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       n_days,
+       CAST(n_days * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n_days * sxx - sx * sx AS BIGINT) AS den,
+       round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / CAST(n_days * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM s ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
+    "events_trend_slope": events_trend_slope,
     "order_gap_stats": order_gap_stats,
     "events_scd2_intervals": events_scd2_intervals,
     "events_resample_fill": events_resample_fill,
@@ -654,6 +727,7 @@ QUERIES = {
 
 ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_trend_slope": ORACLE_TREND,
     "order_gap_stats": ORACLE_ORDER_GAPS,
     "events_scd2_intervals": ORACLE_SCD2,
     "events_resample_fill": ORACLE_RESAMPLE,

@@ -1046,6 +1046,180 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _has_protobuf() -> bool:
+    """transformWithStateInPandas talks to the JVM state server over a
+    protobuf protocol; the runtime isn't in this container (no network
+    installs), so the operator registers only where it can run."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def events_tws_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running (count, value-cents) via ``transformWithState``
+    — Spark 4's arbitrary-stateful-processing API (the successor to
+    applyInPandasWithState: typed state handles, timers, and state
+    schema evolution; SPARK-46815). The processor keeps one ValueState
+    per user and re-emits the cumulative row on every update — the
+    running-counter / CDC-enrichment shape.
+
+    ENVIRONMENT GATE: requires the ``protobuf`` runtime (the Python
+    state-server protocol); registered in QUERIES only when importable.
+    The semantics twin that always runs is
+    ``events_custom_session_stream`` (applyInPandasWithState).
+
+    transformWithState REQUIRES the RocksDB state store provider (state
+    on disk, not executor heap — the production-cardinality path this
+    repo proves result-safe in test_rocksdb_state_store_same_results);
+    the provider is set for the duration of the drain and restored.
+
+    Value arithmetic is integer cents (round(value*100) as bigint) so
+    state accumulation is exact and the batch oracle bit-matches. Final
+    read takes max(n) per key: the cumulative counters are monotone, so
+    the last emission per key IS the total (single-batch drains emit
+    once; multi-batch drains emit a row per batch and max() still
+    selects the final state).
+    """
+    import pandas as pd  # noqa: F811 — Arrow batches cross as pandas
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self._agg.get() or (0, 0)) if self._agg.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = _events_stream(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType="user_id bigint, n_events bigint, sum_cents bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        name = _run_to_memory_sink(out, "events_tws", "update")
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_cents").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_TWS_RUNNING = """
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+# one drained checkpoint per (session, sf_dir) — the state is the artifact
+_SS_CKPT: dict[str, str] = {}
+
+
+def statestore_read_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store-as-a-table: drain a per-type streaming count into a
+    checkpoint, then read the checkpoint's STATE back with Spark 4's
+    ``statestore`` batch data source and report what the state holds —
+    the state-inspection/debugging surface every production streaming
+    deployment needs (what keys is my job carrying? is state skewed
+    across partitions?), impossible before the state reader existed.
+
+    The complete-mode aggregate's state is exactly the per-key running
+    aggregate, so the state read must equal the batch GROUP BY — which
+    is the oracle: this check proves the persisted state itself is
+    correct, not just the sink output. Also surfaces the state's
+    partition placement (n_partitions) — the skew canary.
+
+    Scale shape: the state source plans one split per state-store
+    partition and reads RocksDB/HDFS snapshot files directly — no
+    running query needed, scales with the checkpoint, not the input.
+    """
+    import tempfile
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _SS_CKPT:
+        stream = _events_stream(spark, sf_dir)
+        agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
+        ckpt = tempfile.mkdtemp(prefix="grebi_ss_ckpt_")
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        _STREAM_RUN[0] += 1
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(f"statestore_seed_{_STREAM_RUN[0]}")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+        _SS_CKPT[key] = ckpt
+    state = spark.read.format("statestore").load(_SS_CKPT[key])
+    return (
+        state.groupBy(F.col("key.event_type").alias("event_type"))
+        .agg(
+            F.sum("value.count").alias("n_events"),
+            F.countDistinct("partition_id").alias("n_partitions"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_STATESTORE = """
+SELECT event_type,
+       count(*) AS n_events,
+       1 AS n_partitions
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+if _has_protobuf():  # pragma: no cover — env-dependent registration
+    _TWS_EXTRA_QUERIES = {"events_tws_running_stats": events_tws_running_stats}
+    _TWS_EXTRA_ORACLES = {"events_tws_running_stats": ORACLE_TWS_RUNNING}
+else:
+    _TWS_EXTRA_QUERIES = {}
+    _TWS_EXTRA_ORACLES = {}
+
+
 QUERIES = {
     "events_late_data_stream": events_late_data_stream,
     "events_sliding_stream": events_sliding_stream,
@@ -1059,6 +1233,8 @@ QUERIES = {
     "events_dedup_stream": events_dedup_stream,
     "events_enrich_stream": events_enrich_stream,
     "docs_quality_stream": docs_quality_stream,
+    "statestore_read_check": statestore_read_check,
+    **_TWS_EXTRA_QUERIES,
 }
 ORACLES = {
     "events_late_data_stream": ORACLE_LATE_DATA,
@@ -1073,4 +1249,6 @@ ORACLES = {
     "events_dedup_stream": ORACLE_EVENTS_DEDUP_STREAM,
     "events_enrich_stream": ORACLE_EVENTS_ENRICH_STREAM,
     "docs_quality_stream": _oracle_docs_quality_stream(),
+    "statestore_read_check": ORACLE_STATESTORE,
+    **_TWS_EXTRA_ORACLES,
 }

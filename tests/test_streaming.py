@@ -162,3 +162,40 @@ def test_rocksdb_state_store_same_results(spark):
         else:
             spark.conf.unset(key)
     assert got == default and len(got) > 0
+
+
+def test_statestore_reader_matches_batch(spark, sf_dir):
+    """The statestore batch source reads back exactly the per-key state
+    a drained complete-mode aggregate persisted."""
+    from grebi_spark.streaming.ops import statestore_read_check
+
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in statestore_read_check(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_running_stats(spark, sf_dir):
+    """transformWithState running stats == batch aggregate (skips where
+    the protobuf runtime the state-server protocol needs is absent)."""
+    pytest.importorskip("google.protobuf")
+    from grebi_spark.streaming.ops import events_tws_running_stats
+
+    got = events_tws_running_stats(spark, sf_dir)
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_cents"),
+        )
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}

@@ -832,8 +832,91 @@ ORDER BY source
 """
 
 
+
+# --- temperature-scaled multilingual resampling ------------------------------
+
+_TEMP_ALPHA = 0.5     # sampling temperature (XLM-R's multinomial alpha)
+_TEMP_2_52 = float(1 << 52)
+
+
+def temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing — the multilingual-corpus
+    mixing rule (sample language l with probability proportional to
+    p_l^alpha, alpha=0.5): high-resource languages are down-sampled so
+    the low-resource tail is not drowned. Rendered deterministic and
+    id-stable: every language keeps the fraction
+    f_l = (n_min / n_l)^(1-alpha) of its documents (the smallest
+    language keeps 100%), and each doc's keep decision is a pure
+    function of its id (md5 uniform < f_l) — re-running on a grown
+    corpus keeps every previously-kept doc (mixture_sample's contract,
+    with the rates now DERIVED from corpus statistics instead of
+    configured).
+
+    Engine-portability: f_l = sqrt(n_min/n_l) is one IEEE division and
+    one IEEE sqrt of exact integers (both correctly rounded, so
+    bit-identical in any engine); the uniform is 52 md5 bits scaled by
+    2^-52 (exact in a double); the comparison is then identical
+    everywhere. Scale shape: one per-language count (tiny), broadcast
+    back onto the scan; the keep decision is a row-local expression —
+    at 100 TB this is a pushed filter over a language-partitioned
+    table, no shuffle before the final per-language rollup.
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    nmin = counts.agg(F.min("n_lang").alias("n_min"))
+    f = counts.crossJoin(nmin).select(
+        "lang",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_lang").cast("double")).alias("f"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp:"), F.col("doc_id").cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(_TEMP_2_52)
+    )
+    keep = u < F.col("f")
+    return (
+        d.join(F.broadcast(f), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.round(F.max("f"), 6).alias("keep_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLE_TEMPERATURE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+), m AS (
+  SELECT min(n_lang) AS n_min FROM c
+), f AS (
+  SELECT lang, sqrt(CAST(n_min AS DOUBLE) / CAST(n_lang AS DOUBLE)) AS f
+  FROM c, m
+), d AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 13))::bigint
+           / {_TEMP_2_52} AS u
+  FROM documents
+)
+SELECT d.lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN d.u < f.f THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(max(f.f), 6) AS keep_frac
+FROM d JOIN f ON d.lang = f.lang
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
+    "temperature_mixture": temperature_mixture,
     "bpe_pair_counts": bpe_pair_counts,
     "vocab_coverage": vocab_coverage,
     "chunk_documents": chunk_documents,
@@ -846,6 +929,7 @@ QUERIES = {
 
 ORACLES = {
     "mixture_sample": ORACLE_MIXTURE,
+    "temperature_mixture": ORACLE_TEMPERATURE,
     "bpe_pair_counts": ORACLE_BPE_PAIRS,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "chunk_documents": ORACLE_CHUNKS,

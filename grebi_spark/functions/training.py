@@ -914,9 +914,90 @@ GROUP BY d.lang ORDER BY d.lang
 """
 
 
+
+# --- small-file compaction ---------------------------------------------------
+
+_COMPACT_CAP = 500      # records per file in the fragmented stage
+_COMPACT_TARGET = 4     # compacted output file count
+_COMPACT_CACHE: dict[str, tuple[int, int, int, int]] = {}
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance operator every
+    long-running lakehouse pipeline needs (streaming sinks and
+    per-batch writers fragment tables into thousands of tiny files;
+    scan throughput then dies on open/seek overhead, the classic HDFS
+    small-files problem): stage the corpus fragmented
+    (``maxRecordsPerFile`` = {cap}), then compact to {target} files via
+    one repartition write, and PROVE the rewrite from the filesystem —
+    the returned file/row counts are read from disk, fragmented stage
+    vs compacted stage.
+
+    The fragmented file count is deterministic (a single write task
+    splits ceil(n / cap) ways), so the oracle can state it from
+    count(*) alone; the compacted count is the repartition width. A
+    lost or duplicated row in the rewrite breaks the hash match.
+
+    Scale shape: compaction is one shuffle (repartition) + one write —
+    at 100 TB it runs per partition-directory with
+    ``spark.sql.files.maxPartitionBytes`` sizing the read side and the
+    repartition width chosen as table_bytes / target_file_size. The
+    read of the fragmented stage is the expensive half — which is the
+    point of doing the compaction.
+    """
+    import glob
+    import tempfile
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _COMPACT_CACHE:
+        d = load_tables(spark, sf_dir, ("documents",))["documents"]
+        frag = tempfile.mkdtemp(prefix="grebi_frag_")
+        comp = tempfile.mkdtemp(prefix="grebi_comp_")
+        (
+            d.repartition(1)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", _COMPACT_CAP)
+            .parquet(frag)
+        )
+        staged = spark.read.parquet(frag)
+        (
+            staged.repartition(_COMPACT_TARGET)
+            .write.mode("overwrite")
+            .parquet(comp)
+        )
+        n_frag_files = len(glob.glob(f"{frag}/*.parquet"))
+        n_comp_files = len(glob.glob(f"{comp}/*.parquet"))
+        n_frag_rows = spark.read.parquet(frag).count()
+        n_comp_rows = spark.read.parquet(comp).count()
+        _COMPACT_CACHE[key] = (n_frag_files, n_frag_rows, n_comp_files, n_comp_rows)
+    ff, fr, cf, cr = _COMPACT_CACHE[key]
+    return spark.createDataFrame(
+        [("compacted", cf, cr), ("fragmented", ff, fr)],
+        "stage string, n_files bigint, n_rows bigint",
+    ).orderBy("stage")
+
+
+compact_small_files.__doc__ = compact_small_files.__doc__.format(
+    cap=_COMPACT_CAP, target=_COMPACT_TARGET
+)
+
+
+ORACLE_COMPACT = f"""
+SELECT 'compacted' AS stage, {_COMPACT_TARGET} AS n_files, count(*) AS n_rows
+FROM documents
+UNION ALL
+SELECT 'fragmented' AS stage,
+       (count(*) + {_COMPACT_CAP - 1}) // {_COMPACT_CAP} AS n_files,
+       count(*) AS n_rows
+FROM documents
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "mixture_sample": mixture_sample,
     "temperature_mixture": temperature_mixture,
+    "compact_small_files": compact_small_files,
     "bpe_pair_counts": bpe_pair_counts,
     "vocab_coverage": vocab_coverage,
     "chunk_documents": chunk_documents,
@@ -930,6 +1011,7 @@ QUERIES = {
 ORACLES = {
     "mixture_sample": ORACLE_MIXTURE,
     "temperature_mixture": ORACLE_TEMPERATURE,
+    "compact_small_files": ORACLE_COMPACT,
     "bpe_pair_counts": ORACLE_BPE_PAIRS,
     "vocab_coverage": ORACLE_VOCAB_COVERAGE,
     "chunk_documents": ORACLE_CHUNKS,

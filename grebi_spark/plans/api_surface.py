@@ -52,7 +52,10 @@ def python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _DS_STAGE:
         out = tempfile.mkdtemp(prefix="grebi_pyds_")
         docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-        docs.write.mode("append").format("grebi_jsonl").option(
+        # writer parallelism = input partitions, and the written shard
+        # count is the READER's parallelism on every later run — spread
+        # the single-parquet-file input across 8 shards
+        docs.repartition(8).write.mode("append").format("grebi_jsonl").option(
             "path", out
         ).save()
         _DS_STAGE[key] = out

@@ -574,38 +574,49 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     every scale factor instead of pinning a constant that is dense at
     one sf and vacuous at another.
 
-    Scale shape: each round is ONE degree aggregate (shuffle on the
-    node key) + TWO semi-joins of the edge list against the survivor
-    set (equi-joins on u then v — co-partitioned with the aggregate's
-    output). The edge list only shrinks; lineage is cut per round
-    (localCheckpoint) so round N plans like round 1. K is a 1-row frame
-    cross-joined into the degree filter (broadcast-nested-loop of one
-    row) — no collect anywhere; the per-round stats are 1-row
-    aggregates unioned at the end.
+    Scale shape: the loop runs on the ORIENTED half edge list (u < v,
+    the cached co-purchase artifact) and only ever MATERIALIZES the
+    survivor sets (|V|-sized, localCheckpoint per round — the PageRank
+    contract of checkpointing the small iterative state, never the edge
+    list). The restricted edge list stays LAZY: round r's degree
+    aggregate re-scans the checkpointed half list through r-1 pairs of
+    survivor-set hash probes — AQE broadcasts the ~|V|-row keeps, so
+    the scan pipelines with NO edge shuffle; the only shuffle per round
+    is the degree aggregate on the node key. (If survivor sets ever
+    outgrow broadcast — pathological for a peeling that by construction
+    shrinks — AQE degrades the probes to shuffle joins and the
+    alternative is to materialize rounds instead.) K is a 1-row frame
+    cross-joined into the degree filter; no collect anywhere; per-round
+    stats are 1-row aggregates unioned at the end.
     """
-    cur = _copurchase_edges(spark, sf_dir).localCheckpoint()
-    kdf = cur.agg(
-        F.expr("count(*) DIV count(DISTINCT u) * 3 DIV 4").alias("k")
-    ).localCheckpoint()
+    cur = copurchase_half_edges(spark, sf_dir)  # (u, v), u < v, checkpointed
+    kdf = None
     out = []
     for r in range(1, _KCORE_ROUNDS + 1):
-        keep = (
-            cur.groupBy("u")
+        deg = (
+            cur.select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
             .agg(F.count("*").alias("deg"))
-            .crossJoin(kdf)
+        )
+        if kdf is None:
+            # mean degree = sum(deg)/|V|, both exact ints over round-1 degrees
+            kdf = deg.agg(
+                F.expr("sum(deg) DIV count(*) * 3 DIV 4").alias("k")
+            ).localCheckpoint()
+        keep = (
+            deg.crossJoin(kdf)
             .filter(F.col("deg") >= F.col("k"))
-            .select("u")
+            .select("node")
             .localCheckpoint()
         )
         cur = (
-            cur.join(keep, "u")
-            .join(keep.select(F.col("u").alias("v")), "v")
+            cur.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
             .select("u", "v")
-            .localCheckpoint()
         )
         out.append(
             keep.agg(F.count("*").alias("n_nodes")).crossJoin(
-                cur.agg((F.count("*") / 2).cast("long").alias("n_edges"))
+                cur.agg(F.count("*").alias("n_edges"))
             ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
         )
     res = out[0]

@@ -823,7 +823,103 @@ ORDER BY gid, l_returnflag, l_linestatus
 """
 
 
+
+def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (the CDC upsert) applied as a batch
+    operator: the customer dimension is the target, the latest event
+    per user is the change feed — WHEN MATCHED the balance is adjusted
+    by the event value, WHEN NOT MATCHED the user is inserted into a
+    synthetic 'NEW' segment. Spark's native MERGE needs a v2/lakehouse
+    table; this is the same semantics over plain tables — one FULL
+    OUTER join + coalesce projection — reported per post-merge segment
+    with updated/inserted breakdowns.
+
+    Exactness: balances and deltas are integer cents
+    (round(x*100) as bigint), so the post-merge sum is exact. The
+    change feed dedupes to latest-per-key with max_by over a
+    (ts, event_id) ordering — deterministic under ties.
+
+    Scale shape: the change-feed dedup is one shuffle on user_id; the
+    merge join shuffles both sides on the key (a real lakehouse MERGE
+    does exactly this, plus file rewrite); the rollup is 3-4 groups.
+    At 100 TB the target side prunes to only the files containing
+    matched keys when bucketed by key — scale.write_graph's layout.
+    """
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("key"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_cents"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ev = _t(spark, sf_dir, "events")
+    changes = (
+        ev.groupBy(F.col("user_id").cast("long").alias("key"))
+        .agg(
+            F.expr(
+                "max_by(CAST(round(value * 100) AS BIGINT),"
+                " struct(ts, event_id))"
+            ).alias("delta_cents")
+        )
+    )
+    merged = (
+        cust.join(changes, "key", "full_outer")
+        .select(
+            F.coalesce("segment", F.lit("NEW")).alias("segment"),
+            (
+                F.coalesce("bal_cents", F.lit(0))
+                + F.coalesce("delta_cents", F.lit(0))
+            ).alias("new_bal_cents"),
+            (F.col("delta_cents").isNotNull() & F.col("bal_cents").isNotNull())
+            .cast("long")
+            .alias("is_update"),
+            F.col("bal_cents").isNull().cast("long").alias("is_insert"),
+        )
+    )
+    return (
+        merged.groupBy("segment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("is_update").alias("n_updated"),
+            F.sum("is_insert").alias("n_inserted"),
+            F.sum("new_bal_cents").alias("sum_bal_cents"),
+        )
+        .orderBy("segment")
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH cust AS (
+  SELECT c_custkey::BIGINT AS key,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+         c_mktsegment AS segment
+  FROM customer
+), ranked AS (
+  SELECT user_id::BIGINT AS key,
+         CAST(round(value * 100) AS BIGINT) AS delta_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), changes AS (
+  SELECT key, delta_cents FROM ranked WHERE rn = 1
+), merged AS (
+  SELECT coalesce(c.segment, 'NEW') AS segment,
+         coalesce(c.bal_cents, 0) + coalesce(ch.delta_cents, 0)
+           AS new_bal_cents,
+         CASE WHEN ch.key IS NOT NULL AND c.key IS NOT NULL
+              THEN 1 ELSE 0 END AS is_update,
+         CASE WHEN c.key IS NULL THEN 1 ELSE 0 END AS is_insert
+  FROM cust c FULL OUTER JOIN changes ch ON c.key = ch.key
+)
+SELECT segment,
+       count(*) AS n_rows,
+       CAST(sum(is_update) AS BIGINT) AS n_updated,
+       CAST(sum(is_insert) AS BIGINT) AS n_inserted,
+       CAST(sum(new_bal_cents) AS BIGINT) AS sum_bal_cents
+FROM merged GROUP BY segment ORDER BY segment
+"""
+
+
 QUERIES = {
+    "merge_upsert_apply": merge_upsert_apply,
     "bucketed_join_revenue": bucketed_join_revenue,
     "events_variant_props": events_variant_props,
     "lateral_top_orders": lateral_top_orders,
@@ -843,6 +939,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "merge_upsert_apply": ORACLE_MERGE_UPSERT,
     "bucketed_join_revenue": ORACLE_BUCKETED_JOIN,
     "events_variant_props": ORACLE_VARIANT_PROPS,
     "lateral_top_orders": LATERAL_TOP_ORDERS_SQL,

@@ -176,5 +176,48 @@ ORDER BY ancestor
 """
 
 
-QUERIES = {"part_tree_descendant_counts": part_tree_descendant_counts}
-ORACLES = {"part_tree_descendant_counts": ORACLE_PART_TREE}
+
+def recursive_cte_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME descendant-count closure expressed as a RECURSIVE CTE
+    executed BY SPARK (recursive CTEs landed in Spark 4.x — the
+    analyst's declarative form runs unchanged, no imperative loop):
+    ``WITH RECURSIVE up AS (base UNION ALL step) ...`` — the engine
+    iterates to fixpoint. part_tree_descendant_counts is the hand-built
+    twin (path doubling / BFS under ``transitive_closure``); both share
+    the recursive DuckDB oracle, proving the three formulations agree.
+
+    Scale note: Spark executes each recursion step as a join against
+    the previous step's result (depth = tree height, ~log2(max key));
+    path doubling needs only ceil(log2(depth)) self-join rounds, which
+    is why the library operator keeps it for deep closures — this query
+    is the declarative-surface proof, not the scale path. Tree edges
+    are unique per node, so UNION ALL generates no duplicate pairs and
+    the recursion terminates at the root guard.
+    """
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    p.createOrReplaceTempView("_part_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE up(descendant, ancestor) AS (
+          SELECT CAST(p_partkey AS BIGINT),
+                 CAST(p_partkey DIV 2 AS BIGINT)
+          FROM _part_rcte WHERE p_partkey >= 1
+          UNION ALL
+          SELECT u.descendant, CAST(u.ancestor DIV 2 AS BIGINT)
+          FROM up u WHERE u.ancestor >= 1
+        )
+        SELECT ancestor, count(DISTINCT descendant) AS n_descendants
+        FROM up WHERE ancestor < 8
+        GROUP BY ancestor ORDER BY ancestor
+        """
+    )
+
+
+QUERIES = {
+    "part_tree_descendant_counts": part_tree_descendant_counts,
+    "recursive_cte_closure": recursive_cte_closure,
+}
+ORACLES = {
+    "part_tree_descendant_counts": ORACLE_PART_TREE,
+    "recursive_cte_closure": ORACLE_PART_TREE,
+}

@@ -918,8 +918,73 @@ FROM merged GROUP BY segment ORDER BY segment
 """
 
 
+
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via ANSI ``LISTAGG ... WITHIN GROUP``
+    (new in Spark 4) — the CSV-cell rendering the reference hand-rolls
+    for its Neo4j export (multi-values joined with 0x1F,
+    grebi_make_neo_csv/src/main.rs:362-388; K1): per region, the
+    sorted, comma-joined nation list. WITHIN GROUP's mandated ordering
+    is what makes the concatenation deterministic — the same reason the
+    reference sorts before joining.
+
+    One broadcast join + one grouped aggregate; the sort is per-group
+    over tiny lists, inside the aggregate."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    j.createOrReplaceTempView("_nr_listagg")
+    return spark.sql(
+        """
+        SELECT r_name AS region,
+               count(*) AS n_nations,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM _nr_listagg GROUP BY r_name ORDER BY region
+        """
+    )
+
+
+ORACLE_LISTAGG = """
+SELECT r.r_name AS region,
+       count(*) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY region
+"""
+
+
+def approx_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``approx_top_k`` sketch (Spark 4.1) over the event-type
+    stream, exploded to (item, cnt) rows — the one-expression form of
+    the heavy-hitters path (heavy_hitters_sketch builds the same answer
+    from a Count-Min sketch). With tracked slots >= distinct items the
+    sketch is exact, so the batch GROUP BY is the oracle; at 100 TB the
+    sketch is a fixed-size mergeable state per partition — no key
+    shuffle, the same scale contract as approx_count_distinct."""
+    e = _t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_ev_topk")
+    return spark.sql(
+        """
+        SELECT t.item, t.count AS cnt
+        FROM (SELECT approx_top_k(event_type, 5) AS a FROM _ev_topk)
+        LATERAL VIEW explode(a) t AS t
+        ORDER BY cnt DESC, item
+        """
+    )
+
+
+ORACLE_APPROX_TOPK = """
+SELECT event_type AS item, count(*) AS cnt
+FROM events GROUP BY event_type
+ORDER BY cnt DESC, item
+LIMIT 5
+"""
+
+
 QUERIES = {
     "merge_upsert_apply": merge_upsert_apply,
+    "listagg_nations": listagg_nations,
+    "approx_topk_events": approx_topk_events,
     "bucketed_join_revenue": bucketed_join_revenue,
     "events_variant_props": events_variant_props,
     "lateral_top_orders": lateral_top_orders,
@@ -940,6 +1005,8 @@ QUERIES = {
 
 ORACLES = {
     "merge_upsert_apply": ORACLE_MERGE_UPSERT,
+    "listagg_nations": ORACLE_LISTAGG,
+    "approx_topk_events": ORACLE_APPROX_TOPK,
     "bucketed_join_revenue": ORACLE_BUCKETED_JOIN,
     "events_variant_props": ORACLE_VARIANT_PROPS,
     "lateral_top_orders": LATERAL_TOP_ORDERS_SQL,

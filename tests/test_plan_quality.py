@@ -551,3 +551,47 @@ def test_hybrid_rrf_fuses_bounded_legs(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "FullOuter" in plan
+
+
+def test_boilerplate_no_cartesian_one_span_shuffle(spark, sf_dir):
+    """The span-df self-join must be an equi-join on the span key —
+    never a product — and the rate must be a plain projection."""
+    from grebi_spark.functions.dedup import boilerplate_ngrams
+
+    plan = plan_of(boilerplate_ngrams(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_temperature_mixture_broadcasts_rates(spark, sf_dir):
+    """The per-language keep-rate table (|langs| rows) must broadcast
+    onto the scan — no shuffle of the corpus before the rollup."""
+    from grebi_spark.functions.training import temperature_mixture
+
+    plan = plan_of(temperature_mixture(spark, sf_dir), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_full_outer_equi_join(spark, sf_dir):
+    """MERGE semantics = one FULL OUTER equi-join on the key, both
+    sides shuffled (or broadcast under AQE) — never a nested loop."""
+    from grebi_spark.plans.relational2 import merge_upsert_apply
+
+    plan = plan_of(merge_upsert_apply(spark, sf_dir), mode="simple")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_trend_slope_two_aggregates_pruned_scan(spark, sf_dir):
+    """Integer-sum regression: two hash aggregates (daily, then
+    per-type), and the scan reads only ts + event_type."""
+    from grebi_spark.plans.temporal import events_trend_slope
+
+    plan = plan_of(events_trend_slope(spark, sf_dir))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "value" not in read_schema
+    assert "props" not in read_schema
+    assert plan.count("HashAggregate") >= 2

@@ -160,12 +160,102 @@ GROUP BY tok ORDER BY tok
 """
 
 
+
+def pipe_syntax_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pricing-summary aggregate written in SQL PIPE SYNTAX
+    (Spark 4's ``|>`` operator chain — SIGMOD'24 "SQL Has Problems",
+    the linear dataflow form): FROM → WHERE → AGGREGATE → ORDER BY in
+    reading order. Catalyst compiles it to exactly the q1 plan (pushed
+    filter, partial/final aggregate); the oracle is the classic-syntax
+    equivalent, so the hash match proves the two dialects agree.
+
+    Sums are exact integer cents — the module's hash-safety contract.
+    """
+    lineitem = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    lineitem.createOrReplaceTempView("_li_pipe")
+    return spark.sql(
+        """
+        FROM _li_pipe
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE count(*) AS n_lines,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+ORACLE_PIPE = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def observe_metrics_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production observability via the ``observe`` API: named metrics
+    (row counts, exact cent sums) attached to the live plan and
+    harvested from the SAME run that produces the result — no second
+    scan, the Spark-native form of the reference's per-million-lines
+    progress counters (02_assign_ids/.../main.rs:62-64). The returned
+    frame is built FROM the observed metrics, so the oracle hash-check
+    proves the observation values themselves (a lying metric breaks the
+    match).
+
+    Scale shape: observe() metrics are accumulator-style aggregates
+    computed inside the existing tasks — zero extra jobs at any scale.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    obs_in = Observation("ingest")
+    obs_kept = Observation("kept")
+    staged = ev.observe(
+        obs_in, F.count("*").alias("n_rows"), F.sum(cents).alias("sum_cents")
+    ).filter(F.col("event_type") != "error")
+    kept = staged.observe(
+        obs_kept, F.count("*").alias("n_rows"), F.sum(cents).alias("sum_cents")
+    )
+    kept.count()  # one pass drives both observation points
+    rows = [
+        ("ingest", obs_in.get["n_rows"], obs_in.get["sum_cents"]),
+        ("kept", obs_kept.get["n_rows"], obs_kept.get["sum_cents"]),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_rows bigint, sum_cents bigint"
+    ).orderBy("stage")
+
+
+ORACLE_OBSERVE = """
+SELECT 'ingest' AS stage, count(*) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+UNION ALL
+SELECT 'kept' AS stage, count(*) AS n_rows,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE event_type <> 'error'
+ORDER BY stage
+"""
+
+
 QUERIES = {
     "python_datasource_roundtrip": python_datasource_roundtrip,
     "udtf_token_runs": udtf_token_runs,
+    "pipe_syntax_pricing": pipe_syntax_pricing,
+    "observe_metrics_check": observe_metrics_check,
 }
 
 ORACLES = {
     "python_datasource_roundtrip": ORACLE_PYDS,
     "udtf_token_runs": ORACLE_TOKEN_RUNS,
+    "pipe_syntax_pricing": ORACLE_PIPE,
+    "observe_metrics_check": ORACLE_OBSERVE,
 }

@@ -1274,7 +1274,54 @@ ORDER BY op, nationkey
 """
 
 
+
+def hll_merge_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY proven end-to-end (the property the whole
+    100 TB sketch story rests on): per-event-type user sketches built
+    with ``hll_sketch_agg`` are combined with ``hll_union_agg``, and the
+    merged estimate must EQUAL the estimate of one direct global sketch
+    — HLL union is register-wise max, so sketch(A ∪ B) ≡ union(sketch A,
+    sketch B) exactly, not approximately. This is what lets 1000
+    executors each sketch their shard and a single reduce produce the
+    global distinct count with no key shuffle (and what makes sketches
+    storable per partition-file and re-aggregatable at query time).
+
+    Inverted-contract oracle (approx_distinct_check's pattern): DuckDB
+    returns the exact distinct plus literal TRUEs; the query hash-matches
+    only if merged == direct (exact sketch identity) AND the estimate is
+    within 5% of the truth."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_merged")
+    )
+    direct = ev.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est_direct"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+    )
+    return direct.crossJoin(merged).select(
+        "n_users_exact",
+        (F.col("est_merged") == F.col("est_direct")).alias("merge_is_exact"),
+        (
+            F.abs(F.col("est_direct") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= 0.05
+        ).alias("estimate_within_5pct"),
+    )
+
+
+ORACLE_HLL_MERGE = """
+SELECT count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS merge_is_exact,
+       TRUE AS estimate_within_5pct
+FROM events
+"""
+
+
 QUERIES = {
+    "hll_merge_check": hll_merge_check,
     "q1_pricing_summary": q1_pricing_summary,
     "intersect_except_nations": intersect_except_nations,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1312,6 +1359,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "hll_merge_check": ORACLE_HLL_MERGE,
     "q1_pricing_summary": ORACLE_Q1,
     "intersect_except_nations": ORACLE_INTERSECT_EXCEPT,
     "q3_shipping_priority": ORACLE_Q3,

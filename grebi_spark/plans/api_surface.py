@@ -246,11 +246,158 @@ ORDER BY stage
 """
 
 
+
+_SQL_UDFS_DONE: set[str] = set()
+
+
+def sql_udf_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined functions in PURE SQL (Spark 4.1 ``CREATE FUNCTION
+    ... RETURN expr``): the engine's cents/discount arithmetic declared
+    ONCE as named functions and reused by name — zero Python, zero JVM
+    plugins, and Catalyst inlines the body so the plan is identical to
+    writing the expression inline (which is exactly what the oracle
+    does; the hash match proves the inlining is semantics-preserving).
+
+    This is the extension point the reference lacks entirely — its
+    scalar logic is compiled into each Rust binary (SURVEY §2.6 "UDF
+    surface: none — all logic compiled in").
+    """
+    key = spark.sparkContext.applicationId
+    if key not in _SQL_UDFS_DONE:
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) "
+            "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)"
+        )
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION disc_revenue"
+            "(p DOUBLE, d DOUBLE) RETURNS BIGINT "
+            "RETURN CAST(round(p * (1 - d) * 100) AS BIGINT)"
+        )
+        _SQL_UDFS_DONE.add(key)
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    li.createOrReplaceTempView("_li_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_lines,
+               sum(disc_revenue(l_extendedprice, l_discount)) AS rev_cents,
+               sum(cents(l_tax)) AS tax_cents
+        FROM _li_sqludf
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
+ORACLE_SQL_UDF = """
+SELECT l_returnflag,
+       count(*) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS rev_cents,
+       CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) AS tax_cents
+FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def sql_table_function_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A SQL TABLE function (``RETURNS TABLE``) as a reusable
+    parameterized view: ``seg_orders(segment)`` returns that market
+    segment's orders joined to its customers; callers query it like a
+    table. The parameterized-subgraph shape GrEBI's API serves as a
+    REST route (GrebiApi.java:81-176 — edges of one node) becomes a
+    named function any SQL caller composes.
+
+    Catalyst inlines the function body into the caller's plan, so the
+    segment predicate lands in the customer scan (pushdown through the
+    function boundary)."""
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    t["orders"].createOrReplaceTempView("_ord_tvf")
+    t["customer"].createOrReplaceTempView("_cust_tvf")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION seg_orders(seg STRING)
+        RETURNS TABLE (o_orderkey BIGINT, cents BIGINT, priority STRING)
+        RETURN SELECT CAST(o.o_orderkey AS BIGINT),
+                      CAST(round(o.o_totalprice * 100) AS BIGINT),
+                      o.o_orderpriority
+               FROM _ord_tvf o JOIN _cust_tvf c ON o.o_custkey = c.c_custkey
+               WHERE c.c_mktsegment = seg
+        """
+    )
+    return spark.sql(
+        """
+        SELECT priority,
+               count(*) AS n_orders,
+               sum(cents) AS sum_cents
+        FROM seg_orders('BUILDING')
+        GROUP BY priority ORDER BY priority
+        """
+    )
+
+
+ORACLE_SQL_TVF = """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY priority ORDER BY priority
+"""
+
+
+# one ORC staging dir per (session, sf_dir)
+_ORC_STAGE: dict[str, str] = {}
+
+
+def orc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format breadth: the events table written as ORC (Spark's other
+    first-class columnar format — predicate pushdown, column pruning
+    and vectorized reads, same as parquet) and read back, aggregated
+    per type in exact integer cents. The oracle reads the ORIGINAL
+    parquet, so the hash match proves the parquet→ORC→result path is
+    value-lossless, timestamps included (the TIMESTAMP_NTZ defence is
+    exercised on the way in).
+
+    Scale note: ORC matters operationally as the interchange format of
+    Hive-era warehouses — an engine claiming drop-in ETL coverage must
+    read and write it. Same pushdown contract as the parquet scans
+    (ORC scans report PushedFilters identically)."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _ORC_STAGE:
+        out = tempfile.mkdtemp(prefix="grebi_orc_")
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        ev.write.mode("overwrite").orc(out)
+        _ORC_STAGE[key] = out
+    back = spark.read.orc(_ORC_STAGE[key])
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_cents"),
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("first_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ORC = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       min(epoch_us(ts)) AS first_us
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "python_datasource_roundtrip": python_datasource_roundtrip,
     "udtf_token_runs": udtf_token_runs,
     "pipe_syntax_pricing": pipe_syntax_pricing,
     "observe_metrics_check": observe_metrics_check,
+    "sql_udf_revenue": sql_udf_revenue,
+    "sql_table_function_orders": sql_table_function_orders,
+    "orc_format_roundtrip": orc_format_roundtrip,
 }
 
 ORACLES = {
@@ -258,4 +405,7 @@ ORACLES = {
     "udtf_token_runs": ORACLE_TOKEN_RUNS,
     "pipe_syntax_pricing": ORACLE_PIPE,
     "observe_metrics_check": ORACLE_OBSERVE,
+    "sql_udf_revenue": ORACLE_SQL_UDF,
+    "sql_table_function_orders": ORACLE_SQL_TVF,
+    "orc_format_roundtrip": ORACLE_ORC,
 }

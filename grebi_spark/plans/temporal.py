@@ -709,9 +709,125 @@ FROM s ORDER BY event_type
 """
 
 
+
+def events_interpolate_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing hours in the per-type hourly
+    value series — the time-series repair step after densification
+    (events_resample_fill zero-fills; forecasting and anomaly baselines
+    want the line between the neighbours instead): every absent hour
+    gets prev + (next − prev)·(t − t_prev)/(t_next − t_prev), computed
+    from integer cent sums with ONE rounded IEEE division per gap row —
+    engine-portable like every fixed-point operator here.
+
+    Scale shape: one shuffle for the hourly pre-aggregate; the per-type
+    hour grid comes from a sequence() explode of the type's own span
+    (never a global cross join); the neighbour lookup is two window
+    passes over the SAME (type, hr) sort — Spark plans one sort, both
+    frames run in it. Reported per type: grid size, observed hours,
+    interpolated hours, and the exact post-fill total.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    obs = (
+        e.groupBy(
+            "event_type",
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias("hr"),
+        )
+        .agg(F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"))
+    )
+    span = obs.groupBy("event_type").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    grid = span.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("hr")
+    )
+    g = grid.join(obs, ["event_type", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    marked = g.select(
+        "event_type",
+        "hr",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("pc"),
+        F.last(F.when(F.col("cents").isNotNull(), F.col("hr")), ignorenulls=True)
+        .over(w_prev)
+        .alias("ph"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("nc"),
+        F.first(F.when(F.col("cents").isNotNull(), F.col("hr")), ignorenulls=True)
+        .over(w_next)
+        .alias("nh"),
+    )
+    interp = (
+        F.col("pc")
+        + F.round(
+            (F.col("nc") - F.col("pc"))
+            * (F.col("hr") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        ).cast("long")
+    )
+    filled = F.coalesce(F.col("cents"), interp)
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.count("cents").alias("n_observed"),
+            (F.count("*") - F.count("cents")).alias("n_interp"),
+            F.sum(filled).alias("total_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_INTERP = """
+WITH obs AS (
+  SELECT event_type,
+         epoch_us(ts) // 3600000000 AS hr,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(hr) AS h0, max(hr) AS h1 FROM obs GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS hr FROM span
+), g AS (
+  SELECT gr.event_type, gr.hr, o.cents
+  FROM grid gr LEFT JOIN obs o
+    ON gr.event_type = o.event_type AND gr.hr = o.hr
+), marked AS (
+  SELECT event_type, hr, cents,
+         last_value(cents IGNORE NULLS) OVER w_prev AS pc,
+         last_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_prev AS ph,
+         first_value(cents IGNORE NULLS) OVER w_next AS nc,
+         first_value(CASE WHEN cents IS NOT NULL THEN hr END IGNORE NULLS)
+           OVER w_next AS nh
+  FROM g
+  WINDOW w_prev AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_next AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       count(*) AS n_hours,
+       count(cents) AS n_observed,
+       count(*) - count(cents) AS n_interp,
+       CAST(sum(coalesce(cents,
+            pc + CAST(round((nc - pc) * (hr - ph) * 1.0 / (nh - ph)) AS BIGINT)))
+            AS BIGINT) AS total_cents
+FROM marked GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_trend_slope": events_trend_slope,
+    "events_interpolate_gaps": events_interpolate_gaps,
     "order_gap_stats": order_gap_stats,
     "events_scd2_intervals": events_scd2_intervals,
     "events_resample_fill": events_resample_fill,
@@ -728,6 +844,7 @@ QUERIES = {
 ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_trend_slope": ORACLE_TREND,
+    "events_interpolate_gaps": ORACLE_INTERP,
     "order_gap_stats": ORACLE_ORDER_GAPS,
     "events_scd2_intervals": ORACLE_SCD2,
     "events_resample_fill": ORACLE_RESAMPLE,

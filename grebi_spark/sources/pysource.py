@@ -28,8 +28,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -63,17 +63,39 @@ class GrebiJsonlReader(DataSourceReader):
         return [_FilePartition(p) for p in files]
 
     def read(self, partition: _FilePartition):
+        # yield Arrow RecordBatches, not per-row tuples: the batch form
+        # crosses the Python→JVM boundary as one Arrow buffer per chunk
+        # (~10× less serialization than row-at-a-time pickling)
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(self._schema)
         fields = [f.name for f in self._schema.fields]
+        rows: list[dict] = []
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
-                if not line:
-                    continue
-                obj = json.loads(line)
-                yield tuple(obj.get(f) for f in fields)
+                if line:
+                    rows.append(json.loads(line))
+                if len(rows) >= 10_000:
+                    yield pa.RecordBatch.from_pylist(
+                        [{f: r.get(f) for f in fields} for r in rows],
+                        schema=arrow_schema,
+                    )
+                    rows = []
+        if rows:
+            yield pa.RecordBatch.from_pylist(
+                [{f: r.get(f) for f in fields} for r in rows],
+                schema=arrow_schema,
+            )
 
 
-class GrebiJsonlWriter(DataSourceWriter):
+class GrebiJsonlWriter(DataSourceArrowWriter):
+    """Arrow-batched writer: each task receives pyarrow RecordBatches
+    (one Arrow buffer per chunk instead of row-at-a-time pickling) and
+    streams them out as JSON lines via ``to_pylist``."""
+
     def __init__(self, options: dict, overwrite: bool) -> None:
         self._path = options.get("path")
         if not self._path:
@@ -87,9 +109,10 @@ class GrebiJsonlWriter(DataSourceWriter):
         out = os.path.join(self._path, f"part-{pid:05d}.jsonl")
         n = 0
         with open(out, "w", encoding="utf-8") as fh:
-            for row in iterator:
-                fh.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
-                n += 1
+            for batch in iterator:
+                for obj in batch.to_pylist():
+                    fh.write(json.dumps(obj, sort_keys=True) + "\n")
+                    n += 1
         return _WriteResult(rows=n, path=out)
 
 

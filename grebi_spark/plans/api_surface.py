@@ -390,6 +390,66 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+
+_SDS_RUN = [0]
+
+
+def python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom plugin's STREAMING half: the same ``grebi_jsonl``
+    directory consumed through the Python DataSource
+    SimpleStreamReader (offset = files-consumed; each micro-batch
+    ingests exactly the new files — the file-tailing ingest shape),
+    drained with availableNow into a complete-mode per-source count.
+    Batch writer, batch reader, and stream reader of one format plugin
+    now all sit on the driver's correctness board; the stream result
+    must equal the batch GROUP BY over the original parquet, proving
+    offset bookkeeping loses and duplicates nothing.
+
+    Scale note: offsets are engine-committed after each durable batch,
+    so crash-replay re-reads a deterministic file slice (exactly-once
+    into an idempotent sink); the directory listing is the only
+    driver-side work per batch.
+    """
+    from ..sources import pysource
+
+    pysource.register(spark)
+    # reuse the batch roundtrip's staging dir (write once per session+sf)
+    python_datasource_roundtrip(spark, sf_dir).count()
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    stage = _DS_STAGE[key]
+    stream = (
+        spark.readStream.format("grebi_jsonl")
+        .schema(_DOCS_SCHEMA)
+        .option("path", stage)
+        .load()
+    )
+    agg = stream.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    _SDS_RUN[0] += 1
+    name = f"pyds_stream_{_SDS_RUN[0]}"
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name).orderBy("source")
+
+
+ORACLE_PYDS_STREAM = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "python_datasource_roundtrip": python_datasource_roundtrip,
     "udtf_token_runs": udtf_token_runs,
@@ -398,6 +458,7 @@ QUERIES = {
     "sql_udf_revenue": sql_udf_revenue,
     "sql_table_function_orders": sql_table_function_orders,
     "orc_format_roundtrip": orc_format_roundtrip,
+    "python_datasource_stream": python_datasource_stream,
 }
 
 ORACLES = {
@@ -408,4 +469,5 @@ ORACLES = {
     "sql_udf_revenue": ORACLE_SQL_UDF,
     "sql_table_function_orders": ORACLE_SQL_TVF,
     "orc_format_roundtrip": ORACLE_ORC,
+    "python_datasource_stream": ORACLE_PYDS_STREAM,
 }

@@ -116,6 +116,65 @@ class GrebiJsonlWriter(DataSourceArrowWriter):
         return _WriteResult(rows=n, path=out)
 
 
+class GrebiJsonlStreamReader:
+    """Streaming half of the plugin (SimpleDataSourceStreamReader
+    contract): the offset is the count of files already consumed from
+    the sorted directory listing, so each micro-batch ingests exactly
+    the files that appeared since the last one — the file-tailing
+    source shape (the reference's ingest watches a directory of
+    datasource dumps the same way, one job per new file,
+    nextflow/01_create_subgraph.nf:86-116). Exactly-once: offsets are
+    committed by the engine after the batch is durable; replaying
+    (start, end) re-reads the same file slice deterministically.
+    """
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        self._schema = schema
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("grebi_jsonl requires a path")
+
+    def _files(self) -> list[str]:
+        return sorted(
+            os.path.join(self._path, f)
+            for f in os.listdir(self._path)
+            if f.endswith(".jsonl")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        done = start["n_files"]
+        fields = [f.name for f in self._schema.fields]
+        rows: list[tuple] = []
+        for path in files[done:]:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        obj = json.loads(line)
+                        rows.append(tuple(obj.get(f) for f in fields))
+        return iter(rows), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        fields = [f.name for f in self._schema.fields]
+        rows: list[tuple] = []
+        for path in files[start["n_files"]:end["n_files"]]:
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        obj = json.loads(line)
+                        rows.append(tuple(obj.get(f) for f in fields))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class GrebiJsonlDataSource(DataSource):
     """format name: ``grebi_jsonl``. Schema must be supplied by the
     caller on read (open-schema JSONL has no self-description — the
@@ -138,6 +197,9 @@ class GrebiJsonlDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> GrebiJsonlWriter:
         return GrebiJsonlWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> GrebiJsonlStreamReader:
+        return GrebiJsonlStreamReader(schema, self.options)
 
 
 def register(spark) -> None:

@@ -595,3 +595,39 @@ def test_trend_slope_two_aggregates_pruned_scan(spark, sf_dir):
     assert "value" not in read_schema
     assert "props" not in read_schema
     assert plan.count("HashAggregate") >= 2
+
+
+def test_kcore_round_edges_stay_lazy_broadcast(spark, sf_dir):
+    """k-core's per-round edge restriction must plan as broadcast hash
+    probes over the cached half list — the edge list itself is never
+    shuffled or nested-looped."""
+    from grebi_spark.plans.graph_analytics import kcore_peeling
+
+    df = kcore_peeling(spark, sf_dir)
+    df.collect()  # AQE demotes the survivor-set joins to broadcast at runtime
+    plan = plan_of(df, mode="simple")
+    assert "isFinalPlan=true" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_quantize_broadcasts_stats_and_query(spark, sf_dir):
+    """Per-dimension stats (D rows) and query codes broadcast onto the
+    melt; ranking ends in TakeOrderedAndProject, not a global sort."""
+    from grebi_spark.functions.similarity import ann_int8_quantize
+
+    plan = plan_of(ann_int8_quantize(spark, sf_dir), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pipe_syntax_pushes_filter_to_scan(spark, sf_dir):
+    """The |> dialect must compile to the same pushed-filter scan as
+    classic syntax — the dialect is surface, the plan is Catalyst's."""
+    from grebi_spark.plans.api_surface import pipe_syntax_pricing
+
+    plan = plan_of(pipe_syntax_pricing(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read_schema

@@ -403,8 +403,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is quadratic in the corpus.
     """
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    if key in _JACCARD_CACHE:
-        return _JACCARD_CACHE[key].orderBy("doc_a", "doc_b")
+    if key not in _JACCARD_CACHE:
+        _JACCARD_CACHE[key] = _jaccard_pairs_plan(spark, sf_dir).localCheckpoint()
+    return _JACCARD_CACHE[key].orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY exact-pair pipeline (blocking + verify) — split out so
+    plan gates can inspect the persisted-reuse shape before the
+    checkpoint barrier hides it."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     par = spark.sparkContext.defaultParallelism
     sh = d.repartition(par, "doc_id").select(
@@ -443,7 +450,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb"), F.col("n_sh").alias("nb")
     )
     shared = F.size(F.array_intersect("sha", "shb"))
-    pairs = (
+    return (
         cand.join(va, "doc_a")
         .join(vb, "doc_b")
         .withColumn(
@@ -451,10 +458,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_T)
         .select("doc_a", "doc_b", "jaccard")
-        .localCheckpoint()
     )
-    _JACCARD_CACHE[key] = pairs
-    return pairs.orderBy("doc_a", "doc_b")
 
 
 # The oracle blocks naively (any shared shingle) — fine at oracle scale —

@@ -107,10 +107,12 @@ def test_dedup_pair_joins_never_cartesian(spark, sf_dir):
 
 def test_ngram_jaccard_reuses_cached_prefix(spark, sf_dir):
     """Both sides of the blocking self-join and both verify joins must
-    read the persisted tables, not recompute the ranking pipeline."""
-    from grebi_spark.functions.dedup import dedup_ngram_jaccard
+    read the persisted tables, not recompute the ranking pipeline.
+    (The registered query checkpoints this pipeline once per session —
+    the gate inspects the lazy form the checkpoint is built from.)"""
+    from grebi_spark.functions.dedup import _jaccard_pairs_plan
 
-    plan = plan_of(dedup_ngram_jaccard(spark, sf_dir))
+    plan = plan_of(_jaccard_pairs_plan(spark, sf_dir))
     assert plan.count("InMemoryTableScan") >= 4
     spark.catalog.clearCache()
 

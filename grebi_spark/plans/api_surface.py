@@ -450,6 +450,133 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+
+def sql_scripting_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4: BEGIN/DECLARE/WHILE/SET control flow
+    executed by the engine) — the stored-procedure-style surface for
+    migration from warehouse dialects: a WHILE loop walks the event
+    types, accumulating each type's exact cent sum into a session
+    variable, and the script's final SELECT is the result. The oracle
+    computes the same total set-wise, so the hash match proves the
+    iterative accumulation visited every type exactly once.
+
+    (Control flow runs on the driver; each SET's subquery is a normal
+    distributed job — looping is orchestration, not a row-wise UDF.)
+    """
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev.createOrReplaceTempView("_ev_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE total BIGINT DEFAULT 0;
+          WHILE i <= 5 DO
+            SET total = total + (
+              SELECT coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)
+              FROM _ev_script
+              WHERE event_type = element_at(
+                array('click', 'error', 'purchase', 'signup', 'view'), i)
+            );
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS total_cents, i - 1 AS n_iterations;
+        END
+        """
+    )
+
+
+ORACLE_SCRIPTING = """
+SELECT CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       5 AS n_iterations
+FROM events
+WHERE event_type IN ('click', 'error', 'purchase', 'signup', 'view')
+"""
+
+
+def parameterized_sql_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(text, args={...})``) — the
+    injection-safe query surface a serving API builds on (the
+    reference's REST routes interpolate request values into Cypher/Solr
+    strings; parameter binding is the engine-level fix): segment and
+    order-date cutoff arrive as bound parameters, never string-spliced.
+    The oracle inlines the same constants.
+    """
+    t = load_tables(spark, sf_dir, ("orders", "customer"))
+    t["orders"].createOrReplaceTempView("_ord_param")
+    t["customer"].createOrReplaceTempView("_cust_param")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               count(*) AS n_orders,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS sum_cents
+        FROM _ord_param o JOIN _cust_param c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = :seg AND o.o_orderdate >= :cutoff
+        GROUP BY priority ORDER BY priority
+        """,
+        args={"seg": "MACHINERY", "cutoff": "1996-01-01"},
+    )
+
+
+ORACLE_PARAM = """
+SELECT o.o_orderpriority AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'MACHINERY' AND o.o_orderdate >= DATE '1996-01-01'
+GROUP BY priority ORDER BY priority
+"""
+
+
+_XML_STAGE: dict[str, str] = {}
+
+
+def xml_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's NATIVE XML data source (spark-xml folded into core):
+    the nation table written as XML and read back — the format family
+    the reference ingests via a custom Python scanner (S11 MetaboLights
+    XML, 01_ingest/grebi_ingest_metabolights/ingest.py) now covered by
+    a first-class reader whose scans prune and push down like any file
+    source. The oracle reads the original parquet; the hash match
+    proves the XML writer/reader pair is value-lossless.
+    """
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _XML_STAGE:
+        import tempfile as _tf
+
+        out = _tf.mkdtemp(prefix="grebi_xml_")
+        n = load_tables(spark, sf_dir, ("nation",))["nation"]
+        (
+            n.write.format("xml")
+            .option("rootTag", "nations")
+            .option("rowTag", "nation")
+            .mode("overwrite")
+            .save(out)
+        )
+        _XML_STAGE[key] = out
+    back = (
+        spark.read.format("xml").option("rowTag", "nation").load(_XML_STAGE[key])
+    )
+    return (
+        back.groupBy(F.col("n_regionkey").cast("long").alias("region_key"))
+        .agg(
+            F.count("*").alias("n_nations"),
+            F.min("n_name").alias("first_name"),
+            F.max("n_name").alias("last_name"),
+        )
+        .orderBy("region_key")
+    )
+
+
+ORACLE_XML = """
+SELECT CAST(n_regionkey AS BIGINT) AS region_key,
+       count(*) AS n_nations,
+       min(n_name) AS first_name,
+       max(n_name) AS last_name
+FROM nation GROUP BY n_regionkey ORDER BY region_key
+"""
+
+
 QUERIES = {
     "python_datasource_roundtrip": python_datasource_roundtrip,
     "udtf_token_runs": udtf_token_runs,
@@ -459,6 +586,9 @@ QUERIES = {
     "sql_table_function_orders": sql_table_function_orders,
     "orc_format_roundtrip": orc_format_roundtrip,
     "python_datasource_stream": python_datasource_stream,
+    "sql_scripting_check": sql_scripting_check,
+    "parameterized_sql_check": parameterized_sql_check,
+    "xml_native_roundtrip": xml_native_roundtrip,
 }
 
 ORACLES = {
@@ -470,4 +600,7 @@ ORACLES = {
     "sql_table_function_orders": ORACLE_SQL_TVF,
     "orc_format_roundtrip": ORACLE_ORC,
     "python_datasource_stream": ORACLE_PYDS_STREAM,
+    "sql_scripting_check": ORACLE_SCRIPTING,
+    "parameterized_sql_check": ORACLE_PARAM,
+    "xml_native_roundtrip": ORACLE_XML,
 }

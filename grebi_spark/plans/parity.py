@@ -502,8 +502,39 @@ ORDER BY n_customers DESC, region
 """
 
 
+
+def cypher_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A second verbatim Cypher on the driver's board, exercising the
+    WHERE translation the first one doesn't: membership over a
+    multi-valued property (``"lit" IN v.`prop``` — the
+    queries/mouse_phenotypes_by_system.cypher:2 predicate shape) plus a
+    1-hop pattern and a count aggregate: how many customers sit in each
+    of the two named nations.
+    """
+    from .cypher import run_cypher
+
+    g = _built_graph(spark, sf_dir)
+    return run_cypher(
+        g,
+        'MATCH (c:`crm:Customer`)-[:`crm:nation`]->(n:`geo:Nation`) '
+        'WHERE "NATION_3" IN n.`grebi:name` '
+        "RETURN n.`grebi:name`[0] AS nation, count(c) AS n_customers "
+        "ORDER BY nation",
+    )
+
+
+ORACLE_CYPHER_FILTER = """
+SELECT n.n_name AS nation, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_3'
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
 QUERIES = {
     "cypher_star_query": cypher_star_query,
+    "cypher_filter_query": cypher_filter_query,
     "graph_merge_nodes": graph_merge_nodes,
     "graph_edges_fk": graph_edges_fk,
     "equivalence_groups_events": equivalence_groups_events,
@@ -516,6 +547,7 @@ QUERIES = {
 
 ORACLES = {
     "cypher_star_query": ORACLE_CYPHER_STAR,
+    "cypher_filter_query": ORACLE_CYPHER_FILTER,
     "graph_merge_nodes": ORACLE_MERGE_NODES,
     "graph_edges_fk": ORACLE_EDGES_FK,
     "equivalence_groups_events": ORACLE_EQUIV_GROUPS,

@@ -1320,6 +1320,27 @@ FROM events
 """
 
 
+
+GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_cents
+FROM lineitem
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def group_by_all_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics dialect
+    both Spark 4 and DuckDB adopted (grouping keys inferred from the
+    non-aggregate select list): one SQL text runs verbatim on both
+    engines and serves as its own oracle, extending
+    ansi_sql_passthrough's bring-your-SQL-unchanged contract to the
+    modern shorthand."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(GROUP_BY_ALL_SQL)
+
+
 QUERIES = {
     "hll_merge_check": hll_merge_check,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1352,6 +1373,7 @@ QUERIES = {
     "heavy_hitters_sketch": heavy_hitters_sketch,
     "quantile_sketch_check": quantile_sketch_check,
     "ansi_sql_passthrough": ansi_sql_passthrough,
+    "group_by_all_passthrough": group_by_all_passthrough,
     "grouping_sets_revenue": grouping_sets_revenue,
     "full_outer_reconcile": full_outer_reconcile,
     "q21_late_shippers": q21_late_shippers,
@@ -1390,6 +1412,7 @@ ORACLES = {
     "heavy_hitters_sketch": ORACLE_HEAVY_HITTERS,
     "quantile_sketch_check": ORACLE_QUANTILE_SKETCH,
     "ansi_sql_passthrough": ANSI_PASSTHROUGH_SQL,
+    "group_by_all_passthrough": GROUP_BY_ALL_SQL,
     "grouping_sets_revenue": ORACLE_GROUPING_SETS,
     "full_outer_reconcile": ORACLE_FULL_OUTER,
     "q21_late_shippers": ORACLE_Q21,

@@ -577,6 +577,64 @@ FROM nation GROUP BY n_regionkey ORDER BY region_key
 """
 
 
+
+_EVO_STAGE: dict[str, str] = {}
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the operational reality of any long-lived
+    dataset (GrEBI's whole design exists because sources drift: the
+    summary.json prop-universe pass, 04_index, is its answer): an early
+    writer emits documents WITHOUT the lang/source columns, a later
+    writer emits the full schema into the same directory, and
+    ``mergeSchema`` reads both generations as one table — old rows
+    null-extended, no rewrite of the old files. The report counts rows
+    and non-null lang per generation; the oracle derives the same
+    numbers from the original table, so a mis-merged read (dropped
+    columns, misaligned generations) cannot hash-match.
+
+    Scale note: schema merge happens at PLANNING time over file footers
+    — the data files are untouched, which is the entire point at 100 TB
+    (the alternative is rewriting every historical partition on every
+    added column).
+    """
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _EVO_STAGE:
+        import tempfile as _tf
+
+        out = _tf.mkdtemp(prefix="grebi_evo_")
+        d = load_tables(spark, sf_dir, ("documents",))["documents"]
+        old_gen = d.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "n_chars"
+        )
+        new_gen = d.filter(F.col("doc_id") % 2 == 1)
+        old_gen.write.mode("append").parquet(out)
+        new_gen.write.mode("append").parquet(out)
+        _EVO_STAGE[key] = out
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(_EVO_STAGE[key])
+    )
+    return (
+        merged.groupBy((F.col("doc_id") % 2).alias("generation"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("lang").alias("n_with_lang"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("generation")
+    )
+
+
+ORACLE_EVOLUTION = """
+SELECT doc_id % 2 AS generation,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_lang,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY doc_id % 2 ORDER BY generation
+"""
+
+
 QUERIES = {
     "python_datasource_roundtrip": python_datasource_roundtrip,
     "udtf_token_runs": udtf_token_runs,
@@ -589,6 +647,7 @@ QUERIES = {
     "sql_scripting_check": sql_scripting_check,
     "parameterized_sql_check": parameterized_sql_check,
     "xml_native_roundtrip": xml_native_roundtrip,
+    "schema_evolution_read": schema_evolution_read,
 }
 
 ORACLES = {
@@ -603,4 +662,5 @@ ORACLES = {
     "sql_scripting_check": ORACLE_SCRIPTING,
     "parameterized_sql_check": ORACLE_PARAM,
     "xml_native_roundtrip": ORACLE_XML,
+    "schema_evolution_read": ORACLE_EVOLUTION,
 }

@@ -1148,6 +1148,92 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM events GROUP BY user_id ORDER BY user_id
 """
 
+def events_full_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completing the
+    streaming join taxonomy (inner: events_join_stream, left outer:
+    events_outer_join_stream): BOTH unmatched sides must emit once the
+    watermark proves no partner can arrive — clicks that converted to
+    nothing AND purchases no click preceded (the organic-purchase
+    signal an attribution pipeline needs). Same sentinel staging
+    protocol as the left-outer query (two far-future files advance both
+    watermarks, batch 3 flushes the null-extended rows of both sides
+    deterministically). Result == the batch FULL OUTER, the oracle.
+
+    The per-bucket rollup keys on COALESCE of the two user columns —
+    a full-outer output has no single non-null key side.
+    """
+    src = f"{sf_dir}/events.parquet"
+    stage = _outer_stage(spark, src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    ts_dtype = dict(stream.dtypes).get("ts")
+    if ts_dtype == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = (
+        stream.select("user_id", F.col("ts").alias("click_ts"), "event_type")
+        .withWatermark("click_ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .drop("event_type")
+    )
+    buys = (
+        stream.select(
+            F.col("user_id").alias("buy_user"),
+            F.col("ts").alias("buy_ts"),
+            "value",
+            "event_type",
+        )
+        .withWatermark("buy_ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("buy_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "fullOuter",
+    )
+    name = _run_to_memory_sink(joined, "events_full_outer_stream", "append")
+    key = F.coalesce(F.col("user_id"), F.col("buy_user"))
+    return (
+        spark.table(name)
+        .filter(key >= 0)  # drop the watermark sentinels
+        .groupBy((key % 10).cast("int").alias("user_bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (F.col("user_id").isNotNull() & F.col("buy_ts").isNull()).cast("long")
+            ).alias("n_clicks_unmatched"),
+            F.sum(F.col("user_id").isNull().cast("long")).alias("n_buys_unmatched"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("total_value"),
+        )
+        .orderBy("user_bucket")
+    )
+
+
+ORACLE_FULL_OUTER_STREAM = """
+SELECT CAST(coalesce(c.user_id, b.buy_user) % 10 AS INTEGER) AS user_bucket,
+       count(*) AS n_rows,
+       sum(CASE WHEN c.user_id IS NOT NULL AND b.buy_ts IS NULL
+                THEN 1 ELSE 0 END)::bigint AS n_clicks_unmatched,
+       sum(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END)::bigint
+         AS n_buys_unmatched,
+       round(coalesce(sum(b.value), 0.0), 2) AS total_value
+FROM (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+FULL OUTER JOIN (SELECT user_id AS buy_user, ts AS buy_ts, value FROM events
+                 WHERE event_type = 'purchase') b
+  ON c.user_id = b.buy_user
+ AND b.buy_ts >= c.click_ts
+ AND b.buy_ts <= c.click_ts + INTERVAL 30 MINUTE
+GROUP BY user_bucket
+ORDER BY user_bucket
+"""
+
+
 # one drained checkpoint per (session, sf_dir) — the state is the artifact
 _SS_CKPT: dict[str, str] = {}
 
@@ -1224,6 +1310,7 @@ QUERIES = {
     "events_late_data_stream": events_late_data_stream,
     "events_sliding_stream": events_sliding_stream,
     "events_outer_join_stream": events_outer_join_stream,
+    "events_full_outer_stream": events_full_outer_stream,
     "events_foreachbatch_sink": events_foreachbatch_sink,
     "events_custom_session_stream": events_custom_session_stream,
     "events_latest_state_stream": events_latest_state_stream,
@@ -1240,6 +1327,7 @@ ORACLES = {
     "events_late_data_stream": ORACLE_LATE_DATA,
     "events_sliding_stream": ORACLE_SLIDING_STREAM,
     "events_outer_join_stream": ORACLE_OUTER_JOIN_STREAM,
+    "events_full_outer_stream": ORACLE_FULL_OUTER_STREAM,
     "events_foreachbatch_sink": ORACLE_FOREACHBATCH,
     "events_custom_session_stream": ORACLE_CUSTOM_SESSIONS,
     "events_latest_state_stream": ORACLE_EVENTS_LATEST_STATE,

@@ -960,8 +960,108 @@ LIMIT 5
 """
 
 
+
+_SEMDEDUP_T = 0.95
+
+
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style CLUSTER-BLOCKED embedding dedup (Abbas et al.,
+    2023: k-means the embedding space, then deduplicate only WITHIN
+    each cluster): candidate pairs come from sharing a trained k-means
+    cell — near-duplicates sit near the same centroid, so they land in
+    the same cell — and only those pairs pay an exact cosine
+    verification (>= 0.95). The third blocking strategy in the
+    embedding-dedup family next to SRP-LSH bands
+    (dedup_embedding_cosine) and AllPairs prefix filtering. Input is
+    the corpus plus the same planted near-dup copies the LSH variant
+    recovers (dedup.planted_vectors) — the expected answer is the
+    planted pair set MINUS the pairs whose two ends straddle a cell
+    boundary (~2% here) — the known SemDeDup trade-off (single-cell
+    blocking is not complete; LSH banding is, which is why both ship),
+    reproduced exactly by the oracle.
+
+    Scale shape: blocking cost is the k-means assignment (map-only
+    against K broadcast centroids, trained once and session-cached by
+    kmeans_embeddings); the within-cell self-join shuffles on the cell
+    key, and cell sizes (~n/K) bound the quadratic term — at 100 TB you
+    raise K so cells stay bounded, which is exactly the SemDeDup recipe
+    (50k clusters for LAION). Never all-pairs across cells.
+
+    Oracle: the shared deterministic-k-means CTE chain
+    (training.ORACLE_KMEANS_CTES) + the planted union + the same
+    assignment and pair join — clustering, blocking, and verification
+    all hash-check.
+    """
+    from .dedup import planted_vectors
+    from .training import _CENT_CACHE, _assign, _cache_key, kmeans_embeddings
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    kmeans_embeddings(spark, sf_dir).count()  # train + cache centroids
+    cent2 = _CENT_CACHE[_cache_key(spark, sf_dir)]
+    assigned = planted_vectors(e).select(
+        "vec_id",
+        "v",
+        _assign(F.col("v"), cent2).getField("cluster").alias("cell"),
+    )
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        pairs.select("cell", "vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEMDEDUP_T)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _oracle_semdedup() -> str:
+    from .dedup import PLANT_OFFSET
+    from .training import ORACLE_KMEANS_CTES
+
+    cos = (
+        "round(list_dot_product(va.v, vb.v)"
+        " / (sqrt(list_dot_product(va.v, va.v))"
+        " * sqrt(list_dot_product(vb.v, vb.v))), 4)"
+    )
+    return (
+        ORACLE_KMEANS_CTES
+        + f"""
+, pl AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {PLANT_OFFSET},
+         [embedding[1]::DOUBLE * 1.5] || (embedding::DOUBLE[])[2:]
+  FROM embeddings
+), pd AS (
+  SELECT p.vec_id, round(list_distance(p.v, c2.c), 6) AS d, c2.cluster
+  FROM pl p, cent2 c2
+), pm AS (
+  SELECT vec_id, min(d) AS md FROM pd GROUP BY vec_id
+), passign AS (
+  SELECT pd.vec_id, min(pd.cluster) AS cell
+  FROM pd JOIN pm ON pd.vec_id = pm.vec_id AND pd.d = pm.md
+  GROUP BY pd.vec_id
+), pairs AS (
+  SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM passign a JOIN passign b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT p.cell, p.vec_a, p.vec_b, {cos} AS cos
+FROM pairs p
+JOIN pl va ON p.vec_a = va.vec_id
+JOIN pl vb ON p.vec_b = vb.vec_id
+WHERE {cos} >= {_SEMDEDUP_T}
+ORDER BY vec_a, vec_b
+"""
+    )
+
 QUERIES = {
     "ann_int8_quantize": ann_int8_quantize,
+    "semantic_dedup_cells": semantic_dedup_cells,
     "ann_recall_check": ann_recall_check,
     "ann_pq_topk": ann_pq_topk,
     "ann_pq_recall": ann_pq_recall,
@@ -975,6 +1075,7 @@ QUERIES = {
 
 ORACLES = {
     "ann_int8_quantize": ORACLE_INT8,
+    "semantic_dedup_cells": _oracle_semdedup(),
     "ann_recall_check": _oracle_ann_recall(),
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_pq_topk": _oracle_ann_pq(),

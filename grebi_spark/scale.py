@@ -86,6 +86,6 @@ def skewed_key_report(df: DataFrame, key: str, top: int = 10) -> DataFrame:
     return (
         df.groupBy(key)
         .agg(F.count("*").alias("n"))
-        .orderBy(F.desc("n"))
+        .orderBy(F.desc("n"), key)  # key tiebreak: deterministic top-N
         .limit(top)
     )

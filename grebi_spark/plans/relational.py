@@ -1341,8 +1341,53 @@ def group_by_all_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(GROUP_BY_ALL_SQL)
 
 
+
+_HIST_WIDTH = 25.0
+_HIST_MAX_BUCKET = 19
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (20 buckets of 25, top
+    bucket open) — the distribution profile next to value_percentiles'
+    quantiles: percentiles answer "what value is at rank p", the
+    histogram answers "how is mass shaped" (bimodality, outlier tails),
+    and it is the one-pass, fixed-size, mergeable aggregate dashboards
+    bin on. Bucketing is floor(value / width) capped — floor of an IEEE
+    division, bit-identical across engines; per-bucket sums are exact
+    integer cents.
+
+    Scale shape: one map-side partial aggregate into <= 20 groups —
+    effectively a reduce of constant width no matter the input size
+    (the same contract as a sketch, with exact counts)."""
+    e = _t(spark, sf_dir, "events")
+    bucket = F.least(
+        F.floor(F.col("value") / _HIST_WIDTH).cast("int"),
+        F.lit(_HIST_MAX_BUCKET),
+    )
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+ORACLE_HISTOGRAM = f"""
+SELECT CAST(least(floor(value / {_HIST_WIDTH}), {_HIST_MAX_BUCKET}) AS INTEGER)
+         AS bucket,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "hll_merge_check": hll_merge_check,
+    "events_value_histogram": events_value_histogram,
     "q1_pricing_summary": q1_pricing_summary,
     "intersect_except_nations": intersect_except_nations,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1382,6 +1427,7 @@ QUERIES = {
 
 ORACLES = {
     "hll_merge_check": ORACLE_HLL_MERGE,
+    "events_value_histogram": ORACLE_HISTOGRAM,
     "q1_pricing_summary": ORACLE_Q1,
     "intersect_except_nations": ORACLE_INTERSECT_EXCEPT,
     "q3_shipping_priority": ORACLE_Q3,

@@ -635,6 +635,58 @@ FROM documents GROUP BY doc_id % 2 ORDER BY generation
 """
 
 
+
+def udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the output schema is computed at
+    ANALYSIS time by the UDTF's ``analyze()`` from a constant argument
+    (here k=3 → columns tok_1..tok_3), the mechanism behind
+    schema-producing table functions like read_files or variant
+    shredding: one function, caller-chosen shape, fully resolved before
+    execution so Catalyst plans against concrete columns. The body
+    splits each document's first k tokens into those columns; the
+    rollup groups on tok_1 (the lead-token distribution). Oracle:
+    DuckDB extracts the same positions from the token array.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.types import StringType, StructType
+
+    class FirstTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(k.value):
+                schema = schema.add(f"tok_{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, k: int):
+            toks = (text or "").lower().split()
+            yield tuple(toks[i] if i < len(toks) else None for i in range(k))
+
+    spark.udtf.register("first_tokens", udtf(FirstTokens))
+    load_tables(spark, sf_dir, ("documents",))["documents"].createOrReplaceTempView(
+        "_docs_poly"
+    )
+    return spark.sql(
+        """
+        SELECT t.tok_1, count(*) AS n_docs,
+               count(DISTINCT t.tok_2) AS n_second_tokens
+        FROM _docs_poly d, LATERAL first_tokens(d.text, 3) t
+        GROUP BY t.tok_1 ORDER BY t.tok_1
+        """
+    )
+
+
+ORACLE_POLY_UDTF = """
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
+)
+SELECT t[1] AS tok_1, count(*) AS n_docs,
+       count(DISTINCT t[2]) AS n_second_tokens
+FROM toks GROUP BY t[1] ORDER BY tok_1
+"""
+
+
 QUERIES = {
     "python_datasource_roundtrip": python_datasource_roundtrip,
     "udtf_token_runs": udtf_token_runs,
@@ -648,6 +700,7 @@ QUERIES = {
     "parameterized_sql_check": parameterized_sql_check,
     "xml_native_roundtrip": xml_native_roundtrip,
     "schema_evolution_read": schema_evolution_read,
+    "udtf_polymorphic_split": udtf_polymorphic_split,
 }
 
 ORACLES = {
@@ -663,4 +716,5 @@ ORACLES = {
     "parameterized_sql_check": ORACLE_PARAM,
     "xml_native_roundtrip": ORACLE_XML,
     "schema_evolution_read": ORACLE_EVOLUTION,
+    "udtf_polymorphic_split": ORACLE_POLY_UDTF,
 }

@@ -677,7 +677,7 @@ def udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_POLY_UDTF = """
+ORACLE_POLY_UDTF = r"""
 WITH toks AS (
   SELECT regexp_extract_all(lower(text), '\S+') AS t FROM documents
 )

@@ -824,10 +824,72 @@ FROM marked GROUP BY event_type ORDER BY event_type
 """
 
 
+
+def events_type_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences — the behavioural-model operator (what follows a click?
+    is error->error a loop?) behind next-action prediction and
+    anomaly scoring on event streams. Each user's events are ordered by
+    (ts, event_id) — deterministic under timestamp ties — LAG yields
+    the (prev_type, type) bigrams, and the rollup emits count plus the
+    row-conditional probability P(to | from) as ONE IEEE division of
+    exact integers.
+
+    Scale shape: one shuffle on user_id for the sequence sort (the
+    window), one grouped aggregate on the 25-cell transition key, and a
+    broadcast-sized per-from total joined back — the same
+    sort-once/aggregate-twice shape as the sessionizers.
+    """
+    e = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = (
+        e.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = bi.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        counts.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_MARKOV = """
+WITH bi AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM bi WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+), totals AS (
+  SELECT from_type, sum(n) AS tot FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n * 1.0 / t.tot, 4) AS p
+FROM counts c JOIN totals t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
 QUERIES = {
     "events_hourly": events_hourly,
     "events_trend_slope": events_trend_slope,
     "events_interpolate_gaps": events_interpolate_gaps,
+    "events_type_markov": events_type_markov,
     "order_gap_stats": order_gap_stats,
     "events_scd2_intervals": events_scd2_intervals,
     "events_resample_fill": events_resample_fill,
@@ -845,6 +907,7 @@ ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_trend_slope": ORACLE_TREND,
     "events_interpolate_gaps": ORACLE_INTERP,
+    "events_type_markov": ORACLE_MARKOV,
     "order_gap_stats": ORACLE_ORDER_GAPS,
     "events_scd2_intervals": ORACLE_SCD2,
     "events_resample_fill": ORACLE_RESAMPLE,

@@ -701,8 +701,71 @@ FROM tiered GROUP BY tier ORDER BY tier
 """
 
 
+
+_TOPGRAM_N = 3   # word trigrams
+_TOPGRAM_K = 5   # per-language top-k
+
+
+def top_ngrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language characteristic n-grams: the top-5 word trigrams of
+    each language by corpus frequency — the language-fingerprinting /
+    corpus-inspection pass (the per-language twin of vocab_coverage;
+    what phrases dominate each slice of the corpus, the first thing a
+    data audit prints). Deterministic ranking: (count desc, trigram)
+    row_number per language.
+
+    Scale shape: one shuffle for the (lang, trigram) count, one window
+    partitioned BY LANGUAGE over the counted (already reduced) rows —
+    the window input is vocabulary-sized, not corpus-sized, because the
+    count collapses first. Same bound-lambda shingle expression as the
+    dedup family (the word_shingles lesson).
+    """
+    from .dedup import word_shingles
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    grams = d.select(
+        "lang",
+        F.explode(word_shingles(F.col("text"), _TOPGRAM_N)).alias("g"),
+    )
+    counts = grams.groupBy("lang", "g").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "g")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPGRAM_K)
+        .select("lang", "rank", "g", "n")
+        .orderBy("lang", "rank")
+    )
+
+
+def _oracle_top_ngrams() -> str:
+    n = _TOPGRAM_N
+    terms = " || ' ' || ".join([f"t[i+{j}]" for j in range(n)])
+    return f"""
+WITH docs AS (
+  SELECT lang, regexp_extract_all(lower(text), '\\S+') AS t FROM documents
+), grams AS (
+  SELECT lang, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
+              i -> {terms}))
+         ELSE [] END) AS g
+  FROM docs
+), counts AS (
+  SELECT lang, g, count(*) AS n FROM grams GROUP BY lang, g
+), ranked AS (
+  SELECT lang, g, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) AS rank
+  FROM counts
+)
+SELECT lang, rank::int AS rank, g, n
+FROM ranked WHERE rank <= {_TOPGRAM_K}
+ORDER BY lang, rank
+"""
+
+
 QUERIES = {
     "redact_pii": redact_pii,
+    "top_ngrams_per_lang": top_ngrams_per_lang,
     "text_rarity": text_rarity,
     "curriculum_buckets": curriculum_buckets,
     "text_repetition": text_repetition,
@@ -716,6 +779,7 @@ QUERIES = {
 
 ORACLES = {
     "redact_pii": ORACLE_REDACT_PII,
+    "top_ngrams_per_lang": _oracle_top_ngrams(),
     "text_rarity": ORACLE_RARITY,
     "curriculum_buckets": ORACLE_CURRICULUM,
     "text_repetition": ORACLE_REPETITION,

@@ -673,75 +673,75 @@ def _pq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(PQ_M)
     ]
 
-    def lit_arr(vals):
-        return F.array(*[F.lit(float(x)) for x in vals])
+    # qd[m][k]: the query's distance table, computed driver-side in
+    # plain Python with the SAME sequential fold + HALF_UP 1e-6 round
+    # the oracle's SQL performs (K·M scalars, scale-free).
+    def _r6(x: float) -> float:
+        import math
 
-    def d2(sub: Column, cvals) -> Column:
-        return F.round(
-            F.aggregate(
-                F.zip_with(sub, lit_arr(cvals), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        )
+        return math.floor(x * 1e6 + 0.5) / 1e6
 
-    def encode(v: Column) -> Column:
-        fields = []
-        for m in range(PQ_M):
-            sub = F.slice(v, m * PQ_SUB + 1, PQ_SUB)
-            code = F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            d2(sub, cb[m][k]).alias("d"),
-                            F.lit(k).alias("k"),
-                        )
-                        for k in range(PQ_K)
-                    ]
-                )
-            )["k"]
-            fields.append(code.alias(f"c{m}"))
-        return F.struct(*fields)
-
-    # the query's distance table per subspace: constant-folded JVM
-    # expressions (literal q sub × literal centroids), same sequential
-    # double math the oracle performs from the table
-    qd_arrays = []
+    qd = []
     for m in range(PQ_M):
-        qsub = lit_arr(qv[m * PQ_SUB:(m + 1) * PQ_SUB])
-        qd_arrays.append(
-            F.array(
-                *[
-                    F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                qsub,
-                                lit_arr(cb[m][k]),
-                                lambda x, y: (x - y) * (x - y),
-                            ),
-                            F.lit(0.0),
-                            lambda acc, x: acc + x,
-                        ),
-                        6,
-                    )
-                    for k in range(PQ_K)
-                ]
-            )
-        )
+        qsub = qv[m * PQ_SUB:(m + 1) * PQ_SUB]
+        row = []
+        for k in range(PQ_K):
+            s = 0.0
+            for x, y in zip(qsub, cb[m][k]):
+                s += (x - y) * (x - y)
+            row.append(_r6(s))
+        qd.append(row)
 
-    v = as_double(F.col("embedding"))
-    enc = e.filter(F.col("vec_id") != 0).select(
-        "vec_id",
-        F.element_at(F.transform(F.array(v), encode), 1).alias("codes"),
+    # Encode + ADC in ONE Arrow-batched pandas_udf: per batch, each
+    # subspace's 16 code distances accumulate dimension-by-dimension
+    # (sequential add order == the JVM fold == DuckDB's sum), HALF_UP
+    # round to 1e-6, argmin (ties → lowest k, same as the struct
+    # array_min), then the 4-term ADC sum in fixed subspace order.
+    # Replaces 64 interpreted zip_with/aggregate folds per row —
+    # measured ~2.5× on the same data; stays map-only (no shuffle, no
+    # join), so the TakeOrdered plan gate is unchanged.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
-    est = F.lit(0.0)
-    for m in range(PQ_M):
-        est = est + F.element_at(qd_arrays[m], F.col(f"codes.c{m}") + 1)
+
+    cbm = [np.array(cb[m], dtype=np.float64) for m in range(PQ_M)]  # (K, SUB)
+    qdm = [np.array(qd[m], dtype=np.float64) for m in range(PQ_M)]
+
+    def _encode_adc(s: "pd.Series") -> "pd.DataFrame":
+        V = np.array([np.asarray(x, dtype=np.float64) for x in s])
+        out = {}
+        est = np.zeros(len(V))
+        for m in range(PQ_M):
+            S = V[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+            D = np.zeros((len(V), PQ_K))
+            for j in range(PQ_SUB):  # sequential dim order == JVM fold
+                D += (S[:, j][:, None] - cbm[m][:, j][None, :]) ** 2
+            Dr = np.floor(D * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+            codes = Dr.argmin(axis=1)  # first min == lowest k on ties
+            out[f"c{m}"] = codes.astype("int32")
+            est = est + qdm[m][codes]
+        out["dist_est"] = np.floor(est * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(out)
+
+    _encode_adc.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    schema = StructType(
+        [StructField(f"c{m}", IntegerType()) for m in range(PQ_M)]
+        + [StructField("dist_est", DoubleType())]
+    )
+    udf = pandas_udf(_encode_adc, schema)
+    enc = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", udf(as_double(F.col("embedding"))).alias("codes")
+    )
     return enc.select(
         "vec_id",
         *[F.col(f"codes.c{m}").alias(f"c{m}") for m in range(PQ_M)],
-        F.round(est, 6).alias("dist_est"),
+        F.col("codes.dist_est").alias("dist_est"),
     )
 
 
@@ -996,26 +996,64 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import _CENT_CACHE, _assign, _cache_key, kmeans_embeddings
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    kmeans_embeddings(spark, sf_dir).count()  # train + cache centroids
-    cent2 = _CENT_CACHE[_cache_key(spark, sf_dir)]
+    ckey = _cache_key(spark, sf_dir)
+    if ckey not in _CENT_CACHE:
+        kmeans_embeddings(spark, sf_dir)  # trains + caches centroids
+    cent2 = _CENT_CACHE[ckey]
     assigned = planted_vectors(e).select(
         "vec_id",
         "v",
         _assign(F.col("v"), cent2).getField("cluster").alias("cell"),
     )
-    a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("v").alias("va")
+
+    # Per-cell vectorized verify: ONE applyInPandas group per cell, the
+    # full n_cell × n_cell cosine matrix in NumPy, upper triangle only.
+    # Replaces the pair-join + interpreted-HOF cosine (three
+    # zip_with/aggregate folds PER PAIR, recomputing both self-norms
+    # every time — measured ~26 s at sf0.1, 11% of the whole bench).
+    # Accumulation is a sequential per-dimension loop (C += outer of
+    # dim j), NOT a BLAS matmul, so the float add order is bit-identical
+    # to the JVM fold and the DuckDB list_dot_product the oracle runs;
+    # round is HALF_UP via floor(x*1e4+0.5) to match F.round/DuckDB
+    # (np.round is half-even). Cell population stays ~TARGET_CELL at
+    # any scale because K is derived from n (training.kmeans_k), so the
+    # per-group matrix is bounded — raising K with the corpus is the
+    # SemDeDup recipe.
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame(
+                {"cell": [], "vec_a": [], "vec_b": [], "cos": []}
+            ).astype({"cell": "int32", "vec_a": "int64", "vec_b": "int64", "cos": "float64"})
+        V = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        dot = np.zeros((n, n))
+        for j in range(V.shape[1]):  # sequential dim order == JVM fold order
+            col = V[:, j]
+            dot += np.outer(col, col)
+        norms = np.sqrt(np.diag(dot))
+        cos = dot / np.outer(norms, norms)
+        r = np.floor(cos * 1e4 + 0.5) / 1e4  # HALF_UP like F.round
+        ia, ib = np.triu_indices(n, k=1)
+        keep = r[ia, ib] >= _SEMDEDUP_T
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "cell": np.full(len(ia), int(pdf["cell"].iloc[0]), dtype="int32"),
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "cos": r[ia, ib],
+            }
+        )
+
+    out = assigned.groupBy("cell").applyInPandas(
+        _cell_pairs, "cell int, vec_a long, vec_b long, cos double"
     )
-    b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
-    )
-    pairs = a.join(b, "cell").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
-        pairs.select("cell", "vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") >= _SEMDEDUP_T)
-        .orderBy("vec_a", "vec_b")
-    )
+    return out.orderBy("vec_a", "vec_b")
 
 
 def _oracle_semdedup() -> str:

@@ -157,7 +157,21 @@ ORDER BY doc_id, chunk_idx
 
 # --- embedding k-means (2 Lloyd iterations, deterministic init) --------------
 
-KMEANS_K = 8
+# K is DERIVED from corpus size, not a constant: K = max(MIN, ceil(n /
+# TARGET_CELL)) bounds the expected cell population at ~TARGET_CELL
+# vectors regardless of scale, which is the SemDeDup recipe (Abbas et
+# al. 2023 use 50k clusters for LAION so cells stay small enough for
+# within-cell pairwise work). A fixed K would let cells — and the
+# quadratic within-cell pair count — grow linearly/quadratically with
+# the corpus. The oracle computes the SAME K from the same count in
+# SQL, so clustering stays hash-checked at every scale.
+KMEANS_K_MIN = 8
+KMEANS_TARGET_CELL = 64
+
+
+def kmeans_k(n: int) -> int:
+    """K for an n-vector corpus: ceil(n / TARGET_CELL), floored at MIN."""
+    return max(KMEANS_K_MIN, -(-n // KMEANS_TARGET_CELL))
 
 # trained centroids per (application, sf_dir) — applicationId (not
 # id(spark)) so a restarted session can never be served DataFrame-free
@@ -217,9 +231,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ckey in _CENT_CACHE:
         cent2 = _CENT_CACHE[ckey]
     else:
+        k = kmeans_k(e.count())
         init = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-            for r in e.filter(F.col("vec_id") < KMEANS_K)
+            for r in e.filter(F.col("vec_id") < k)
             .select("vec_id", "embedding")
             .collect()
         ]
@@ -266,9 +281,14 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trained-IVF oracle in functions/similarity.py, which appends its own
 # probe/rank SELECT
 ORACLE_KMEANS_CTES = f"""
-WITH init AS (
+WITH kk AS (
+  SELECT greatest({KMEANS_K_MIN},
+                  CAST(ceil(count(*) / {KMEANS_TARGET_CELL}.0) AS BIGINT)) AS k
+  FROM embeddings
+),
+init AS (
   SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
-  FROM embeddings WHERE vec_id < {KMEANS_K}
+  FROM embeddings, kk WHERE vec_id < kk.k
 ),
 d1 AS (
   SELECT vec_id, round(list_distance(embedding::DOUBLE[], c), 6) AS d, cluster

@@ -16,7 +16,7 @@ shuffle, one pass over the data regardless of column count.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 ARRAY_SEP = ""  # the reference's --array-delimiter U+001F
@@ -136,6 +136,40 @@ def import_command(
     return cmd
 
 
+def _serialize_escape(col: Column) -> Column:
+    """The reference's byte-level value escaping at CSV-write time
+    (grebi_make_neo_csv/src/main.rs:347-359 write_escaped_value):
+    backslash doubles FIRST (single pass in the reference — each input
+    byte maps independently, so doubling first then mapping the control
+    chars is equivalent), then \\n, \\r, \\t become two-char backslash
+    sequences. Embedded quotes are NOT handled here: the reference
+    doubles them (b'\"' -> \"\") which is exactly the RFC-4180 quoting
+    layer — Spark's writer reproduces it with escape='\"' + quoteAll.
+    0x1F passes through raw (it IS the array delimiter; the reference
+    writes joined arrays around it and never escapes it)."""
+    out = F.regexp_replace(col, r"\\", r"\\\\")
+    out = F.regexp_replace(out, "\n", r"\\n")
+    out = F.regexp_replace(out, "\r", r"\\r")
+    out = F.regexp_replace(out, "\t", r"\\t")
+    return out
+
+
+def _escaped_strings(df: DataFrame) -> DataFrame:
+    cols = [
+        _serialize_escape(F.col(f.name)).alias(f.name)
+        if f.dataType.simpleString() == "string"
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+# quoteAll + escape='"' = every field quoted with embedded quotes
+# doubled — byte-for-byte the reference's convention (it wraps every
+# field in quotes and writes b'"' as "" — main.rs:341,358)
+_CSV_OPTS = {"header": True, "quoteAll": True, "escape": '"'}
+
+
 def write_neo4j_csvs(
     merged: DataFrame,
     node_meta: DataFrame,
@@ -143,12 +177,16 @@ def write_neo4j_csvs(
     out_dir: str,
 ) -> None:
     """Write the four CSV sets for `neo4j-admin database import full`."""
-    neo4j_node_rows(merged, node_meta).write.mode("overwrite").option(
-        "header", True
-    ).csv(f"{out_dir}/nodes")
-    neo4j_edge_rows(edges).write.mode("overwrite").option("header", True).csv(
-        f"{out_dir}/edges"
-    )
+    _escaped_strings(neo4j_node_rows(merged, node_meta)).write.mode(
+        "overwrite"
+    ).options(**_CSV_OPTS).csv(f"{out_dir}/nodes")
+    _escaped_strings(neo4j_edge_rows(edges)).write.mode("overwrite").options(
+        **_CSV_OPTS
+    ).csv(f"{out_dir}/edges")
     id_nodes, id_edges = neo4j_id_rows(node_meta)
-    id_nodes.write.mode("overwrite").option("header", True).csv(f"{out_dir}/id_nodes")
-    id_edges.write.mode("overwrite").option("header", True).csv(f"{out_dir}/id_edges")
+    _escaped_strings(id_nodes).write.mode("overwrite").options(**_CSV_OPTS).csv(
+        f"{out_dir}/id_nodes"
+    )
+    _escaped_strings(id_edges).write.mode("overwrite").options(**_CSV_OPTS).csv(
+        f"{out_dir}/id_edges"
+    )

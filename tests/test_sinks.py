@@ -161,3 +161,82 @@ def test_solr_import_requests(spark, merged, meta, tmp_path):
     uploads = reqs[:-1]
     assert uploads and all("/nodes/part-" in r["params"]["stream.file"] for r in uploads)
     assert all(r["url"].endswith("/solr/grebi_nodes/update/json/docs") for r in uploads)
+
+
+def test_neo4j_csv_adversarial_escaping(spark, tmp_path):
+    """K1/K2 escaping golden test against the reference's serializer
+    (grebi_make_neo_csv/src/main.rs:341-359): every field is quoted,
+    embedded quotes are doubled, and \\n \\r \\t \\ become two-char
+    backslash sequences INSIDE the value; 0x1F passes through raw (it is
+    the array delimiter, never escaped). Each adversarial value is
+    compared field-exact after a CSV round-trip AND byte-exact in the
+    raw file against a pure-Python restatement of write_escaped_value."""
+    import csv
+    import glob
+
+    from grebi_spark.config import SubgraphConfig
+    from grebi_spark.operators.index import build_index
+    from grebi_spark.operators.materialise import materialise_edges
+    from grebi_spark.schema import MERGED
+    from grebi_spark.sinks.neo4j_csv import write_neo4j_csvs
+
+    nasty = {
+        "comma": "a,b,c",
+        "quote": 'say "hi" twice',
+        "newline": "line1\nline2",
+        "crlf": "cr\r\nlf",
+        "tab": "col1\tcol2",
+        "backslash": "C:\\temp\\new",
+        "unitsep": "x\x1fy",
+        "mixed": 'q"\\\n\t,\x1f"end',
+    }
+    rows = [
+        ("n:1", "s", "grebi:type", "Thing", None, ["ds"], ["n:1"]),
+    ] + [
+        ("n:1", "s", f"p:{k}", v, None, ["ds"], ["n:1"])
+        for k, v in sorted(nasty.items())
+    ]
+    merged = spark.createDataFrame(rows, MERGED)
+    meta = build_index(merged).metadata
+    edges = materialise_edges(merged, meta, SubgraphConfig(exclude_edges=("id",)))
+    out = str(tmp_path / "neo_adv")
+    write_neo4j_csvs(merged, meta, edges, out)
+
+    def ref_escape_field(s: str) -> str:
+        # write_escaped_value (main.rs:347-359) + the field quoting at
+        # :341 — the oracle this test holds the writer to
+        out = []
+        for ch in s:
+            if ch == "\n":
+                out.append("\\n")
+            elif ch == "\r":
+                out.append("\\r")
+            elif ch == "\t":
+                out.append("\\t")
+            elif ch == "\\":
+                out.append("\\\\")
+            elif ch == '"':
+                out.append('""')
+            else:
+                out.append(ch)
+        return '"' + "".join(out) + '"'
+
+    files = sorted(glob.glob(f"{out}/nodes/part-*.csv"))
+    assert files
+    raw = "".join(open(f, newline="").read() for f in files)
+    # 1) byte-exact: every adversarial value appears exactly as the
+    # reference serializer would emit it (and no raw newline survives
+    # inside any record — escaped files are strictly one line per row)
+    for v in nasty.values():
+        assert ref_escape_field(v) in raw, v
+    header, *records = [ln for ln in raw.split("\n") if ln]
+    assert all(ln.count('"') % 2 == 0 for ln in records)
+    # 2) field-exact round-trip through an RFC-4180 reader: each field
+    # parses back to the escaped payload (what neo4j-admin sees)
+    with open(files[0], newline="") as fh:
+        parsed = list(csv.reader(fh))
+    cols = parsed[0]
+    byname = dict(zip(cols, parsed[1]))
+    for k, v in nasty.items():
+        expect = ref_escape_field(v)[1:-1].replace('""', '"')
+        assert byname[f"p:{k}"] == expect, k

@@ -164,3 +164,110 @@ def add_datasource(
         edge_summary=edge_summary(edges, meta),
     )
     return GraphState(rows=all_rows, graph=graph, config=config)
+
+
+def remove_datasource(state: GraphState, datasource: str) -> GraphState:
+    """Retire one datasource from the built graph — the hard inverse of
+    ``add_datasource``: dropping a source's identifier pairs can SPLIT a
+    clique into several components, each needing a fresh canonical
+    election and re-merge, and entities that existed only in the retired
+    source must vanish entirely.
+
+    Correctness rests on two closure facts:
+
+    * *Affected cliques* = old components containing any identifier the
+      retired source's rows mention (singletons included via
+      coalesce-to-self). Components only ever split on removal — the
+      remaining pair set is a subset — so an unaffected clique keeps its
+      exact membership AND canonical id; its old merged rows pass
+      through untouched, and they contain no retired-source data
+      (any entity with a retired-source row contributes that row's
+      identifiers, which marks its clique affected).
+    * *Re-grouping is local*: every identifier of a remaining entity
+      that touches an affected clique lies inside affected cliques (its
+      within-entity pairs glued them into one old component), so the CC
+      over the touched entities' remaining pairs reproduces exactly the
+      from-scratch components — no pair can reach outside the affected
+      set. Seed-equivalence edges (config) are re-applied; a seed clique
+      the delta re-emits unchanged dedups against the retained mapping.
+
+    Scale shape: identical to the add path — the CC runs over the
+    touched cliques' pairs only, the re-merge over the touched entities'
+    rows only; the global index/materialise stages are the same
+    single-pass aggregates a full build runs.
+    """
+    config = state.config
+    remaining = state.rows.filter(F.col("datasource") != datasource)
+    removed = state.rows.filter(F.col("datasource") == datasource)
+    old_groups = state.graph.groups
+
+    # -- 1. affected cliques: canonicals of every retired identifier ----
+    removed_ids = extract_identifiers(removed, config).select("id").distinct()
+    affected = (
+        removed_ids.join(old_groups, "id", "left")
+        .select(F.coalesce("group_id", F.col("id")).alias("node_id"))
+        .distinct()
+        .cache()
+    )
+    member_ids = (
+        old_groups.join(affected, old_groups.group_id == affected.node_id, "left_semi")
+        .select("id")
+        .unionAll(affected.select(F.col("node_id").alias("id")))
+        .distinct()
+    )
+
+    # -- 2. re-group ONLY the touched entities' remaining pairs ---------
+    rem_ids = extract_identifiers(remaining, config)
+    touched_entities = (
+        rem_ids.join(member_ids, "id", "left_semi")
+        .select("datasource", "entity_id")
+        .distinct()
+        .cache()
+    )
+    touched_pairs = identifier_pairs(
+        rem_ids.join(touched_entities, ["datasource", "entity_id"], "left_semi")
+    )
+    # build_groups re-adds the config seed edges; restrict its output to
+    # affected members so an UNaffected seed clique is not re-emitted as
+    # the seed-only sub-component (its retained rows already map it, and
+    # a shrunken re-election could conflict). A delta component can never
+    # mix member and non-member ids — the bridging seed edge would have
+    # made them one old component, i.e. all members.
+    groups_delta = build_groups(touched_pairs, config).join(
+        member_ids, "id", "left_semi"
+    )
+    groups = (
+        old_groups.join(member_ids, "id", "left_anti")
+        .unionAll(groups_delta)
+        .localCheckpoint()
+    )
+
+    # -- 3. re-merge the touched entities; pass the rest through --------
+    changed_rows = remaining.join(
+        touched_entities, ["datasource", "entity_id"], "left_semi"
+    )
+    merged_delta = merge_nodes(
+        lift_types(assign_ids(changed_rows, groups, config), config), config
+    )
+    unchanged = state.graph.merged.join(
+        affected,
+        state.graph.merged.node_id == affected.node_id,
+        "left_anti",
+    )
+    merged = unchanged.unionByName(merged_delta).localCheckpoint()
+
+    # -- 4. global single-pass stages (same barriers as the add path) ---
+    index = build_index(merged)
+    meta = index.metadata.localCheckpoint()
+    edges = materialise_edges(merged, meta, config).localCheckpoint()
+
+    graph = BuiltGraph(
+        groups=groups,
+        merged=merged,
+        nodes=meta,
+        edges=edges,
+        index=index,
+        display_types=display_types(meta, index.type_counts),
+        edge_summary=edge_summary(edges, meta),
+    )
+    return GraphState(rows=remaining, graph=graph, config=config)

@@ -97,3 +97,41 @@ def test_incremental_fuses_pre_existing_cliques(graphs):
     groups = {r["id"]: r["group_id"] for r in inc.groups.collect()}
     # the added sssom row linked efo:0000537 into the mondo clique
     assert groups["efo:0000537"] == "mondo:0005044"
+
+
+@pytest.fixture(scope="module")
+def removal_graphs(spark):
+    """Build over ALL sources (incl. sssom), retire sssom, compare with
+    a from-scratch build over the base set — the inverse of the fusion
+    case: the mondo/efo clique must SPLIT back apart, with efo:0000537
+    re-elected as its own canonical and every sssom row gone."""
+    from grebi_spark.incremental import remove_datasource
+
+    base_sources, sssom = _sources(spark)
+    state = build_graph_stateful(base_sources + [sssom], CONFIG, prefix_map=PM)
+    reduced = remove_datasource(state, "sssom")
+    scratch = build_graph(base_sources, CONFIG, prefix_map=PM)
+    return scratch, reduced.graph
+
+
+@pytest.mark.parametrize(
+    "part",
+    ["groups", "merged", "nodes", "edges", "display_types", "edge_summary"],
+)
+def test_remove_equals_full_rebuild(removal_graphs, part):
+    scratch, reduced = removal_graphs
+    assert _canon(getattr(reduced, part)) == _canon(getattr(scratch, part)), part
+
+
+def test_remove_splits_clique_and_drops_source(removal_graphs):
+    _scratch, reduced = removal_graphs
+    groups = {r["id"]: r["group_id"] for r in reduced.groups.collect()}
+    # the sssom link was the only bridge: efo:0000537 must no longer map
+    # into the mondo clique
+    assert groups.get("efo:0000537") != "mondo:0005044"
+    # and no merged row may carry sssom provenance anymore
+    import pyspark.sql.functions as SF
+
+    assert (
+        reduced.merged.filter(SF.array_contains("datasources", "sssom")).count() == 0
+    )

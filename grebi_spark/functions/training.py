@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_tables
+from ..session import load_tables, scratch_dir
 
 # --- deterministic mixture sampling -----------------------------------------
 
@@ -491,7 +491,6 @@ def write_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     (so downstream training jobs partition-prune to their split), and
     maxRecordsPerFile splits oversized partitions without a second
     shuffle."""
-    import tempfile
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     bucket = F.conv(
@@ -510,7 +509,7 @@ def write_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key in _SHARD_CACHE:
         out_dir = _SHARD_CACHE[key]
     else:
-        out_dir = tempfile.mkdtemp(prefix="grebi_shards_")
+        out_dir = scratch_dir("grebi_shards_")
         (
             d.withColumn("split", split)
             .write.mode("overwrite")
@@ -966,13 +965,12 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     point of doing the compaction.
     """
     import glob
-    import tempfile
 
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _COMPACT_CACHE:
         d = load_tables(spark, sf_dir, ("documents",))["documents"]
-        frag = tempfile.mkdtemp(prefix="grebi_frag_")
-        comp = tempfile.mkdtemp(prefix="grebi_comp_")
+        frag = scratch_dir("grebi_frag_")
+        comp = scratch_dir("grebi_comp_")
         (
             d.repartition(1)
             .write.mode("overwrite")

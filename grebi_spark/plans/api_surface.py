@@ -10,12 +10,11 @@ hash checks over real data, not smoke tests.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..session import load_tables
+from ..session import load_tables, scratch_dir
 
 # one JSONL staging dir per (session, sf_dir) — the write happens once,
 # every re-run of the query re-READS through the custom source (the
@@ -50,7 +49,7 @@ def python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pysource.register(spark)
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _DS_STAGE:
-        out = tempfile.mkdtemp(prefix="grebi_pyds_")
+        out = scratch_dir("grebi_pyds_")
         docs = load_tables(spark, sf_dir, ("documents",))["documents"]
         # writer parallelism = input partitions, and the written shard
         # count is the READER's parallelism on every later run — spread
@@ -365,7 +364,7 @@ def orc_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ORC scans report PushedFilters identically)."""
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _ORC_STAGE:
-        out = tempfile.mkdtemp(prefix="grebi_orc_")
+        out = scratch_dir("grebi_orc_")
         ev = load_tables(spark, sf_dir, ("events",))["events"]
         ev.write.mode("overwrite").orc(out)
         _ORC_STAGE[key] = out
@@ -542,9 +541,8 @@ def xml_native_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _XML_STAGE:
-        import tempfile as _tf
 
-        out = _tf.mkdtemp(prefix="grebi_xml_")
+        out = scratch_dir("grebi_xml_")
         n = load_tables(spark, sf_dir, ("nation",))["nation"]
         (
             n.write.format("xml")
@@ -600,9 +598,8 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _EVO_STAGE:
-        import tempfile as _tf
 
-        out = _tf.mkdtemp(prefix="grebi_evo_")
+        out = scratch_dir("grebi_evo_")
         d = load_tables(spark, sf_dir, ("documents",))["documents"]
         old_gen = d.filter(F.col("doc_id") % 2 == 0).select(
             "doc_id", "text", "n_chars"

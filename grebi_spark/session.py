@@ -69,6 +69,28 @@ def get_spark(
     return spark
 
 
+
+# --- per-session scratch space ----------------------------------------------
+
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str = "grebi_") -> str:
+    """A temp directory under ONE per-process scratch root that is
+    removed at interpreter exit. Every staging site (datasource
+    roundtrips, streaming checkpoints, shard writes) allocates through
+    here so repeated bench/soak runs can't accumulate orphaned
+    grebi_* dirs in /tmp for the life of the machine."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="grebi_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
 def ensure_package_on_workers(spark: SparkSession) -> None:
     """Make ``grebi_spark`` importable in executor Python workers of ANY
     session — including one created by a host harness before this package

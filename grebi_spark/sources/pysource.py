@@ -94,38 +94,83 @@ class GrebiJsonlReader(DataSourceReader):
 class GrebiJsonlWriter(DataSourceArrowWriter):
     """Arrow-batched writer: each task receives pyarrow RecordBatches
     (one Arrow buffer per chunk instead of row-at-a-time pickling) and
-    streams them out as JSON lines via ``to_pylist``."""
+    streams them out as JSON lines via ``to_pylist``.
+
+    Commit protocol (the standard temp-file/rename pattern): each task
+    writes to ``part-NNNNN.jsonl.tmp-<attempt>`` — a task that dies
+    mid-write leaves only a tmp file that no reader matches — and the
+    driver-side ``commit`` renames exactly the shards named in the
+    WriterCommitMessages to their final ``part-NNNNN.jsonl`` names.
+    ``mode("overwrite")`` deletes the target's pre-existing ``*.jsonl``
+    at commit time, so a previous write with MORE partitions can't leave
+    stale shards that later reads silently include. ``abort`` removes
+    the tmp files. Rename/cleanup run on the driver, so the target must
+    be a filesystem the driver shares with executors (local mode, NFS,
+    fuse-mounted object store) — the same constraint the reference's
+    pipe-to-directory stages have."""
 
     def __init__(self, options: dict, overwrite: bool) -> None:
         self._path = options.get("path")
+        self._overwrite = overwrite
         if not self._path:
             raise ValueError("grebi_jsonl requires a path")
 
     def write(self, iterator):
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(self._path, exist_ok=True)
-        out = os.path.join(self._path, f"part-{pid:05d}.jsonl")
+        tmp = os.path.join(
+            self._path, f"part-{pid:05d}.jsonl.tmp-{ctx.taskAttemptId()}"
+        )
         n = 0
-        with open(out, "w", encoding="utf-8") as fh:
+        with open(tmp, "w", encoding="utf-8") as fh:
             for batch in iterator:
                 for obj in batch.to_pylist():
                     fh.write(json.dumps(obj, sort_keys=True) + "\n")
                     n += 1
-        return _WriteResult(rows=n, path=out)
+        return _WriteResult(rows=n, path=tmp)
+
+    def commit(self, messages):
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self._path, f))
+        committed = set()
+        for m in messages:
+            final = m.path.rsplit(".tmp-", 1)[0]
+            os.replace(m.path, final)
+            committed.add(os.path.basename(m.path))
+        # leftovers from failed/speculative attempts whose message the
+        # engine discarded
+        for f in os.listdir(self._path):
+            if ".jsonl.tmp-" in f and f not in committed:
+                os.remove(os.path.join(self._path, f))
+
+    def abort(self, messages):
+        for m in messages:
+            if os.path.exists(m.path):
+                os.remove(m.path)
 
 
 class GrebiJsonlStreamReader:
     """Streaming half of the plugin (SimpleDataSourceStreamReader
-    contract): the offset is the count of files already consumed from
-    the sorted directory listing, so each micro-batch ingests exactly
-    the files that appeared since the last one — the file-tailing
-    source shape (the reference's ingest watches a directory of
-    datasource dumps the same way, one job per new file,
-    nextflow/01_create_subgraph.nf:86-116). Exactly-once: offsets are
-    committed by the engine after the batch is durable; replaying
-    (start, end) re-reads the same file slice deterministically.
+    contract): the offset is the SET of file names already consumed
+    (JSON-serialized sorted), so each micro-batch ingests exactly the
+    files that appeared since the last one — the file-tailing source
+    shape (the reference's ingest watches a directory of datasource
+    dumps the same way, one job per new file,
+    nextflow/01_create_subgraph.nf:86-116). A name set (not an index
+    into the sorted listing) makes the contract independent of arrival
+    order: a file that sorts BEFORE already-consumed names is still
+    ingested exactly once, and consumed files are never re-read.
+    Exactly-once: offsets are committed by the engine after the batch
+    is durable; ``readBetweenOffsets`` replays the exact name delta
+    end − start without consulting the (possibly changed) live listing.
+    The set grows with the directory — at the scale this source targets
+    (datasource dump directories, thousands of files) that is a few
+    hundred KB of offset state, the price of order-independence.
     """
 
     def __init__(self, schema: StructType, options: dict) -> None:
@@ -134,42 +179,34 @@ class GrebiJsonlStreamReader:
         if not self._path:
             raise ValueError("grebi_jsonl requires a path")
 
-    def _files(self) -> list[str]:
-        return sorted(
-            os.path.join(self._path, f)
-            for f in os.listdir(self._path)
-            if f.endswith(".jsonl")
-        )
+    def _names(self) -> list[str]:
+        return sorted(f for f in os.listdir(self._path) if f.endswith(".jsonl"))
+
+    def _read_names(self, names) -> list[tuple]:
+        fields = [f.name for f in self._schema.fields]
+        rows: list[tuple] = []
+        for name in sorted(names):
+            with open(os.path.join(self._path, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        obj = json.loads(line)
+                        rows.append(tuple(obj.get(f) for f in fields))
+        return rows
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"files": []}
 
     def read(self, start: dict):
-        files = self._files()
-        done = start["n_files"]
-        fields = [f.name for f in self._schema.fields]
-        rows: list[tuple] = []
-        for path in files[done:]:
-            with open(path, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line:
-                        obj = json.loads(line)
-                        rows.append(tuple(obj.get(f) for f in fields))
-        return iter(rows), {"n_files": len(files)}
+        seen = set(start["files"])
+        fresh = [n for n in self._names() if n not in seen]
+        return iter(self._read_names(fresh)), {
+            "files": sorted(seen | set(fresh))
+        }
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        fields = [f.name for f in self._schema.fields]
-        rows: list[tuple] = []
-        for path in files[start["n_files"]:end["n_files"]]:
-            with open(path, encoding="utf-8") as fh:
-                for line in fh:
-                    line = line.strip()
-                    if line:
-                        obj = json.loads(line)
-                        rows.append(tuple(obj.get(f) for f in fields))
-        return iter(rows)
+        delta = sorted(set(end["files"]) - set(start["files"]))
+        return iter(self._read_names(delta))
 
     def commit(self, end: dict) -> None:
         pass

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..session import scratch_dir
 from ..sources.jsonl import JsonlTransform, jsonl_to_nodes
 
 
@@ -594,7 +595,6 @@ def _session_stage(spark: SparkSession, src: str) -> str:
     import datetime as _dt
     import os
     import shutil
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -602,7 +602,7 @@ def _session_stage(spark: SparkSession, src: str) -> str:
     key = f"{spark.sparkContext.applicationId}:{src}"
     if key in _SESSION_STAGE_CACHE:
         return _SESSION_STAGE_CACHE[key]
-    stage = tempfile.mkdtemp(prefix="grebi_sessions_")
+    stage = scratch_dir("grebi_sessions_")
     shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
     sch = pq.read_schema(src)
     last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
@@ -710,7 +710,6 @@ def _late_stage(spark: SparkSession, src: str) -> str:
     import datetime as _dt
     import os
     import shutil
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -718,7 +717,7 @@ def _late_stage(spark: SparkSession, src: str) -> str:
     key = f"{spark.sparkContext.applicationId}:{src}"
     if key in _LATE_STAGE_CACHE:
         return _LATE_STAGE_CACHE[key]
-    stage = tempfile.mkdtemp(prefix="grebi_late_")
+    stage = scratch_dir("grebi_late_")
     shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
     tbl = pq.read_table(src)
     ts = tbl["ts"].to_pylist()
@@ -822,7 +821,6 @@ def _outer_stage(spark: SparkSession, src: str) -> str:
     import datetime as _dt
     import os
     import shutil
-    import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -830,7 +828,7 @@ def _outer_stage(spark: SparkSession, src: str) -> str:
     key = f"{spark.sparkContext.applicationId}:{src}"
     if key in _OUTER_STAGE_CACHE:
         return _OUTER_STAGE_CACHE[key]
-    stage = tempfile.mkdtemp(prefix="grebi_outer_")
+    stage = scratch_dir("grebi_outer_")
     shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
     sch = pq.read_schema(src)
     last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
@@ -995,10 +993,9 @@ def events_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     (batch_id, shard)."""
     import os
     import shutil
-    import tempfile
 
     stream = _events_stream(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="grebi_fes_")
+    out_dir = scratch_dir("grebi_fes_")
     shutil.rmtree(out_dir, ignore_errors=True)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1018,7 +1015,7 @@ def events_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="grebi_fes_ckpt_"),
+                scratch_dir("grebi_fes_ckpt_"),
             )
             .start()
         )
@@ -1256,13 +1253,12 @@ def statestore_read_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition and reads RocksDB/HDFS snapshot files directly — no
     running query needed, scales with the checkpoint, not the input.
     """
-    import tempfile
 
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _SS_CKPT:
         stream = _events_stream(spark, sf_dir)
         agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
-        ckpt = tempfile.mkdtemp(prefix="grebi_ss_ckpt_")
+        ckpt = scratch_dir("grebi_ss_ckpt_")
         saved = spark.conf.get("spark.sql.shuffle.partitions")
         _STREAM_RUN[0] += 1
         try:

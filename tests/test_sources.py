@@ -407,3 +407,93 @@ def test_python_datasource_roundtrip(spark, tmp_path):
     assert len(got) == 100
     assert got[7]["text"] == "text 7"
     assert got[7]["n_chars"] == len("text 7")
+
+
+def test_python_datasource_overwrite_removes_stale_shards(spark, tmp_path):
+    """mode('overwrite') must delete a previous write's extra shards: a
+    4-partition write followed by a 1-partition overwrite leaves exactly
+    one shard — stale part files from the wider write would otherwise be
+    silently unioned into later reads. No tmp files survive the commit."""
+    import os
+
+    from grebi_spark.sources import pysource
+
+    pysource.register(spark)
+    out = str(tmp_path / "pyds_ow")
+
+    def corpus(n_parts):
+        return spark.range(0, 20, 1, n_parts).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.lit(1).cast("long").alias("n_chars"),
+        )
+
+    corpus(4).write.mode("append").format("grebi_jsonl").option("path", out).save()
+    assert len([f for f in os.listdir(out) if f.endswith(".jsonl")]) == 4
+    corpus(1).write.mode("overwrite").format("grebi_jsonl").option("path", out).save()
+    files = os.listdir(out)
+    assert [f for f in files if f.endswith(".jsonl")] == ["part-00000.jsonl"]
+    assert not [f for f in files if ".tmp-" in f]
+    back = (
+        spark.read.format("grebi_jsonl")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .option("path", out)
+        .load()
+    )
+    assert back.count() == 20  # not 40: the stale shards are gone
+
+
+def test_python_datasource_stream_offset_order_independent(spark, tmp_path):
+    """The stream offset is a consumed-name SET: a file that sorts
+    BEFORE already-consumed names must still be ingested exactly once
+    (a positional offset would re-read the tail and skip the new file)."""
+    import json as _json
+    import os
+
+    from grebi_spark.sources import pysource
+
+    pysource.register(spark)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out_rows = []
+
+    def write_file(name, ids):
+        with open(src / name, "w") as fh:
+            for i in ids:
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": i, "text": "t", "lang": "en", "source": "s", "n_chars": 1}
+                    )
+                    + "\n"
+                )
+
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        # parquet sink: the one sink that RESUMES from a checkpoint, so
+        # the second drain exercises offset recovery for real
+        q = (
+            spark.readStream.format("grebi_jsonl")
+            .schema(schema)
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+
+    write_file("m-middle.jsonl", [1, 2])
+    assert drain() == {1, 2}
+    # this name sorts BEFORE the consumed one
+    write_file("a-early.jsonl", [3])
+    got = drain()
+    assert got == {1, 2, 3}, got  # 3 ingested once, 1/2 not re-read

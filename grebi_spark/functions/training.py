@@ -197,11 +197,28 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
+# Above this K the literal-struct argmin expression (K interpreted
+# zip_with/aggregate folds per row) loses to one Arrow batch of NumPy;
+# below it, codegen'd literals win and keep the plan UDF-free.
+_ASSIGN_VEC_MIN_K = 32
+
+
 def _assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
-    """Argmin over the (small, literal) centroid set: array_min over
-    (rounded distance, cluster) structs — lexicographic min = nearest
-    centroid, ties to the lowest cluster id, identical to the oracle's
-    min-join."""
+    """Argmin over the broadcast centroid set → struct(d, cluster):
+    lexicographic min = nearest centroid, ties to the lowest cluster
+    id, identical to the oracle's min-join.
+
+    Two physical forms with bit-identical results (distances accumulate
+    per-dimension in the same order, HALF_UP-round to 1e-6 before the
+    argmin): small K inlines the centroids as literal structs and stays
+    whole-stage-codegen; large K (the derived-K path — K grows with the
+    corpus, see kmeans_k) switches to ONE Arrow-batched pandas_udf
+    whose per-batch work is a vectorized per-dim accumulation against
+    the K×d centroid matrix — O(n·K·d) flops instead of O(n·K)
+    interpreted lambda folds. At cluster scale the matrix rides the
+    closure (one broadcast per executor), exactly MLlib's layout."""
+    if len(cents) >= _ASSIGN_VEC_MIN_K:
+        return _assign_vectorized(vec, cents)
     alts = [
         F.struct(
             F.round(_euclid_dist(vec, F.array(*[F.lit(x) for x in c])), 6).alias("d"),
@@ -210,6 +227,37 @@ def _assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
         for k, c in cents
     ]
     return F.array_min(F.array(*alts))
+
+
+def _assign_vectorized(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    order = sorted(cents)  # ascending cluster id: argmin tie → lowest id
+    ks = np.array([k for k, _ in order], dtype=np.int64)
+    C = np.array([c for _, c in order], dtype=np.float64)  # K × d
+
+    def _nearest(s: "pd.Series") -> "pd.DataFrame":
+        V = np.array([np.asarray(x, dtype=np.float64) for x in s])
+        D = np.zeros((len(V), len(ks)))
+        for j in range(C.shape[1]):  # sequential dim order == JVM fold
+            D += (V[:, j][:, None] - C[:, j][None, :]) ** 2
+        d = np.floor(np.sqrt(D) * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+        best = d.argmin(axis=1)  # first min == lowest cluster on ties
+        return pd.DataFrame(
+            {"d": d[np.arange(len(V)), best], "cluster": ks[best].astype("int32")}
+        )
+
+    _nearest.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    schema = T.StructType(
+        [
+            T.StructField("d", T.DoubleType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+    return pandas_udf(_nearest, schema)(vec)
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

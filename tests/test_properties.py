@@ -314,3 +314,21 @@ def test_edjoin_positional_prefix_blocking_complete():
                 df[g] = df.get(g, 0) + 1
         assert blocked(s, t, df), (s, t)
     assert trials > 500  # the generator actually produced in-threshold pairs
+
+
+def test_assign_vectorized_matches_expression(spark, sf_dir):
+    """The large-K NumPy assignment path must be BIT-identical to the
+    literal-struct expression path (sequential per-dim accumulation +
+    HALF_UP 1e-6 round in both), so derived-K runs stay oracle-exact."""
+    import grebi_spark.functions.training as tr
+
+    a = [tuple(r) for r in tr.kmeans_embeddings(spark, sf_dir).collect()]
+    tr._CENT_CACHE.clear()
+    old = tr._ASSIGN_VEC_MIN_K
+    try:
+        tr._ASSIGN_VEC_MIN_K = 1  # force the NumPy path
+        b = [tuple(r) for r in tr.kmeans_embeddings(spark, sf_dir).collect()]
+    finally:
+        tr._ASSIGN_VEC_MIN_K = old
+        tr._CENT_CACHE.clear()
+    assert a == b

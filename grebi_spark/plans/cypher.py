@@ -44,10 +44,11 @@ the notebooks/*.ipynb queries):
   WHERE filters the optional side before the join (so it never turns a
   null row into a dropped row).
 
-Not supported (mutations are out of scope for a query engine):
-CREATE/SET/DELETE/MERGE — SET-bearing notebook queries must be restated
-read-only (the ic_scores workflow is provided as
-plans.graph_queries.ic_scores).
+Mutations: ``SET`` and ``(DETACH) DELETE`` (the ic_scores notebook's
+write-back flow, incl. the CALL-IN-TRANSACTIONS batching wrapper) are
+implemented copy-on-write in ``plans.cypher_write`` — see
+``run_cypher_mutation``. Still out of scope: CREATE / MERGE (the graph
+is built by the pipeline, not by queries).
 """
 
 from __future__ import annotations

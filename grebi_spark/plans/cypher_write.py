@@ -1,0 +1,206 @@
+"""Cypher mutation subset — ``SET`` property write-back and
+``(DETACH) DELETE`` pruning over a :class:`BuiltGraph`.
+
+Closes the one notebook surface the read-only translator scoped out:
+``notebooks/ic_scores.ipynb`` runs three mutating statements against the
+built Neo4j —
+
+* cell 2 (ipynb:36-43): ``MATCH (ancestor)<-[:T*1..]-(subclass) WITH
+  ancestor, count(DISTINCT subclass) AS num_desc SET ancestor.num_desc
+  = num_desc RETURN max(num_desc)``
+* cell 3 (ipynb:56-63): ``MATCH (cl) SET cl.ic = 1.0 -
+  (cl.num_desc/$max_num_desc)``
+* final cell: ``MATCH (n)-[r]-() WHERE n.ic < 0.8 CALL { WITH r DELETE
+  r } IN TRANSACTIONS ... CALL { WITH n DELETE n } IN TRANSACTIONS``
+
+Spark-first design: a graph here is a set of immutable DataFrames, so a
+mutation is COPY-ON-WRITE — the statement's MATCH/WITH prefix is planned
+by the read translator (``plans.cypher.run_cypher``) into an assignment
+frame ``(node_id, value)``, and the new graph's ``merged`` long form is
+``(old rows minus the overwritten (node, prop) rows) ∪ (new prop
+rows)`` — two anti/union passes, no driver-side loop, shuffle only on
+node_id. DELETE is three anti-joins (merged, node header, edges by
+either endpoint). The returned :class:`BuiltGraph` shares every
+untouched DataFrame with its parent, so chains of statements (the
+notebook runs three) cost only their deltas.
+
+Neo4j batching noise (``CALL { ... } IN TRANSACTIONS OF n ROWS``) is
+recognised and stripped — batching is the engine's job here (Spark
+partitions), not the query's.
+
+Value semantics: properties live as strings in the merged long form
+(exactly like the reference's JSONL interchange, where every scalar is
+re-parsed downstream); numeric SET values are therefore stored via a
+canonical ``CAST(v AS STRING)`` and read back with ``toFloat`` — the
+registered parity query hash-checks this round-trip against DuckDB.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..pipeline import BuiltGraph
+from .cypher import run_cypher
+
+
+@dataclass
+class MutationResult:
+    graph: BuiltGraph
+    result: DataFrame | None  # the statement's RETURN rows, if it has one
+
+
+_SET_RE = re.compile(
+    r"\bSET\s+(\w+)\.(`[^`]+`|[A-Za-z_][\w:]*)\s*=\s*(.+?)(?=\bRETURN\b|$)",
+    re.S,
+)
+_CALL_TX_RE = re.compile(
+    r"CALL\s*\{\s*WITH\s+(\w+)\s+(?:DETACH\s+)?DELETE\s+\1\s*\}\s*"
+    r"IN\s+TRANSACTIONS(?:\s+OF\s+\d+\s+ROWS?)?",
+    re.I | re.S,
+)
+_PROP_REF_RE = re.compile(r"\b(\w+)\.(`[^`]+`|[A-Za-z_][\w:]*)")
+
+
+def _subst_params(text: str, params: dict | None) -> str:
+    if not params:
+        return text
+    return re.sub(
+        r"\$(\w+)",
+        lambda m: (
+            f'"{params[m.group(1)]}"'
+            if isinstance(params[m.group(1)], str)
+            else repr(params[m.group(1)])
+        ),
+        text,
+    )
+
+
+def _strip_ticks(p: str) -> str:
+    return p[1:-1] if p.startswith("`") else p
+
+
+def _set_property(
+    graph: BuiltGraph, assigns: DataFrame, prop_key: str
+) -> BuiltGraph:
+    """Copy-on-write upsert: ``assigns`` is (node_id, value). Rows for
+    (node, prop_key) are replaced; every other row passes through. New
+    rows carry datasource 'cypher' — mutation provenance, exactly like
+    a reference datasource name would ride the merged row."""
+    merged = graph.merged
+    ids = assigns.select("node_id").distinct()
+    untouched = merged.filter(F.col("prop_key") != prop_key).unionByName(
+        merged.filter(F.col("prop_key") == prop_key).join(
+            ids, "node_id", "left_anti"
+        )
+    )
+    # one subgraph per node — take it from the node's existing rows
+    sub = (
+        merged.groupBy("node_id").agg(F.min("subgraph").alias("subgraph"))
+    )
+    new_rows = (
+        assigns.filter(F.col("value").isNotNull())
+        .join(sub, "node_id")
+        .select(
+            "node_id",
+            "subgraph",
+            F.lit(prop_key).alias("prop_key"),
+            F.col("value").cast("string").alias("value"),
+            F.lit(None).cast("string").alias("value_props"),
+            F.array(F.lit("cypher")).alias("datasources"),
+            F.array().cast("array<string>").alias("source_ids"),
+        )
+    )
+    return replace(graph, merged=untouched.unionByName(new_rows))
+
+
+def _detach_delete(graph: BuiltGraph, ids: DataFrame) -> BuiltGraph:
+    """Remove the nodes in ``ids`` (node_id column) plus every edge
+    touching them — Neo4j DETACH DELETE semantics, three anti-joins."""
+    ids = ids.select("node_id").distinct()
+    merged = graph.merged.join(ids, "node_id", "left_anti")
+    nodes = graph.nodes.join(ids, "node_id", "left_anti")
+    edges = graph.edges.join(
+        ids.withColumnRenamed("node_id", "from_id"), "from_id", "left_anti"
+    ).join(ids.withColumnRenamed("node_id", "to_id"), "to_id", "left_anti")
+    groups = graph.groups.join(
+        ids.withColumnRenamed("node_id", "group_id"), "group_id", "left_anti"
+    )
+    return replace(graph, merged=merged, nodes=nodes, edges=edges, groups=groups)
+
+
+def run_cypher_mutation(
+    graph: BuiltGraph, text: str, params: dict[str, object] | None = None
+) -> MutationResult:
+    """Execute one mutating Cypher statement (SET or DELETE form) and
+    return the updated graph plus the statement's RETURN rows.
+
+    SET value expressions may be a WITH alias (``SET a.num_desc =
+    num_desc``) or arithmetic over ``var.prop`` accessors, numbers and
+    parameters (``SET cl.ic = 1.0 - (cl.num_desc/$m)``) — prop accessors
+    read the FIRST value as a double, matching the read translator's
+    ``toFloat(v.`p`[0])``. A trailing RETURN is planned against the
+    pre-mutation graph over the same MATCH/WITH prefix (the notebook's
+    RETURNs only reference WITH aliases, where pre == post)."""
+    text = _subst_params(text, params).strip()
+    stripped = _CALL_TX_RE.sub("", text)
+
+    # detect DELETE on the ORIGINAL text: the notebook's DELETEs live
+    # inside the CALL-IN-TRANSACTIONS wrappers the strip just removed
+    if re.search(r"\bDELETE\b", text, re.I):
+        return _plan_delete(graph, stripped)
+
+    m = _SET_RE.search(stripped)
+    if not m:
+        raise ValueError(
+            "not a mutation statement (no SET/DELETE): use run_cypher for reads"
+        )
+    var, prop, value_expr = m.group(1), _strip_ticks(m.group(2)), m.group(3).strip()
+    prefix = stripped[: m.start()].strip()
+
+    # compile the value expression: pull every var.prop accessor out as a
+    # RETURN item, then evaluate the residual arithmetic with F.expr
+    refs: dict[str, str] = {}
+
+    def _ref(mm: re.Match) -> str:
+        v, p = mm.group(1), _strip_ticks(mm.group(2))
+        alias = f"__p{len(refs)}"
+        refs[alias] = f"toFloat({v}.`{p}`[0]) AS {alias}"
+        return alias
+
+    residual = _PROP_REF_RE.sub(_ref, value_expr)
+    items = [f"{var} AS node_id"] + list(
+        v for v in refs.values()
+    )
+    if not refs and re.fullmatch(r"[A-Za-z_]\w*", residual):
+        # bare WITH alias: read it straight through the planner
+        items.append(f"{residual} AS __value")
+        residual = "__value"
+    read_text = f"{prefix} RETURN {' , '.join(items)}"
+    bound = run_cypher(graph, read_text)
+    assigns = bound.select("node_id", F.expr(residual).alias("value"))
+    new_graph = _set_property(graph, assigns, prop)
+
+    ret = re.search(r"\bRETURN\b", stripped[m.end():])
+    result = None
+    if ret:
+        result = run_cypher(graph, prefix + " " + stripped[m.end():].strip())
+    return MutationResult(graph=new_graph, result=result)
+
+
+def _plan_delete(graph: BuiltGraph, text: str) -> MutationResult:
+    """``MATCH (n ...)[-[r]-()] WHERE cond ... DELETE`` → DETACH DELETE
+    of the matched node variable (the ic_scores pruning shape: the edge
+    deletions are subsumed — every edge touching a deleted node dies)."""
+    mm = re.match(r"\s*MATCH\s*\(\s*(\w+)", text)
+    if not mm:
+        raise ValueError(f"unsupported DELETE statement: {text!r}")
+    var = mm.group(1)
+    # read-plan the node selection: pattern + WHERE, minus the DELETE /
+    # WITH DISTINCT tail
+    head = re.split(r"\b(?:DETACH\s+)?DELETE\b|\bWITH\s+DISTINCT\b", text)[0]
+    ids = run_cypher(graph, f"{head.strip()} RETURN DISTINCT {var} AS node_id")
+    return MutationResult(graph=_detach_delete(graph, ids), result=None)

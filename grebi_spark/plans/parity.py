@@ -532,9 +532,89 @@ ORDER BY nation
 """
 
 
+def cypher_set_ic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cypher MUTATIONS on the driver's board — the ic_scores notebook
+    write-back flow (notebooks/ic_scores.ipynb:36-63) executed for real
+    against the built star graph: (1) ``SET ancestor.num_desc`` from a
+    var-length-closure WITH aggregate, (2) ``SET cl.ic = 1.0 -
+    (cl.num_desc/$max)`` arithmetic over the JUST-WRITTEN property, then
+    a read of the stored ic values — so the hash match proves write →
+    store → re-read round-trips, not just the read planner. Mutations
+    are copy-on-write (plans/cypher_write.py): the session-cached parity
+    graph is never modified, so repeated driver runs stay independent.
+
+    The hierarchy is the star graph's own:
+    (c)-[:crm:nation]->(n)-[:geo:region]->(r); ancestors are nations
+    (descendants = their customers) and regions (descendants = their
+    nations + customers)."""
+    from .cypher import run_cypher
+    from .cypher_write import run_cypher_mutation
+
+    g = _built_graph(spark, sf_dir)
+    r1 = run_cypher_mutation(
+        g,
+        "MATCH (ancestor)<-[*1..]-(subclass) "
+        "WITH ancestor, count(DISTINCT subclass) AS num_desc "
+        "SET ancestor.num_desc = num_desc "
+        "RETURN max(num_desc) AS max_num_desc",
+    )
+    mx = float(r1.result.collect()[0]["max_num_desc"])
+    r2 = run_cypher_mutation(
+        r1.graph,
+        "MATCH (cl) SET cl.ic = 1.0 - (cl.num_desc / $max_num_desc)",
+        params={"max_num_desc": mx},
+    )
+    read = run_cypher(
+        r2.graph,
+        "MATCH (n) WHERE n.`ic` IS NOT NULL "
+        "RETURN n AS node_id, n.`grebi:name`[0] AS name, "
+        "toFloat(n.`num_desc`[0]) AS num_desc, toFloat(n.`ic`[0]) AS ic "
+        "ORDER BY node_id",
+    )
+    return read.select(
+        "node_id",
+        "name",
+        F.col("num_desc").cast("long").alias("num_desc"),
+        F.round("ic", 6).alias("ic"),
+    )
+
+
+ORACLE_CYPHER_SET_IC = """
+WITH cust AS (
+  SELECT 'c:' || c_custkey::varchar AS id,
+         'n:' || c_nationkey::varchar AS nat
+  FROM customer
+), nat AS (
+  SELECT 'n:' || n_nationkey::varchar AS id,
+         'r:' || n_regionkey::varchar AS reg, n_name FROM nation
+), reg AS (
+  SELECT 'r:' || r_regionkey::varchar AS id, r_name FROM region
+), num_nation AS (
+  SELECT nat AS id, count(*) AS nd FROM cust GROUP BY nat
+), num_region AS (
+  SELECT reg AS id, count(*) AS nd FROM (
+    SELECT reg FROM nat
+    UNION ALL
+    SELECT nat.reg FROM cust JOIN nat ON cust.nat = nat.id
+  ) GROUP BY reg
+), num_desc AS (
+  SELECT * FROM num_nation UNION ALL SELECT * FROM num_region
+), mx AS (SELECT max(nd) AS m FROM num_desc)
+SELECT d.id AS node_id,
+       coalesce(n.n_name, r.r_name) AS name,
+       d.nd AS num_desc,
+       round(1.0 - (d.nd / (SELECT m FROM mx)::DOUBLE), 6) AS ic
+FROM num_desc d
+LEFT JOIN nat n ON d.id = n.id
+LEFT JOIN reg r ON d.id = r.id
+ORDER BY node_id
+"""
+
+
 QUERIES = {
     "cypher_star_query": cypher_star_query,
     "cypher_filter_query": cypher_filter_query,
+    "cypher_set_ic_scores": cypher_set_ic_scores,
     "graph_merge_nodes": graph_merge_nodes,
     "graph_edges_fk": graph_edges_fk,
     "equivalence_groups_events": equivalence_groups_events,
@@ -548,6 +628,7 @@ QUERIES = {
 ORACLES = {
     "cypher_star_query": ORACLE_CYPHER_STAR,
     "cypher_filter_query": ORACLE_CYPHER_FILTER,
+    "cypher_set_ic_scores": ORACLE_CYPHER_SET_IC,
     "graph_merge_nodes": ORACLE_MERGE_NODES,
     "graph_edges_fk": ORACLE_EDGES_FK,
     "equivalence_groups_events": ORACLE_EQUIV_GROUPS,

@@ -3,6 +3,7 @@ verbatim on the fixture graph, and their results agree with the
 hand-written DataFrame translations in plans.graph_queries."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from grebi_spark.plans.cypher import parse_cypher, run_cypher
 from grebi_spark.plans.graph_queries import (
@@ -298,3 +299,106 @@ def test_count_star_and_skip(graph):
         "MATCH (c:`ols:Class`) RETURN c.`ols:label`[0] AS label ORDER BY label SKIP 1 LIMIT 2",
     ).collect()
     assert [r["label"] for r in page] == [r["label"] for r in full[1:3]]
+
+
+# --- mutations: the ic_scores notebook write-back flow ----------------------
+
+IC_SET_NUM_DESC = """
+MATCH (ancestor)<-[:`ols:directParent`*1..]-(subclass)
+WITH ancestor, count(DISTINCT subclass) AS num_desc
+SET ancestor.num_desc = num_desc
+RETURN max(num_desc) AS max_num_desc
+"""
+
+IC_SET_IC = """
+MATCH (cl:`ols:Class`)
+SET cl.ic = 1.0 - (cl.num_desc / $max_num_desc)
+"""
+
+IC_PRUNE = """
+MATCH (n:`ols:Class`)-[r]-() WHERE toFloat(n.`ic`[0]) < 0.5
+CALL {
+WITH r
+DELETE r
+} IN TRANSACTIONS OF 1 ROWS
+WITH DISTINCT n
+CALL {
+WITH n
+DELETE n
+} IN TRANSACTIONS OF 1 ROWS
+"""
+
+
+def test_ic_scores_set_flow(graph):  # noqa: F811
+    """notebooks/ic_scores.ipynb cells 2-3 executed as real mutations:
+    SET from a WITH aggregate, then SET from arithmetic over the stored
+    prop + a $param; both visible to subsequent Cypher reads."""
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    r1 = run_cypher_mutation(graph, IC_SET_NUM_DESC)
+    mx = r1.result.collect()[0]["max_num_desc"]
+    assert mx == 2  # mondo:0000001 has 2 descendants in the fixture
+    # write-back landed: read it back through the read translator
+    got = {
+        r["nid"]: r["nd"]
+        for r in run_cypher(
+            r1.graph,
+            "MATCH (n) WHERE n.`num_desc` IS NOT NULL "
+            "RETURN n AS nid, toFloat(n.`num_desc`[0]) AS nd",
+        ).collect()
+    }
+    assert got["mondo:0000001"] == 2.0
+    assert got["mondo:0005044"] == 1.0
+
+    r2 = run_cypher_mutation(
+        r1.graph, IC_SET_IC, params={"max_num_desc": float(mx)}
+    )
+    ic = {
+        r["nid"]: r["ic"]
+        for r in run_cypher(
+            r2.graph,
+            "MATCH (n) WHERE n.`ic` IS NOT NULL "
+            "RETURN n AS nid, toFloat(n.`ic`[0]) AS ic",
+        ).collect()
+    }
+    assert ic["mondo:0000001"] == 0.0  # the root: 1 - 2/2
+    assert ic["mondo:0005044"] == 0.5
+    # classes without num_desc: null arithmetic -> property NOT set
+    assert all(v is not None for v in ic.values())
+    # the parent graph is untouched (copy-on-write)
+    assert (
+        graph.merged.filter(F.col("prop_key") == "ic").count() == 0
+    )
+
+
+def test_ic_scores_delete_flow(graph):  # noqa: F811
+    """The notebook's final pruning cell: low-ic classes and every edge
+    touching them are removed; CALL-IN-TRANSACTIONS batching is noise."""
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    r1 = run_cypher_mutation(graph, IC_SET_NUM_DESC)
+    r2 = run_cypher_mutation(
+        r1.graph, IC_SET_IC, params={"max_num_desc": 2.0}
+    )
+    g = r2.graph
+    doomed = {
+        r["nid"]
+        for r in run_cypher(
+            g,
+            "MATCH (n:`ols:Class`)-[r]-() WHERE toFloat(n.`ic`[0]) < 0.5 "
+            "RETURN DISTINCT n AS nid",
+        ).collect()
+    }
+    assert "mondo:0000001" in doomed  # ic 0.0
+    r3 = run_cypher_mutation(g, IC_PRUNE)
+    left = {r["node_id"] for r in r3.graph.nodes.collect()}
+    assert doomed.isdisjoint(left)
+    # no dangling edges
+    dangling = (
+        r3.graph.edges.filter(
+            F.col("from_id").isin(list(doomed)) | F.col("to_id").isin(list(doomed))
+        ).count()
+    )
+    assert dangling == 0
+    # surviving nodes keep their rows
+    assert "mondo:0005044" in left

@@ -186,7 +186,13 @@ def test_statestore_reader_matches_batch(spark, sf_dir):
 def test_transform_with_state_running_stats(spark, sf_dir):
     """transformWithState running stats == batch aggregate (skips where
     the protobuf runtime the state-server protocol needs is absent)."""
-    pytest.importorskip("google.protobuf")
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState's state-server protocol requires "
+        "google.protobuf, which this container lacks (no network "
+        "installs); the operator registers itself automatically where "
+        "protobuf exists — see streaming/ops.py:_has_protobuf",
+    )
     from grebi_spark.streaming.ops import events_tws_running_stats
 
     got = events_tws_running_stats(spark, sf_dir)

@@ -1,0 +1,242 @@
+"""HTTP API facade — the reference's REST surface
+(grebi_api/src/main/java/uk/ac/ebi/grebi/GrebiApi.java:57-228) served
+over built graphs with the Python standard library only.
+
+Route parity (reference file:line):
+
+========================================================  =============
+``GET /api/v1/stats``                                     GrebiApi:57
+``GET /api/v1/subgraphs``                                 GrebiApi:61
+``GET /api/v1/subgraphs/{s}``                             GrebiApi:65
+``GET /api/v1/subgraphs/{s}/nodes/{id}``                  GrebiApi:69
+``GET .../nodes/{id}/incoming_edges?page=&size=``         GrebiApi:81
+``GET .../nodes/{id}/outgoing_edges?page=&size=``         GrebiApi:129
+``GET /api/v1/subgraphs/{s}/search?q=&page=&size=&facet`` GrebiApi:185
+``GET /api/v1/subgraphs/{s}/suggest?q=``                  GrebiApi:228
+``GET /api/v1/subgraphs/{s}/resolve/{id}``                grebi_resolver_service
+========================================================  =============
+
+Scope note: the reference serves these from Solr/Neo4j/RocksDB builds;
+this facade serves them straight from the engine's DataFrames — the
+correct shape for an analytics cluster's driver-side endpoint (each
+request runs a bounded Spark job: page-sized limits, broadcast-probe
+lookups). A production serving tier would point the same handlers at
+the engine's exported artifacts (sinks/solr_jsonl, sinks/kv,
+sinks/neo4j_csv) instead; the HANDLER semantics — scoring, paging,
+facets, hydration — are the engine functions either way, which is what
+this module proves.
+
+Stdlib-only by design (http.server + ThreadingHTTPServer): the
+container has no web framework, and the surface is nine GET routes.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from pyspark.sql import functions as F
+
+from ..pipeline import BuiltGraph
+from ..plans.graph_queries import (
+    graph_stats,
+    incoming_edges,
+    resolve_alias,
+    search_nodes,
+)
+
+
+def outgoing_edges(
+    graph: BuiltGraph, node_id: str, page: int = 0, size: int = 20,
+    edge_type: str | None = None,
+):
+    """Q8 mirror of incoming_edges (GrebiApi.java:129-176): the edges
+    FROM a node, hydrated with the target node's header."""
+    e = graph.edges.filter(F.col("from_id") == node_id)
+    if edge_type:
+        e = e.filter(F.col("edge_type") == edge_type)
+    to_meta = graph.nodes.select(
+        F.col("node_id").alias("to_id"),
+        F.col("names").alias("to_names"),
+        F.col("types").alias("to_types"),
+    )
+    return (
+        e.join(to_meta, "to_id", "left")
+        .select("edge_id", "edge_type", "to_id", "to_names", "to_types", "datasources")
+        .orderBy("edge_type", "to_id")
+        .offset(page * size)
+        .limit(size)
+    )
+
+
+def suggest(graph: BuiltGraph, q: str, size: int = 10):
+    """Autocomplete over node names (GrebiApi.java:228 → the Solr
+    autocomplete core the engine exports via sinks/solr_jsonl):
+    case-insensitive prefix on any name, shortest-first like the
+    reference's suggester ranking."""
+    ql = (q or "").lower()
+    return (
+        graph.nodes.select(F.explode("names").alias("name"))
+        .filter(F.lower(F.col("name")).startswith(ql))
+        .distinct()
+        .orderBy(F.length("name"), "name")
+        .limit(size)
+    )
+
+
+def node_document(graph: BuiltGraph, node_id: str) -> dict | None:
+    """The full node document (GrebiApi.java:69-80's Solr lookup):
+    header + every property as key -> [values]."""
+    hdr = graph.nodes.filter(F.col("node_id") == node_id).collect()
+    if not hdr:
+        return None
+    h = hdr[0].asDict()
+    props = (
+        graph.merged.filter(F.col("node_id") == node_id)
+        .groupBy("prop_key")
+        .agg(F.array_sort(F.collect_set("value")).alias("values"))
+        .collect()
+    )
+    doc = {
+        "grebi:nodeId": node_id,
+        "grebi:datasources": list(h.get("datasources") or []),
+        "grebi:type": list(h.get("types") or []),
+        "grebi:name": list(h.get("names") or []),
+    }
+    for r in props:
+        doc.setdefault(r["prop_key"], list(r["values"]))
+    return doc
+
+
+def _rows(df) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+def _page_envelope(rows: list[dict], page: int, size: int) -> dict:
+    # GrebiFacetedResultsPage's shape: elements + paging echo
+    return {"page": page, "numElements": len(rows), "elements": rows}
+
+
+class GrebiApiServer:
+    """Serve one or more built graphs. ``port=0`` binds an ephemeral
+    port (exposed as ``.port`` after ``start()``)."""
+
+    def __init__(self, graphs: dict[str, BuiltGraph], host: str = "127.0.0.1", port: int = 0):
+        self.graphs = graphs
+        self._host, self._port = host, port
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # --- routing -----------------------------------------------------
+
+    def handle(self, path: str, query: dict[str, list[str]]):
+        """Route one GET; returns (status, json-serialisable body)."""
+        g1 = lambda k, d=None: (query.get(k) or [d])[0]  # noqa: E731
+        parts = [unquote(p) for p in path.strip("/").split("/")]
+        if parts[:2] != ["api", "v1"]:
+            return 404, {"error": "not found"}
+        rest = parts[2:]
+        if rest == ["stats"]:
+            return 200, {
+                s: {r["entity"]: r["n"] for r in _rows(graph_stats(g))}
+                for s, g in self.graphs.items()
+            }
+        if rest == ["subgraphs"]:
+            return 200, sorted(self.graphs)
+        if rest == ["collections"]:
+            # reference: configured collections of datasources; serve the
+            # datasource universe per subgraph
+            return 200, {
+                s: sorted(
+                    r["d"]
+                    for r in _rows(
+                        g.nodes.select(
+                            F.explode("datasources").alias("d")
+                        ).distinct()
+                    )
+                )
+                for s, g in self.graphs.items()
+            }
+        if len(rest) >= 2 and rest[0] == "subgraphs":
+            g = self.graphs.get(rest[1])
+            if g is None:
+                return 404, {"error": f"no subgraph {rest[1]!r}"}
+            tail = rest[2:]
+            if not tail:
+                return 200, {r["entity"]: r["n"] for r in _rows(graph_stats(g))}
+            if tail == ["search"]:
+                page, size = int(g1("page", "0")), int(g1("size", "10"))
+                page_df, facets = search_nodes(
+                    g,
+                    g1("q", ""),
+                    page=page,
+                    size=size,
+                    type_filter=g1("type"),
+                    facet_fields=tuple(query.get("facet", [])),
+                )
+                body = _page_envelope(_rows(page_df), page, size)
+                if facets:
+                    body["facetFieldsToCounts"] = {
+                        f: {r["value"]: r["count"] for r in _rows(df)}
+                        for f, df in facets.items()
+                    }
+                return 200, body
+            if tail == ["suggest"]:
+                return 200, [r["name"] for r in _rows(suggest(g, g1("q", "")))]
+            if len(tail) == 2 and tail[0] == "resolve":
+                return 200, _rows(resolve_alias(g, tail[1]))
+            if len(tail) >= 2 and tail[0] == "nodes":
+                node_id = tail[1]
+                if len(tail) == 2:
+                    doc = node_document(g, node_id)
+                    return (200, doc) if doc else (404, {"error": "no such node"})
+                page, size = int(g1("page", "0")), int(g1("size", "10"))
+                if tail[2] == "incoming_edges":
+                    rows = _rows(
+                        incoming_edges(g, node_id, page=page, size=size,
+                                       edge_type=g1("type"))
+                    )
+                    return 200, _page_envelope(rows, page, size)
+                if tail[2] == "outgoing_edges":
+                    rows = _rows(
+                        outgoing_edges(g, node_id, page=page, size=size,
+                                       edge_type=g1("type"))
+                    )
+                    return 200, _page_envelope(rows, page, size)
+        return 404, {"error": "not found"}
+
+    # --- server lifecycle --------------------------------------------
+
+    def start(self) -> "GrebiApiServer":
+        api = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_GET(self):  # noqa: N802 (stdlib naming)
+                u = urlparse(self.path)
+                try:
+                    status, body = api.handle(u.path, parse_qs(u.query))
+                except Exception as exc:  # surface errors as JSON 500s
+                    status, body = 500, {"error": f"{type(exc).__name__}: {exc}"}
+                data = json.dumps(body).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self._httpd = ThreadingHTTPServer((self._host, self._port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()

@@ -1,0 +1,87 @@
+"""HTTP API facade: the reference's REST routes (GrebiApi.java:57-228)
+served over the test graph, hit through a real socket with urllib."""
+
+import json
+import urllib.request
+
+import pytest
+
+from grebi_spark.api.http_api import GrebiApiServer
+
+from .test_graph_queries import graph  # noqa: F401  (module fixture)
+
+
+@pytest.fixture(scope="module")
+def server(graph):  # noqa: F811
+    srv = GrebiApiServer({"main": graph}).start()
+    yield srv
+    srv.stop()
+
+
+def _get(srv, path):
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}{path}", timeout=120
+        ) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:  # 4xx/5xx still carry a JSON body
+        return e.code, json.loads(e.read())
+
+
+def test_stats_and_subgraphs(server):
+    st, body = _get(server, "/api/v1/stats")
+    assert st == 200 and body["main"]["nodes"] > 5 and body["main"]["edges"] > 5
+    st, body = _get(server, "/api/v1/subgraphs")
+    assert body == ["main"]
+    st, body = _get(server, "/api/v1/subgraphs/main")
+    assert body["nodes"] > 5
+
+
+def test_node_document(server):
+    st, doc = _get(server, "/api/v1/subgraphs/main/nodes/mondo:0005044")
+    assert st == 200
+    assert doc["grebi:nodeId"] == "mondo:0005044"
+    assert "hypertensive disorder" in doc["grebi:name"]
+    assert doc["grebi:datasources"]
+    st, _ = _get(server, "/api/v1/subgraphs/main/nodes/nope:404")
+    assert st == 404
+
+
+def test_edge_pages(server):
+    st, body = _get(
+        server, "/api/v1/subgraphs/main/nodes/mondo:0005044/incoming_edges?size=5"
+    )
+    assert st == 200 and body["numElements"] >= 1
+    assert all(e["edge_type"] for e in body["elements"])
+    st, out = _get(
+        server, "/api/v1/subgraphs/main/nodes/mondo:0005044/outgoing_edges?size=5"
+    )
+    assert st == 200
+    # paging: size=1 returns exactly one element
+    st, one = _get(
+        server, "/api/v1/subgraphs/main/nodes/mondo:0005044/incoming_edges?size=1"
+    )
+    assert one["numElements"] == 1
+
+
+def test_search_and_facets(server):
+    st, body = _get(
+        server, "/api/v1/subgraphs/main/search?q=hypertensive&facet=types"
+    )
+    assert st == 200 and body["numElements"] >= 1
+    assert body["elements"][0]["node_id"] == "mondo:0005044"
+    assert "facetFieldsToCounts" in body and body["facetFieldsToCounts"]["types"]
+
+
+def test_suggest_and_resolve(server):
+    st, names = _get(server, "/api/v1/subgraphs/main/suggest?q=hyper")
+    assert st == 200 and any(n.lower().startswith("hyper") for n in names)
+    st, rows = _get(server, "/api/v1/subgraphs/main/resolve/mp:0002169")
+    assert st == 200 and len(rows) == 1
+
+
+def test_unknown_routes(server):
+    st, _ = _get(server, "/api/v1/bogus")
+    assert st == 404
+    st, _ = _get(server, "/api/v1/subgraphs/absent/search?q=x")
+    assert st == 404

@@ -240,3 +240,29 @@ def test_neo4j_csv_adversarial_escaping(spark, tmp_path):
     for k, v in nasty.items():
         expect = ref_escape_field(v)[1:-1].replace('""', '"')
         assert byname[f"p:{k}"] == expect, k
+
+
+def test_kv_store_build_and_serve(spark, merged, meta, tmp_path):
+    """K6 executed end-to-end: distributed shard load -> driver
+    compaction -> pure-sqlite point reads, values identical to the
+    Spark-side resolve() join."""
+    import json as _json
+
+    from grebi_spark.sinks.kv import build_kv_store, kv_store_get, resolve, write_kv
+
+    db = str(tmp_path / "kv" / "store.sqlite")
+    n = build_kv_store(merged, meta, db, shards=2)
+    assert n == 2  # g:1 and d:2
+
+    got = kv_store_get(db, ["g:1", "x:9", "nope:0"])
+    assert set(got) == {"g:1", "x:9"}  # x:9 resolves via alias
+    assert _json.loads(got["x:9"])["node_id"] == "g:1"
+
+    # parity with the Spark-side resolver join over the parquet KV
+    out = str(tmp_path / "kvp")
+    write_kv(merged, meta, out)
+    spark_rows = {
+        r["alias"]: r["json"]
+        for r in resolve(spark, ["g:1", "x:9"], out).collect()
+    }
+    assert spark_rows == got

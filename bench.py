@@ -57,6 +57,11 @@ def main() -> None:
     from grebi_spark.plans.parity import _built_graph
 
     _built_graph(spark, sf_dir)
+    # ...and the trained k-means centroids, the other session-shared
+    # artifact (the trained-IVF index): train-once/query-many — without
+    # this the alphabetically-first consumer (ann_ivf_trained_topk)
+    # absorbs the training pass into its per-query number
+    queries["kmeans_embeddings"](spark, sf_dir).collect()
 
     total = 0.0
     errors: dict[str, str] = {}

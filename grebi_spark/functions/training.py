@@ -1060,7 +1060,87 @@ ORDER BY stage
 """
 
 
+EPOCH_SHARDS = 8
+
+
+def epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle — the epoch loader's
+    contract: every epoch is a DIFFERENT but fully reproducible
+    permutation of the corpus, with documents assigned to reader shards
+    and ordered within each shard, and NO global sort anywhere.
+
+    Per epoch e, each document gets the stable pseudorandom key
+    ``md5('epoch{e}:' || doc_id)``; its shard is a key-prefix bucket
+    (row-local hash — at 100 TB this is ``write.partitionBy(epoch,
+    shard)`` + ``sortWithinPartitions(key)``, the standard two-level
+    shuffle; a global orderBy would be an all-data sort for no reader
+    benefit). The output proves the three loader-critical properties
+    for epochs 0 and 1 in one 8-row result:
+
+    * coverage: per-shard doc counts and id-checksums sum to the corpus
+      exactly once per epoch;
+    * determinism: the FIRST document of each shard's read order
+      (arg-min by key) — re-runs and the independent oracle land on the
+      same document;
+    * actual reshuffling: ``moved_in`` counts documents whose epoch-1
+      shard differs from their epoch-0 shard (≈ 7/8 of each shard if
+      the permutations are independent).
+    """
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+
+    def key(e: int) -> Column:
+        return F.md5(F.concat(F.lit(f"epoch{e}:"), F.col("doc_id").cast("string")))
+
+    def shard(k: Column) -> Column:
+        return F.conv(F.substring(k, 1, 8), 16, 10).cast("long") % EPOCH_SHARDS
+
+    d2 = d.select(
+        "doc_id",
+        key(0).alias("k0"),
+        key(1).alias("k1"),
+        shard(key(0)).alias("s0"),
+        shard(key(1)).alias("s1"),
+    )
+    a0 = d2.groupBy(F.col("s0").alias("shard")).agg(
+        F.count("*").alias("n_e0"),
+        F.sum("doc_id").alias("sum_ids_e0"),
+        F.min_by("doc_id", "k0").alias("first_e0"),
+    )
+    a1 = d2.groupBy(F.col("s1").alias("shard")).agg(
+        F.count("*").alias("n_e1"),
+        F.min_by("doc_id", "k1").alias("first_e1"),
+        F.sum((F.col("s0") != F.col("s1")).cast("long")).alias("moved_in"),
+    )
+    return a0.join(a1, "shard").orderBy("shard")
+
+
+ORACLE_EPOCH_SHUFFLE = f"""
+WITH d2 AS (
+  SELECT doc_id,
+         md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k0,
+         md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k1,
+         ('0x' || substr(md5('epoch0:' || CAST(doc_id AS VARCHAR)), 1, 8))::bigint
+           % {EPOCH_SHARDS} AS s0,
+         ('0x' || substr(md5('epoch1:' || CAST(doc_id AS VARCHAR)), 1, 8))::bigint
+           % {EPOCH_SHARDS} AS s1
+  FROM documents
+), a0 AS (
+  SELECT s0 AS shard, count(*) AS n_e0, sum(doc_id) AS sum_ids_e0,
+         arg_min(doc_id, k0) AS first_e0
+  FROM d2 GROUP BY s0
+), a1 AS (
+  SELECT s1 AS shard, count(*) AS n_e1, arg_min(doc_id, k1) AS first_e1,
+         sum(CASE WHEN s0 <> s1 THEN 1 ELSE 0 END) AS moved_in
+  FROM d2 GROUP BY s1
+)
+SELECT a0.shard, n_e0, sum_ids_e0, first_e0, n_e1, first_e1, moved_in
+FROM a0 JOIN a1 ON a0.shard = a1.shard
+ORDER BY a0.shard
+"""
+
+
 QUERIES = {
+    "epoch_shuffle": epoch_shuffle,
     "mixture_sample": mixture_sample,
     "temperature_mixture": temperature_mixture,
     "compact_small_files": compact_small_files,
@@ -1075,6 +1155,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "mixture_sample": ORACLE_MIXTURE,
     "temperature_mixture": ORACLE_TEMPERATURE,
     "compact_small_files": ORACLE_COMPACT,

@@ -763,7 +763,168 @@ ORDER BY lang, rank
 """
 
 
+_SIM_TOP = 10
+
+
+def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance source-similarity matrix: for every source
+    pair, the Jaccard similarity of their distinct word-trigram shingle
+    sets — the \"which sources copy from / overlap each other\" report a
+    mixture designer reads before weighting sources (near-identical
+    sources would double-count their distribution mass). Top pairs by
+    similarity.
+
+    Scale shape: per-source distinct shingles is one scan + explode +
+    distinct (shuffle on (source, shingle)); pair intersections come
+    from an equi self-join ON THE SHINGLE KEY — never an all-pairs
+    product over documents — and the per-source set sizes are a
+    |sources|-row broadcast. With S sources the output is S·(S-1)/2
+    rows regardless of corpus size."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n = F.size(toks)
+    tri = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    shingles = (
+        d.filter(n >= 3)
+        .select("source", F.explode(tri).alias("sh"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = shingles.select(F.col("source").alias("s1"), "sh")
+    b = shingles.select(F.col("source").alias("s2"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "s1").withColumnRenamed("n_sh", "n1")), "s1")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "s2").withColumnRenamed("n_sh", "n2")), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_inter",
+            F.round(
+                F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(F.desc("jaccard"), "s1", "s2").limit(_SIM_TOP)
+
+
+ORACLE_SOURCE_SIMILARITY = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), tri AS (
+  SELECT DISTINCT source,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM tri GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, count(*) AS n_inter
+  FROM tri a JOIN tri b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s1, s2, n_inter,
+       round(n_inter / (z1.n_sh + z2.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes z1 ON z1.source = s1
+JOIN sizes z2 ON z2.source = s2
+ORDER BY jaccard DESC, s1, s2
+LIMIT {_SIM_TOP}
+"""
+
+
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: the exact two-sample
+    Kolmogorov–Smirnov statistic of each source's document-length
+    distribution against the whole corpus — D_s = max over observed
+    lengths of |ECDF_source(x) − ECDF_corpus(x)|. The drift gate a
+    pipeline runs per ingest batch: a source whose length distribution
+    departs from the corpus signals truncation, boilerplate injection,
+    or format drift.
+
+    Exact, not sketched: both ECDFs are step functions whose steps lie
+    on observed corpus lengths, so evaluating on the (bounded) distinct-
+    length grid gives the true sup. Scale shape: the grid is
+    |sources| × |distinct lengths| — a domain-bounded dimension table,
+    NOT data-sized — built by one broadcast cross join; cumsums are
+    windows partitioned by source over that grid; the corpus pass
+    aggregates once. Integer counts everywhere until the final rounded
+    division."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per = d.groupBy("source", "n_chars").agg(F.count("*").alias("c"))
+    values = d.select("n_chars").distinct()
+    sources = d.select("source").distinct()
+    grid = sources.crossJoin(F.broadcast(values))
+    joined = grid.join(per, ["source", "n_chars"], "left").fillna(0, ["c"])
+    w = Window.partitionBy("source").orderBy("n_chars")
+    cum_s = F.sum("c").over(w)
+    tot_s = F.sum("c").over(Window.partitionBy("source"))
+    glob = (
+        d.groupBy("n_chars")
+        .agg(F.count("*").alias("g"))
+        .withColumn("cum_g", F.sum("g").over(Window.orderBy("n_chars")))
+        .withColumn("tot_g", F.sum("g").over(Window.partitionBy()))
+    )
+    ecdf = joined.select(
+        "source", "n_chars", cum_s.alias("cum_s"), tot_s.alias("tot_s")
+    ).join(F.broadcast(glob.select("n_chars", "cum_g", "tot_g")), "n_chars")
+    diff = F.abs(
+        F.col("cum_s") / F.col("tot_s") - F.col("cum_g") / F.col("tot_g")
+    )
+    return (
+        ecdf.groupBy("source")
+        .agg(F.round(F.max(diff), 6).alias("ks_stat"), F.max("tot_s").alias("n_docs"))
+        .orderBy(F.desc("ks_stat"), "source")
+    )
+
+
+ORACLE_LENGTH_DRIFT = """
+WITH per AS (
+  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY source, n_chars
+), grid AS (
+  SELECT s.source, v.n_chars
+  FROM (SELECT DISTINCT source FROM documents) s,
+       (SELECT DISTINCT n_chars FROM documents) v
+), joined AS (
+  SELECT g.source, g.n_chars, coalesce(per.c, 0) AS c
+  FROM grid g LEFT JOIN per ON g.source = per.source AND g.n_chars = per.n_chars
+), cum AS (
+  SELECT source, n_chars,
+         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum_s,
+         sum(c) OVER (PARTITION BY source) AS tot_s
+  FROM joined
+), corpus_ecdf AS (
+  SELECT n_chars,
+         sum(g) OVER (ORDER BY n_chars) AS cum_g,
+         sum(g) OVER () AS tot_g
+  FROM (SELECT n_chars, count(*) AS g FROM documents GROUP BY n_chars)
+)
+SELECT c.source,
+       round(max(abs(c.cum_s / c.tot_s - e.cum_g / e.tot_g)), 6) AS ks_stat,
+       max(c.tot_s) AS n_docs
+FROM cum c JOIN corpus_ecdf e ON c.n_chars = e.n_chars
+GROUP BY c.source
+ORDER BY ks_stat DESC, source
+"""
+
+
 QUERIES = {
+    "source_similarity_matrix": source_similarity_matrix,
+    "source_length_drift": source_length_drift,
     "redact_pii": redact_pii,
     "top_ngrams_per_lang": top_ngrams_per_lang,
     "text_rarity": text_rarity,
@@ -778,6 +939,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_similarity_matrix": ORACLE_SOURCE_SIMILARITY,
+    "source_length_drift": ORACLE_LENGTH_DRIFT,
     "redact_pii": ORACLE_REDACT_PII,
     "top_ngrams_per_lang": _oracle_top_ngrams(),
     "text_rarity": ORACLE_RARITY,

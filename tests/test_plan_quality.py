@@ -633,3 +633,26 @@ def test_pipe_syntax_pushes_filter_to_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "l_partkey" not in read_schema
+
+
+def test_source_similarity_no_cartesian(spark, sf_dir):
+    """Pair intersections must come from the shingle-key equi self-join
+    — never an all-pairs product — and the per-source set sizes join as
+    broadcasts."""
+    from grebi_spark.functions.text import source_similarity_matrix
+
+    plan = plan_of(source_similarity_matrix(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_length_drift_grid_is_broadcast(spark, sf_dir):
+    """The sources × distinct-lengths grid is a domain-bounded dimension
+    cross join (broadcast), and the heavy side is aggregated BEFORE any
+    window — no data-sized cartesian anywhere."""
+    from grebi_spark.functions.text import source_length_drift
+
+    plan = plan_of(source_length_drift(spark, sf_dir), mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

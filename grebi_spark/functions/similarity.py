@@ -1097,7 +1097,247 @@ ORDER BY vec_a, vec_b
 """
     )
 
+IVFPQ_NPROBE = 3
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMBINED IVF-PQ index — the actual billion-vector deployment
+    layout (coarse quantizer prunes cells, product quantizer compresses
+    what's left), joining the two halves this family already proves
+    separately (``ann_ivf_trained_topk``: trained cells + probe;
+    ``ann_pq_topk``: codes + ADC):
+
+    * coarse: every vector is assigned to its trained k-means cell
+      (derived-K centroids, session-cached);
+    * fine: the RESIDUAL ``v − centroid(cell)`` — not the raw vector —
+      is PQ-encoded against a residual codebook (seeds 1..PQ_K's own
+      residuals), which is what makes IVF-PQ beat flat PQ: residuals
+      concentrate near 0 so the same 4 bytes carry more precision;
+    * query: probe the IVFPQ_NPROBE nearest cells; per probed cell the
+      query gets its OWN distance table (q − centroid(cell) vs the
+      codebook), and the ADC scan touches only the probed cells' codes.
+
+    Scale shape: cell pruning cuts the scan to nprobe/K of the corpus
+    BEFORE any distance work; the codes are 64× smaller than vectors;
+    per-row work is 4 lookups + 3 adds. Encode + ADC run in ONE Arrow
+    pandas_udf (per-dim sequential accumulation + HALF_UP 1e-6 rounds,
+    bit-matching the oracle's list_sum folds); the K×d centroid and
+    4×16×16 codebook matrices ride the closure — one broadcast per
+    executor.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from .training import _CENT_CACHE, _assign, _cache_key, kmeans_embeddings
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ckey = _cache_key(spark, sf_dir)
+    if ckey not in _CENT_CACHE:
+        kmeans_embeddings(spark, sf_dir)
+    cents = _CENT_CACHE[ckey]  # [(cluster, centroid)] sorted
+    cent_of = dict(cents)
+    qv = _query_vector(e, sf_dir)
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    def _d2(a, b) -> float:  # sequential fold == list_sum == JVM
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return _r6(s)
+
+    def _d2_raw(a, b) -> float:
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (x - y) * (x - y)
+        return s
+
+    def _cell(vec) -> int:  # argmin by (rounded dist, cluster), tie -> low id
+        return min((_r6(math.sqrt(_d2_raw(vec, c))), k) for k, c in cents)[1]
+
+    # residual codebook from seeds 1..PQ_K (driver-side: PQ_K vectors)
+    seed_key = f"pq:{spark.sparkContext.applicationId}:{sf_dir}"
+    byid = _IVF_SEED_CACHE.get(seed_key)
+    if byid is None:
+        rows = (
+            e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= PQ_K))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        byid = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+        _IVF_SEED_CACHE[seed_key] = byid
+    rcb = []  # rcb[m][k] = residual subvector
+    seed_resid = {}
+    for k in range(1, PQ_K + 1):
+        sv = byid[k]
+        cell = _cell(sv)
+        seed_resid[k] = [x - y for x, y in zip(sv, cent_of[cell])]
+    for m in range(PQ_M):
+        rcb.append(
+            [seed_resid[k + 1][m * PQ_SUB:(m + 1) * PQ_SUB] for k in range(PQ_K)]
+        )
+
+    # probe cells by centroid distance to the query (rounded, tie → low id)
+    probe = sorted(cents, key=lambda kc: (_r6(math.sqrt(_d2_raw(qv, kc[1]))), kc[0]))[
+        :IVFPQ_NPROBE
+    ]
+    probe_ids = [k for k, _ in probe]
+    # per-cell query distance tables over the query's residual
+    qd = {}
+    for cid, c in probe:
+        qr = [x - y for x, y in zip(qv, c)]
+        qd[cid] = [
+            [_d2(qr[m * PQ_SUB:(m + 1) * PQ_SUB], rcb[m][k]) for k in range(PQ_K)]
+            for m in range(PQ_M)
+        ]
+
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    kid = np.array([k for k, _ in cents], dtype=np.int64)
+    kpos = {int(k): i for i, k in enumerate(kid)}
+    rcbm = [np.array(rcb[m], dtype=np.float64) for m in range(PQ_M)]
+    probe_pos = {c: i for i, c in enumerate(probe_ids)}
+    qd_arr = np.array([qd[c] for c in probe_ids], dtype=np.float64)  # P×M×K
+
+    assigned = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        _assign(as_double(F.col("embedding")), cents).getField("cluster").alias("cell"),
+    )
+    pruned = assigned.filter(F.col("cell").isin(probe_ids))
+
+    def _adc(v: "pd.Series", cell: "pd.Series") -> "pd.DataFrame":
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        cells = cell.to_numpy()
+        R = V - C[[kpos[int(c)] for c in cells]]
+        pidx = np.array([probe_pos[int(c)] for c in cells])
+        out = {}
+        est = np.zeros(len(V))
+        for m in range(PQ_M):
+            S = R[:, m * PQ_SUB:(m + 1) * PQ_SUB]
+            D = np.zeros((len(V), PQ_K))
+            for j in range(PQ_SUB):  # sequential dim order == list_sum fold
+                D += (S[:, j][:, None] - rcbm[m][:, j][None, :]) ** 2
+            Dr = np.floor(D * 1e6 + 0.5) / 1e6
+            codes = Dr.argmin(axis=1)
+            out[f"c{m}"] = codes.astype("int32")
+            est = est + qd_arr[pidx, m, codes]
+        out["dist_est"] = np.floor(est * 1e6 + 0.5) / 1e6
+        return pd.DataFrame(out)
+
+    _adc.__annotations__ = {"v": pd.Series, "cell": pd.Series, "return": pd.DataFrame}
+    schema = StructType(
+        [StructField(f"c{m}", IntegerType()) for m in range(PQ_M)]
+        + [StructField("dist_est", DoubleType())]
+    )
+    udf = pandas_udf(_adc, schema)
+    enc = pruned.select("vec_id", "cell", udf("v", "cell").alias("z"))
+    return (
+        enc.select(
+            "vec_id",
+            "cell",
+            *[F.col(f"z.c{m}").alias(f"c{m}") for m in range(PQ_M)],
+            F.col("z.dist_est").alias("dist_est"),
+        )
+        .orderBy("dist_est", "vec_id")
+        .limit(_PQ_TOPK)
+    )
+
+
+def _oracle_ann_ivfpq() -> str:
+    from .training import ORACLE_KMEANS_CTES
+
+    def d2_list(a: str, b: str, n: int) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {n + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 6)"
+        )
+
+    sub = lambda v, m: f"{v}[{m * PQ_SUB + 1}:{(m + 1) * PQ_SUB}]"  # noqa: E731
+    sub_cases = lambda v: " ".join(  # noqa: E731
+        f"WHEN {m} THEN {sub(v, m)}" for m in range(PQ_M)
+    )
+    est_terms = " + ".join(
+        f"coalesce(sum(CASE WHEN code.m = {m} THEN qd END), 0.0)" for m in range(PQ_M)
+    )
+    return (
+        ORACLE_KMEANS_CTES
+        + f""",
+qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+resid AS (
+  SELECT a.vec_id, a.cluster,
+         list_transform(range(1, 65),
+                        i -> e.embedding[i]::DOUBLE - c.c[i]) AS rv
+  FROM assign2 a
+  JOIN embeddings e ON a.vec_id = e.vec_id
+  JOIN cent2 c ON a.cluster = c.cluster
+),
+rcb AS (
+  SELECT vec_id - 1 AS k, rv AS cv FROM resid
+  WHERE vec_id BETWEEN 1 AND {PQ_K}
+),
+probe AS (
+  SELECT cluster, c FROM cent2, qv
+  ORDER BY round(list_distance(c, q), 6), cluster
+  LIMIT {IVFPQ_NPROBE}
+),
+m_axis AS (SELECT unnest(range(0, {PQ_M})) AS m),
+dist AS (
+  SELECT r.vec_id, r.cluster, m_axis.m, rcb.k,
+         {d2_list(f"(CASE m_axis.m {sub_cases('r.rv')} END)",
+                  f"(CASE m_axis.m {sub_cases('rcb.cv')} END)", PQ_SUB)} AS d
+  FROM resid r
+  JOIN probe ON r.cluster = probe.cluster
+  CROSS JOIN m_axis CROSS JOIN rcb
+  WHERE r.vec_id != 0
+),
+code AS (
+  SELECT vec_id, cluster, m, k AS c FROM (
+    SELECT vec_id, cluster, m, k,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM dist
+  ) WHERE rn = 1
+),
+qresid AS (
+  SELECT probe.cluster,
+         list_transform(range(1, 65), i -> qv.q[i] - probe.c[i]) AS qr
+  FROM probe, qv
+),
+qdist AS (
+  SELECT qresid.cluster, m_axis.m, rcb.k,
+         {d2_list(f"(CASE m_axis.m {sub_cases('qresid.qr')} END)",
+                  f"(CASE m_axis.m {sub_cases('rcb.cv')} END)", PQ_SUB)} AS qd
+  FROM qresid, m_axis, rcb
+),
+est AS (
+  SELECT code.vec_id, code.cluster AS cell,
+         max(CASE WHEN code.m = 0 THEN c END) AS c0,
+         max(CASE WHEN code.m = 1 THEN c END) AS c1,
+         max(CASE WHEN code.m = 2 THEN c END) AS c2,
+         max(CASE WHEN code.m = 3 THEN c END) AS c3,
+         round({est_terms}, 6) AS dist_est
+  FROM code
+  JOIN qdist ON code.cluster = qdist.cluster
+            AND code.m = qdist.m AND code.c = qdist.k
+  GROUP BY code.vec_id, code.cluster
+)
+SELECT vec_id, cell, c0, c1, c2, c3, dist_est
+FROM est ORDER BY dist_est, vec_id LIMIT {_PQ_TOPK}
+"""
+    )
+
+
 QUERIES = {
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_int8_quantize": ann_int8_quantize,
     "semantic_dedup_cells": semantic_dedup_cells,
     "ann_recall_check": ann_recall_check,
@@ -1112,6 +1352,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "ann_ivfpq_topk": _oracle_ann_ivfpq(),
     "ann_int8_quantize": ORACLE_INT8,
     "semantic_dedup_cells": _oracle_semdedup(),
     "ann_recall_check": _oracle_ann_recall(),

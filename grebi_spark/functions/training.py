@@ -385,6 +385,162 @@ ORDER BY cluster
 )
 
 
+def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIERARCHICAL (two-level) centroid assignment — the 100 TB answer
+    to flat k-means' O(n·K) argmin when K itself grows with the corpus
+    (kmeans_k): route each vector to its nearest COARSE centroid (the
+    per-group mean of G=⌈√K⌉ consecutive fine centroids), then argmin
+    only within that group's fine centroids — n·(K/G + G) ≈ n·2√K work
+    instead of n·K, the standard IVF/IMI two-level trick. The trade is
+    exactness at group boundaries, so the output REPORTS the trade: per
+    fine cell, the two-level population AND how many of its vectors the
+    exact argmin agrees on (n_agree) — the accept/reject gate for
+    switching the pipeline's assignment to the fast path.
+
+    Both levels and the exact reference run in the SAME Arrow-batched
+    sequential-order/HALF_UP arithmetic as ``_assign``, and the oracle
+    rebuilds coarse centroids, both argmins, and the agreement join in
+    SQL — clustering, routing, and the eval all hash-check."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ckey = _cache_key(spark, sf_dir)
+    if ckey not in _CENT_CACHE:
+        kmeans_embeddings(spark, sf_dir)
+    cents = sorted(_CENT_CACHE[ckey])
+    K = len(cents)
+    G = math.ceil(math.sqrt(K))
+
+    # coarse centroids: per-dim mean over each group of G fine centroids
+    # (cluster-ascending sum order; round 1e-6 — both engines' avg+round
+    # land identically, same as the Lloyd-step dims aggregate)
+    coarse = []
+    for g0 in range(0, K, G):
+        grp = [c for _, c in cents[g0:g0 + G]]
+        dim = len(grp[0])
+        m = []
+        for j in range(dim):
+            s = 0.0
+            for c in grp:
+                s += c[j]
+            m.append(math.floor(s / len(grp) * 1e6 + 0.5) / 1e6)
+        coarse.append(m)
+
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    kid = np.array([k for k, _ in cents], dtype=np.int64)
+    CO = np.array(coarse, dtype=np.float64)
+
+    def _r6m(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def _dists(V, M):  # rounded distances, sequential dim accumulation
+        D = np.zeros((len(V), len(M)))
+        for j in range(M.shape[1]):
+            D += (V[:, j][:, None] - M[:, j][None, :]) ** 2
+        return _r6m(np.sqrt(D))
+
+    # the exact-argmin reference costs the very n·K the two-level path
+    # avoids, so the agreement EVAL runs on a deterministic 10% sample
+    # (vec_id % 10 == 0) — sampled QA, the production shape: routing is
+    # n·2√K, the gate pays n·K/10
+    def _route(s: "pd.Series", vid: "pd.Series") -> "pd.DataFrame":
+        V = np.array([np.asarray(x, dtype=np.float64) for x in s])
+        ids = vid.to_numpy()
+        gi = _dists(V, CO).argmin(axis=1)  # coarse winner, tie -> low gid
+        two = np.empty(len(V), dtype=np.int64)
+        for g in np.unique(gi):
+            rows = np.nonzero(gi == g)[0]
+            lo, hi = g * G, min((g + 1) * G, K)
+            sub = _dists(V[rows], C[lo:hi]).argmin(axis=1)
+            two[rows] = kid[lo + sub]
+        exact = np.full(len(V), -1, dtype=np.int64)
+        samp = np.nonzero(ids % 10 == 0)[0]
+        if len(samp):
+            exact[samp] = kid[_dists(V[samp], C).argmin(axis=1)]
+        return pd.DataFrame(
+            {"two": two.astype("int64"), "exact": exact.astype("int64")}
+        )
+
+    _route.__annotations__ = {
+        "s": pd.Series, "vid": pd.Series, "return": pd.DataFrame
+    }
+    schema = T.StructType(
+        [T.StructField("two", T.LongType()), T.StructField("exact", T.LongType())]
+    )
+    udf = pandas_udf(_route, schema)
+    a = e.select("vec_id", udf(_as_double(F.col("embedding")), "vec_id").alias("z")).select(
+        F.col("z.two").alias("two"), F.col("z.exact").alias("exact")
+    )
+    return (
+        a.groupBy(F.col("two").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum((F.col("exact") >= 0).cast("long")).alias("n_eval"),
+            F.sum((F.col("two") == F.col("exact")).cast("long")).alias("n_agree"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _oracle_kmeans_twolevel() -> str:
+    import math
+
+    # G must match the Spark side: G = ceil(sqrt(K)) with K derived from
+    # the corpus — recompute it in SQL from the same count
+    return (
+        ORACLE_KMEANS_CTES
+        + f""",
+gsize AS (
+  SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS g FROM kk
+),
+coarse AS (
+  SELECT grp_id AS gid,
+         list_transform(range(1, 65),
+           j -> round(list_sum(list_transform(grp, c -> c[j])) / len(grp), 6)) AS cc
+  FROM (
+    SELECT cluster // g AS grp_id, list(c ORDER BY cluster) AS grp
+    FROM cent2, gsize GROUP BY cluster // g
+  )
+),
+cdist AS (
+  SELECT e.vec_id, coarse.gid,
+         round(list_distance(e.embedding::DOUBLE[], coarse.cc), 6) AS d
+  FROM embeddings e, coarse
+),
+cwin AS (
+  SELECT vec_id, min(gid) AS gid FROM cdist c
+  WHERE d = (SELECT min(d) FROM cdist c2 WHERE c2.vec_id = c.vec_id)
+  GROUP BY vec_id
+),
+fdist AS (
+  SELECT w.vec_id, c2.cluster,
+         round(list_distance(e.embedding::DOUBLE[], c2.c), 6) AS d
+  FROM cwin w
+  JOIN embeddings e ON w.vec_id = e.vec_id
+  JOIN gsize ON true
+  JOIN cent2 c2 ON c2.cluster // gsize.g = w.gid
+),
+two AS (
+  SELECT vec_id, min(cluster) AS two FROM fdist f
+  WHERE d = (SELECT min(d) FROM fdist f2 WHERE f2.vec_id = f.vec_id)
+  GROUP BY vec_id
+)
+SELECT two.two AS cluster, count(*) AS n_vecs,
+       sum(CASE WHEN two.vec_id % 10 = 0 THEN 1 ELSE 0 END) AS n_eval,
+       sum(CASE WHEN two.vec_id % 10 = 0 AND two.two = a2.cluster
+                THEN 1 ELSE 0 END) AS n_agree
+FROM two JOIN assign2 a2 ON two.vec_id = a2.vec_id
+GROUP BY two.two
+ORDER BY cluster
+"""
+    )
+
+
 # --- deterministic train/valid/test split ------------------------------------
 
 # bucket = md5-derived uniform int in [0, 100); boundaries are the
@@ -1140,6 +1296,7 @@ ORDER BY a0.shard
 
 
 QUERIES = {
+    "kmeans_assign_twolevel": kmeans_assign_twolevel,
     "epoch_shuffle": epoch_shuffle,
     "mixture_sample": mixture_sample,
     "temperature_mixture": temperature_mixture,
@@ -1155,6 +1312,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_assign_twolevel": _oracle_kmeans_twolevel(),
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "mixture_sample": ORACLE_MIXTURE,
     "temperature_mixture": ORACLE_TEMPERATURE,

@@ -114,7 +114,14 @@ def _set_property(
             F.array().cast("array<string>").alias("source_ids"),
         )
     )
-    return replace(graph, merged=untouched.unionByName(new_rows))
+    # localCheckpoint (eager): the mutated long form feeds every
+    # subsequent read and possibly further mutations — without cutting
+    # lineage here a statement chain re-embeds each prior upsert's plan
+    # into every consumer (the same stage-barrier rule build_graph and
+    # incremental.py follow)
+    return replace(
+        graph, merged=untouched.unionByName(new_rows).localCheckpoint()
+    )
 
 
 def _detach_delete(graph: BuiltGraph, ids: DataFrame) -> BuiltGraph:

@@ -1,7 +1,10 @@
 """Benchmark harness: runs every queries() entry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints TWO
+JSON lines: the full record {"queries": {name: sec}, "metric": ...,
+"value": total_sec, "unit": "sec", ..., "sf": ...} (per-query dict
+first, scalars last, so tail-truncated captures still parse the
+headline numbers), then a compact scalars-only summary line — parse
+line 1 for everything, or the LAST line for just the headline.
 
 Each query is fully executed (collected — all result sets are small by
 construction); Spark session startup is excluded from per-query times.

@@ -66,7 +66,7 @@ def outgoing_edges(
     return (
         e.join(to_meta, "to_id", "left")
         .select("edge_id", "edge_type", "to_id", "to_names", "to_types", "datasources")
-        .orderBy("edge_type", "to_id")
+        .orderBy("edge_type", "to_id", "edge_id")
         .offset(page * size)
         .limit(size)
     )

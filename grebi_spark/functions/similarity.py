@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
+from .num import half_up_np
 
 N_PLANES = 4  # sign bits -> 16 buckets
 
@@ -455,12 +456,14 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = _query_vector(e, sf_dir)
 
     def dist(c):
+        from .num import half_up
+
         s = 0.0
         for x, y in zip(qv, c):
             s += (x - y) * (x - y)
         # HALF_UP to match F.round and DuckDB round (Python's built-in
         # round is banker's half-even — a different tie rule)
-        return math.floor(s**0.5 * 1e6 + 0.5) / 1e6
+        return half_up(s**0.5)
 
     # probe selection driver-side: K rounded distances, same sequential
     # float fold as both engines → identical cell choice
@@ -651,8 +654,8 @@ def _pq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     double math in both engines, so encode AND estimate hash-match the
     oracle end-to-end. Top-5 by (estimated distance, vec_id).
 
-    Scale shape: encode is one map-side pass over literal-broadcast
-    codebooks (no shuffle, no UDF); the ADC scan is map-side + one
+    Scale shape: encode + ADC are ONE map-side Arrow pandas_udf pass
+    (codebooks ride the closure; no shuffle, no join) feeding a single
     TakeOrdered. At 100 TB the code table is 64× smaller than the
     vectors — the point of PQ."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
@@ -676,10 +679,7 @@ def _pq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # qd[m][k]: the query's distance table, computed driver-side in
     # plain Python with the SAME sequential fold + HALF_UP 1e-6 round
     # the oracle's SQL performs (K·M scalars, scale-free).
-    def _r6(x: float) -> float:
-        import math
-
-        return math.floor(x * 1e6 + 0.5) / 1e6
+    from .num import half_up as _r6
 
     qd = []
     for m in range(PQ_M):
@@ -722,11 +722,11 @@ def _pq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             D = np.zeros((len(V), PQ_K))
             for j in range(PQ_SUB):  # sequential dim order == JVM fold
                 D += (S[:, j][:, None] - cbm[m][:, j][None, :]) ** 2
-            Dr = np.floor(D * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+            Dr = half_up_np(D)  # HALF_UP like F.round
             codes = Dr.argmin(axis=1)  # first min == lowest k on ties
             out[f"c{m}"] = codes.astype("int32")
             est = est + qdm[m][codes]
-        out["dist_est"] = np.floor(est * 1e6 + 0.5) / 1e6
+        out["dist_est"] = half_up_np(est)
         return pd.DataFrame(out)
 
     _encode_adc.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
@@ -1037,7 +1037,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot += np.outer(col, col)
         norms = np.sqrt(np.diag(dot))
         cos = dot / np.outer(norms, norms)
-        r = np.floor(cos * 1e4 + 0.5) / 1e4  # HALF_UP like F.round
+        r = half_up_np(cos, 4)  # HALF_UP like F.round
         ia, ib = np.triu_indices(n, k=1)
         keep = r[ia, ib] >= _SEMDEDUP_T
         ia, ib = ia[keep], ib[keep]
@@ -1147,8 +1147,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_of = dict(cents)
     qv = _query_vector(e, sf_dir)
 
-    def _r6(x: float) -> float:
-        return math.floor(x * 1e6 + 0.5) / 1e6
+    from .num import half_up as _r6
 
     def _d2(a, b) -> float:  # sequential fold == list_sum == JVM
         s = 0.0
@@ -1227,11 +1226,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             D = np.zeros((len(V), PQ_K))
             for j in range(PQ_SUB):  # sequential dim order == list_sum fold
                 D += (S[:, j][:, None] - rcbm[m][:, j][None, :]) ** 2
-            Dr = np.floor(D * 1e6 + 0.5) / 1e6
+            Dr = half_up_np(D)
             codes = Dr.argmin(axis=1)
             out[f"c{m}"] = codes.astype("int32")
             est = est + qd_arr[pidx, m, codes]
-        out["dist_est"] = np.floor(est * 1e6 + 0.5) / 1e6
+        out["dist_est"] = half_up_np(est)
         return pd.DataFrame(out)
 
     _adc.__annotations__ = {"v": pd.Series, "cell": pd.Series, "return": pd.DataFrame}

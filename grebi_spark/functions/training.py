@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_tables, scratch_dir
+from .num import half_up, half_up_np
 
 # --- deterministic mixture sampling -----------------------------------------
 
@@ -244,7 +245,7 @@ def _assign_vectorized(vec: Column, cents: list[tuple[int, list[float]]]) -> Col
         D = np.zeros((len(V), len(ks)))
         for j in range(C.shape[1]):  # sequential dim order == JVM fold
             D += (V[:, j][:, None] - C[:, j][None, :]) ** 2
-        d = np.floor(np.sqrt(D) * 1e6 + 0.5) / 1e6  # HALF_UP like F.round
+        d = half_up_np(np.sqrt(D))  # HALF_UP like F.round
         best = d.argmin(axis=1)  # first min == lowest cluster on ties
         return pd.DataFrame(
             {"d": d[np.arange(len(V)), best], "cluster": ks[best].astype("int32")}
@@ -413,36 +414,45 @@ def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ckey not in _CENT_CACHE:
         kmeans_embeddings(spark, sf_dir)
     cents = sorted(_CENT_CACHE[ckey])
-    K = len(cents)
-    G = math.ceil(math.sqrt(K))
+    # G derives from the INTENDED K (kmeans_k of the corpus count, the
+    # oracle's kk CTE), and grouping keys on cluster_id // G — NOT on
+    # position in the centroid list — so both stay identical to the
+    # oracle even if a Lloyd step left a cluster empty (cent2 then has
+    # id gaps and positional grouping would diverge)
+    G = math.ceil(math.sqrt(kmeans_k(e.count())))
 
-    # coarse centroids: per-dim mean over each group of G fine centroids
+    # coarse centroids: per-dim mean over each id-group's fine centroids
     # (cluster-ascending sum order; round 1e-6 — both engines' avg+round
     # land identically, same as the Lloyd-step dims aggregate)
+    from collections import OrderedDict
+
+    by_gid: "OrderedDict[int, list]" = OrderedDict()
+    for k, c in cents:  # cents sorted by cluster id
+        by_gid.setdefault(k // G, []).append(c)
+    gids = list(by_gid)
     coarse = []
-    for g0 in range(0, K, G):
-        grp = [c for _, c in cents[g0:g0 + G]]
+    for g in gids:
+        grp = by_gid[g]
         dim = len(grp[0])
         m = []
         for j in range(dim):
-            s = 0.0
+            t = 0.0
             for c in grp:
-                s += c[j]
-            m.append(math.floor(s / len(grp) * 1e6 + 0.5) / 1e6)
+                t += c[j]
+            m.append(half_up(t / len(grp)))
         coarse.append(m)
 
     C = np.array([c for _, c in cents], dtype=np.float64)
     kid = np.array([k for k, _ in cents], dtype=np.int64)
     CO = np.array(coarse, dtype=np.float64)
-
-    def _r6m(x):
-        return np.floor(x * 1e6 + 0.5) / 1e6
+    # fine-centroid row indices per coarse group, keyed by group POSITION
+    fine_idx = [np.nonzero(kid // G == g)[0] for g in gids]
 
     def _dists(V, M):  # rounded distances, sequential dim accumulation
         D = np.zeros((len(V), len(M)))
         for j in range(M.shape[1]):
             D += (V[:, j][:, None] - M[:, j][None, :]) ** 2
-        return _r6m(np.sqrt(D))
+        return half_up_np(np.sqrt(D))
 
     # the exact-argmin reference costs the very n·K the two-level path
     # avoids, so the agreement EVAL runs on a deterministic 10% sample
@@ -455,9 +465,9 @@ def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         two = np.empty(len(V), dtype=np.int64)
         for g in np.unique(gi):
             rows = np.nonzero(gi == g)[0]
-            lo, hi = g * G, min((g + 1) * G, K)
-            sub = _dists(V[rows], C[lo:hi]).argmin(axis=1)
-            two[rows] = kid[lo + sub]
+            members = fine_idx[g]
+            sub = _dists(V[rows], C[members]).argmin(axis=1)
+            two[rows] = kid[members[sub]]
         exact = np.full(len(V), -1, dtype=np.int64)
         samp = np.nonzero(ids % 10 == 0)[0]
         if len(samp):

@@ -55,7 +55,7 @@ class MutationResult:
 
 _SET_RE = re.compile(
     r"\bSET\s+(\w+)\.(`[^`]+`|[A-Za-z_][\w:]*)\s*=\s*(.+?)(?=\bRETURN\b|$)",
-    re.S,
+    re.S | re.I,
 )
 _CALL_TX_RE = re.compile(
     r"CALL\s*\{\s*WITH\s+(\w+)\s+(?:DETACH\s+)?DELETE\s+\1\s*\}\s*"
@@ -97,10 +97,10 @@ def _set_property(
             ids, "node_id", "left_anti"
         )
     )
-    # one subgraph per node — take it from the node's existing rows
-    sub = (
-        merged.groupBy("node_id").agg(F.min("subgraph").alias("subgraph"))
-    )
+    # one subgraph per node — the node header already carries it, so the
+    # lookup joins a per-node frame instead of re-aggregating all of
+    # merged (mutations must cost their delta, not a corpus pass)
+    sub = graph.nodes.select("node_id", "subgraph")
     new_rows = (
         assigns.filter(F.col("value").isNotNull())
         .join(sub, "node_id")
@@ -119,8 +119,32 @@ def _set_property(
     # lineage here a statement chain re-embeds each prior upsert's plan
     # into every consumer (the same stage-barrier rule build_graph and
     # incremental.py follow)
+    merged2 = untouched.unionByName(new_rows).localCheckpoint()
+    return _rederive(graph, merged2, graph.edges)
+
+
+def _rederive(graph: BuiltGraph, merged: DataFrame, edges: DataFrame) -> BuiltGraph:
+    """Recompute every merged-derived side table for a mutated graph —
+    node header (a SET can change names/types), index aggregates,
+    display types, edge summary — so no field of the returned graph
+    answers from pre-mutation state. Each is the same single-pass
+    aggregate a full build runs, over the (checkpointed) mutated frame.
+    Edges are NOT re-materialised: Cypher SET/DELETE never creates
+    edges (edge materialisation from ref-valued props is a BUILD-time
+    stage); DELETE passes the anti-joined edge set in."""
+    from ..operators.index import build_index
+    from ..operators.materialise import display_types, edge_summary
+
+    index = build_index(merged)
+    meta = index.metadata
     return replace(
-        graph, merged=untouched.unionByName(new_rows).localCheckpoint()
+        graph,
+        merged=merged,
+        nodes=meta,
+        edges=edges,
+        index=index,
+        display_types=display_types(meta, index.type_counts),
+        edge_summary=edge_summary(edges, meta),
     )
 
 
@@ -136,7 +160,8 @@ def _detach_delete(graph: BuiltGraph, ids: DataFrame) -> BuiltGraph:
     groups = graph.groups.join(
         ids.withColumnRenamed("node_id", "group_id"), "group_id", "left_anti"
     )
-    return replace(graph, merged=merged, nodes=nodes, edges=edges, groups=groups)
+    out = _rederive(graph, merged.localCheckpoint(), edges)
+    return replace(out, groups=groups)
 
 
 def run_cypher_mutation(
@@ -155,12 +180,20 @@ def run_cypher_mutation(
     text = _subst_params(text, params).strip()
     stripped = _CALL_TX_RE.sub("", text)
 
+    # keyword detection ignores string literals ('SET n.note = "DELETE
+    # me"' is a SET), and SET wins when both keywords appear — the
+    # supported subset has no combined SET+DELETE statement
+    no_strings = re.sub(r'"[^"]*"|\'[^\']*\'', '""', text)
+    is_set = _SET_RE.search(re.sub(r'"[^"]*"|\'[^\']*\'', '""', stripped))
     # detect DELETE on the ORIGINAL text: the notebook's DELETEs live
     # inside the CALL-IN-TRANSACTIONS wrappers the strip just removed
-    if re.search(r"\bDELETE\b", text, re.I):
+    if is_set is None and re.search(r"\bDELETE\b", no_strings, re.I):
         return _plan_delete(graph, stripped)
 
+    # extract from the REAL text — the detection pass blanked string
+    # literals, which must survive into the value expression
     m = _SET_RE.search(stripped)
+
     if not m:
         raise ValueError(
             "not a mutation statement (no SET/DELETE): use run_cypher for reads"
@@ -208,6 +241,8 @@ def _plan_delete(graph: BuiltGraph, text: str) -> MutationResult:
     var = mm.group(1)
     # read-plan the node selection: pattern + WHERE, minus the DELETE /
     # WITH DISTINCT tail
-    head = re.split(r"\b(?:DETACH\s+)?DELETE\b|\bWITH\s+DISTINCT\b", text)[0]
+    head = re.split(
+        r"\b(?:DETACH\s+)?DELETE\b|\bWITH\s+DISTINCT\b", text, flags=re.I
+    )[0]
     ids = run_cypher(graph, f"{head.strip()} RETURN DISTINCT {var} AS node_id")
     return MutationResult(graph=_detach_delete(graph, ids), result=None)

@@ -272,7 +272,7 @@ def incoming_edges(
     return (
         e.join(from_meta, "from_id", "left")
         .select("edge_id", "edge_type", "from_id", "from_names", "from_types", "datasources")
-        .orderBy("edge_type", "from_id")
+        .orderBy("edge_type", "from_id", "edge_id")
         .offset(page * size)
         .limit(size)
     )

@@ -91,18 +91,28 @@ def build_kv_store(
 
     def _write_shard(table: str, cols: str, df: DataFrame) -> None:
         def write(it):
+            import os as _os
             import sqlite3 as sq
 
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
-            con = sq.connect(f"{stage}/shard-{table}-{pid:05d}.sqlite")
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            # write under an attempt-unique tmp name, atomic-rename on
+            # success: a retried or speculative attempt can never
+            # collide with (or corrupt) a completed shard, and the merge
+            # only ever sees complete files — same protocol as the
+            # grebi_jsonl writer. Last completed attempt wins; partition
+            # content is deterministic, so any winner is correct.
+            tmp = f"{stage}/shard-{table}-{pid:05d}.tmp-{ctx.taskAttemptId()}"
+            con = sq.connect(tmp)
             con.execute(f"CREATE TABLE {table} ({cols})")
             con.executemany(
                 f"INSERT INTO {table} VALUES (?, ?)", (tuple(r) for r in it)
             )
             con.commit()
             con.close()
+            _os.replace(tmp, f"{stage}/shard-{table}-{pid:05d}.sqlite")
             return iter(())
 
         df.rdd.mapPartitions(write).count()

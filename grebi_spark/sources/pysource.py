@@ -139,6 +139,8 @@ class GrebiJsonlWriter(DataSourceArrowWriter):
                     os.remove(os.path.join(self._path, f))
         committed = set()
         for m in messages:
+            if m is None:
+                continue
             final = m.path.rsplit(".tmp-", 1)[0]
             os.replace(m.path, final)
             committed.add(os.path.basename(m.path))
@@ -149,8 +151,9 @@ class GrebiJsonlWriter(DataSourceArrowWriter):
                 os.remove(os.path.join(self._path, f))
 
     def abort(self, messages):
+        # a failed task's entry is None (DataSourceWriter contract)
         for m in messages:
-            if os.path.exists(m.path):
+            if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
 
 

@@ -611,7 +611,58 @@ ORDER BY node_id
 """
 
 
+def edge_page_outgoing_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8's OUTGOING half on the driver's board (GrebiApi.java:129-176
+    — the /nodes/{id}/outgoing_edges endpoint the HTTP facade serves):
+    page 0 of nation n:3's outgoing edges over the BUILT star graph,
+    hydrated with the target node's header. Deterministic paging: total
+    order (edge_type, to_id, edge_id). The oracle restates hydration
+    relationally, so the hash proves build → materialise → page."""
+    from ..api.http_api import outgoing_edges
+
+    g = _built_graph(spark, sf_dir)
+    return outgoing_edges(g, "n:3", page=0, size=10).select(
+        "edge_type",
+        "to_id",
+        F.array_join("to_names", ",").alias("to_names"),
+        F.array_join("to_types", ",").alias("to_types"),
+    )
+
+
+ORACLE_EDGE_PAGE_OUTGOING = """
+SELECT 'geo:region' AS edge_type,
+       'r:' || n.n_regionkey::varchar AS to_id,
+       r.r_name AS to_names,
+       'geo:Region' AS to_types
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE n.n_nationkey = 3
+ORDER BY edge_type, to_id
+LIMIT 10
+"""
+
+
+def graph_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 over the BUILT graph (the /suggest endpoint,
+    GrebiApi.java:228): case-insensitive name-prefix autocomplete,
+    shortest-first with a name tiebreak — the graph-side twin of
+    autocomplete_parts (which runs on the parts table)."""
+    from ..api.http_api import suggest
+
+    g = _built_graph(spark, sf_dir)
+    return suggest(g, "NATION_1", size=5)
+
+
+ORACLE_GRAPH_SUGGEST = """
+SELECT n_name AS name FROM nation
+WHERE lower(n_name) LIKE 'nation_1%'
+ORDER BY length(n_name), n_name
+LIMIT 5
+"""
+
+
 QUERIES = {
+    "edge_page_outgoing_graph": edge_page_outgoing_graph,
+    "graph_suggest": graph_suggest,
     "cypher_star_query": cypher_star_query,
     "cypher_filter_query": cypher_filter_query,
     "cypher_set_ic_scores": cypher_set_ic_scores,
@@ -626,6 +677,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "edge_page_outgoing_graph": ORACLE_EDGE_PAGE_OUTGOING,
+    "graph_suggest": ORACLE_GRAPH_SUGGEST,
     "cypher_star_query": ORACLE_CYPHER_STAR,
     "cypher_filter_query": ORACLE_CYPHER_FILTER,
     "cypher_set_ic_scores": ORACLE_CYPHER_SET_IC,

@@ -993,17 +993,20 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     all hash-check.
     """
     from .dedup import planted_vectors
-    from .training import _CENT_CACHE, _assign, _cache_key, kmeans_embeddings
+    from .training import assign_routed
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    ckey = _cache_key(spark, sf_dir)
-    if ckey not in _CENT_CACHE:
-        kmeans_embeddings(spark, sf_dir)  # trains + caches centroids
-    cent2 = _CENT_CACHE[ckey]
+    # cell assignment goes through the PRODUCTION router (training.
+    # assign_routed): two-level coarse→fine when the sampled-agreement
+    # gate accepts, exact flat (GEMM+refine) when it rejects — the gate
+    # is evaluated on the base corpus and mirrored in the oracle's
+    # ``gate`` CTE, so the routing decision is hash-checked here too
     assigned = planted_vectors(e).select(
         "vec_id",
         "v",
-        _assign(F.col("v"), cent2).getField("cluster").alias("cell"),
+        assign_routed(spark, sf_dir, e, F.col("v"))
+        .getField("cluster")
+        .alias("cell"),
     )
 
     # Per-cell vectorized verify: ONE applyInPandas group per cell, the
@@ -1058,13 +1061,16 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_semdedup() -> str:
     from .dedup import PLANT_OFFSET
-    from .training import ORACLE_KMEANS_CTES
+    from .training import ORACLE_KMEANS_CTES, _twolevel_ctes
 
     cos = (
         "round(list_dot_product(va.v, vb.v)"
         " / (sqrt(list_dot_product(va.v, va.v))"
         " * sqrt(list_dot_product(vb.v, vb.v))), 4)"
     )
+    # the planted frame gets BOTH assignment legs (flat ``passign``,
+    # two-level ``ptwo``) and the shared ``gate`` CTE picks the same
+    # one the Spark router picked — cell blocking is gated identically
     return (
         ORACLE_KMEANS_CTES
         + f"""
@@ -1079,10 +1085,16 @@ def _oracle_semdedup() -> str:
   FROM pl p, cent2 c2
 ), pm AS (
   SELECT vec_id, min(d) AS md FROM pd GROUP BY vec_id
-), passign AS (
+), pflat AS (
   SELECT pd.vec_id, min(pd.cluster) AS cell
   FROM pd JOIN pm ON pd.vec_id = pm.vec_id AND pd.d = pm.md
   GROUP BY pd.vec_id
+)"""
+        + _twolevel_ctes("pl", "p")
+        + f""", passign AS (
+  SELECT f.vec_id,
+         CASE WHEN g.ok THEN t.two ELSE f.cell END AS cell
+  FROM pflat f JOIN ptwo t ON f.vec_id = t.vec_id CROSS JOIN gate g
 ), pairs AS (
   SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM passign a JOIN passign b

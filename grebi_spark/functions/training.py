@@ -230,6 +230,40 @@ def _assign(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     return F.array_min(F.array(*alts))
 
 
+def _exact_micro_argmin(V, C, ks):
+    """Exact rounded argmin of ``V`` rows against centroid matrix ``C``
+    at BLAS speed: one GEMM computes candidate distances
+    (``|v|² + |c|² − 2·v·c``), then ONLY the per-row candidates inside a
+    3e-6 safety band of the row minimum are recomputed with the
+    bit-parity sequential per-dim accumulation and HALF_UP-rounded to
+    integer microns — the FAISS exact-search shape (sgemm + refine).
+    The band covers the 1e-6 rounding quantum plus the worst
+    GEMM-vs-sequential fp divergence (catastrophic cancellation when
+    d≈0 bounds it at ~1e-6), so every candidate that could win or tie
+    the rounded argmin is refined; the winner (lowest cluster id on
+    rounded ties, == the oracle's min-join) is therefore identical to
+    the O(n·K·d)-interpreted flat pass while costing one matmul.
+    Returns (d_micro int64, cluster int64) arrays."""
+    import numpy as np
+
+    sq = (V * V).sum(axis=1)[:, None] + (C * C).sum(axis=1)[None, :]
+    sq -= 2.0 * (V @ C.T)
+    np.maximum(sq, 0.0, out=sq)
+    ds = np.sqrt(sq)
+    m = ds.min(axis=1)
+    ri, ci = np.nonzero(ds <= (m + 3e-6)[:, None])
+    acc = np.zeros(len(ri))
+    A, B = V[ri], C[ci]
+    for j in range(C.shape[1]):  # sequential dim order == JVM fold
+        acc += (A[:, j] - B[:, j]) ** 2
+    dmic = np.floor(np.sqrt(acc) * 1e6 + 0.5).astype(np.int64)
+    kc = ks[ci]
+    order = np.lexsort((kc, dmic, ri))  # per row: min d, tie → low id
+    _, first = np.unique(ri[order], return_index=True)
+    win = order[first]
+    return dmic[win], kc[win]
+
+
 def _assign_vectorized(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     import numpy as np
     import pandas as pd
@@ -242,13 +276,9 @@ def _assign_vectorized(vec: Column, cents: list[tuple[int, list[float]]]) -> Col
 
     def _nearest(s: "pd.Series") -> "pd.DataFrame":
         V = np.array([np.asarray(x, dtype=np.float64) for x in s])
-        D = np.zeros((len(V), len(ks)))
-        for j in range(C.shape[1]):  # sequential dim order == JVM fold
-            D += (V[:, j][:, None] - C[:, j][None, :]) ** 2
-        d = half_up_np(np.sqrt(D))  # HALF_UP like F.round
-        best = d.argmin(axis=1)  # first min == lowest cluster on ties
+        dmic, kid = _exact_micro_argmin(V, C, ks)
         return pd.DataFrame(
-            {"d": d[np.arange(len(V)), best], "cluster": ks[best].astype("int32")}
+            {"d": dmic / 1e6, "cluster": kid.astype("int32")}
         )
 
     _nearest.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
@@ -259,6 +289,185 @@ def _assign_vectorized(vec: Column, cents: list[tuple[int, list[float]]]) -> Col
         ]
     )
     return pandas_udf(_nearest, schema)(vec)
+
+
+# --- gated two-level routing (the production assignment default) -----------
+#
+# Flat exact assignment is O(n·K·d) and K grows with the corpus
+# (kmeans_k), so the classify pass is super-linear. The IVF/IMI answer
+# is two-level routing (coarse argmin over G=⌈√K⌉ group means, then
+# fine argmin within the winning group: n·2√K·d), but routing is
+# APPROXIMATE, so it is gated: on a deterministic 10% sample
+# (vec_id % 10 == 0) the routed and exact assignments are compared,
+# and the fast path is accepted only when they agree on ≥ 99% of the
+# sample — else the assignment falls back to the exact flat pass
+# (which _exact_micro_argmin keeps BLAS-speed). The gate decision is
+# itself part of the query semantics: the oracle SQL computes the SAME
+# sampled agreement and selects the SAME leg, so the routing logic —
+# not just its output — is hash-checked on every run. On this
+# harness's near-uniform synthetic embeddings the gate measurably
+# rejects (sampled agreement 0.84/0.76/0.52 at sf0.001/0.01/0.1);
+# tests/test_properties.py proves the accept branch on a separable
+# corpus where it routes and still hash-matches DuckDB.
+KMEANS_ROUTE_MIN_K = 8
+KMEANS_ROUTE_MIN_AGREE = 0.99
+
+# gate decision per (application, sf_dir); K at train time per same key
+_GATE_CACHE: dict[str, bool] = {}
+_K_CACHE: dict[str, int] = {}
+
+
+def _twolevel_parts(cents: list[tuple[int, list[float]]], k_int: int):
+    """Coarse structure for two-level routing: group fine centroids by
+    cluster_id // G (G=⌈√K⌉ of the INTENDED K — id-blocked grouping,
+    the inverted-multi-index layout, identical to the oracle's
+    ``cluster // g`` CTE even when Lloyd left id gaps); coarse centroid
+    = HALF_UP-rounded per-dim mean over the group, accumulated in
+    cluster-ascending order so both engines fold identically.
+    Returns (G, kid, C, gids, CO, fine_idx) NumPy arrays."""
+    import math
+
+    import numpy as np
+
+    cents = sorted(cents)
+    G = math.ceil(math.sqrt(k_int))
+    from collections import OrderedDict
+
+    by_gid: "OrderedDict[int, list]" = OrderedDict()
+    for k, c in cents:
+        by_gid.setdefault(k // G, []).append(c)
+    gids = list(by_gid)
+    coarse = []
+    for g in gids:
+        grp = by_gid[g]
+        m = []
+        for j in range(len(grp[0])):
+            t = 0.0
+            for c in grp:
+                t += c[j]
+            m.append(half_up(t / len(grp)))
+        coarse.append(m)
+    kid = np.array([k for k, _ in cents], dtype=np.int64)
+    C = np.array([c for _, c in cents], dtype=np.float64)
+    CO = np.array(coarse, dtype=np.float64)
+    fine_idx = [np.nonzero(kid // G == g)[0] for g in gids]
+    return G, kid, C, gids, CO, fine_idx
+
+
+def _dists_micro_np(V, M):
+    """Rounded distances as integer microns, sequential per-dim
+    accumulation (== the JVM fold / DuckDB list_distance + round)."""
+    import numpy as np
+
+    D = np.zeros((len(V), len(M)))
+    for j in range(M.shape[1]):
+        D += (V[:, j][:, None] - M[:, j][None, :]) ** 2
+    return np.floor(np.sqrt(D) * 1e6 + 0.5).astype(np.int64)
+
+
+def _route_np(V, kid, C, CO, fine_idx):
+    """Single-probe two-level assignment of V: coarse argmin (tie →
+    lowest gid) then fine argmin within the winning group (tie →
+    lowest cluster id). Returns (d_micro, cluster) arrays."""
+    import numpy as np
+
+    gi = _dists_micro_np(V, CO).argmin(axis=1)
+    dmic = np.empty(len(V), dtype=np.int64)
+    kc = np.empty(len(V), dtype=np.int64)
+    for g in np.unique(gi):
+        rows = np.nonzero(gi == g)[0]
+        mem = fine_idx[g]
+        d = _dists_micro_np(V[rows], C[mem])
+        a = d.argmin(axis=1)
+        dmic[rows] = d[np.arange(len(rows)), a]
+        kc[rows] = kid[mem[a]]
+    return dmic, kc
+
+
+def _assign_twolevel(vec: Column, cents: list[tuple[int, list[float]]], k_int: int) -> Column:
+    """The routed production assign → struct(d, cluster), same schema
+    and rounding as ``_assign`` but n·2√K work instead of n·K."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    _, kid, C, _, CO, fine_idx = _twolevel_parts(cents, k_int)
+
+    def _routed(s: "pd.Series") -> "pd.DataFrame":
+        V = np.array([np.asarray(x, dtype=np.float64) for x in s])
+        dmic, kc = _route_np(V, kid, C, CO, fine_idx)
+        return pd.DataFrame({"d": dmic / 1e6, "cluster": kc.astype("int32")})
+
+    _routed.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+    schema = T.StructType(
+        [T.StructField("d", T.DoubleType()), T.StructField("cluster", T.IntegerType())]
+    )
+    return pandas_udf(_routed, schema)(vec)
+
+
+def route_gate(spark: SparkSession, e: DataFrame, cents: list[tuple[int, list[float]]],
+               k_int: int, ckey: str) -> bool:
+    """Evaluate (once per session+corpus) the sampled-agreement gate:
+    on vec_id % 10 == 0, compare routed vs exact assignment; accept
+    the routed path only when K ≥ KMEANS_ROUTE_MIN_K and agreement ≥
+    KMEANS_ROUTE_MIN_AGREE. Cost is n·K/10 (GEMM-batched) — sampled
+    QA, the production shape. The oracle's ``gate`` CTE computes the
+    identical decision in SQL."""
+    if ckey in _GATE_CACHE:
+        return _GATE_CACHE[ckey]
+    accept = False
+    if k_int >= KMEANS_ROUTE_MIN_K:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql import types as T
+
+        _, kid, C, _, CO, fine_idx = _twolevel_parts(cents, k_int)
+
+        def _both(s: "pd.Series") -> "pd.DataFrame":
+            V = np.array([np.asarray(x, dtype=np.float64) for x in s])
+            _, two = _route_np(V, kid, C, CO, fine_idx)
+            _, exact = _exact_micro_argmin(V, C, kid)
+            return pd.DataFrame({"two": two, "exact": exact})
+
+        _both.__annotations__ = {"s": pd.Series, "return": pd.DataFrame}
+        schema = T.StructType(
+            [T.StructField("two", T.LongType()), T.StructField("exact", T.LongType())]
+        )
+        udf = pandas_udf(_both, schema)
+        row = (
+            e.filter(F.col("vec_id") % 10 == 0)
+            .select(udf(_as_double(F.col("embedding"))).alias("z"))
+            .agg(
+                F.count("*").alias("n_eval"),
+                F.sum((F.col("z.two") == F.col("z.exact")).cast("long")).alias("n_agree"),
+            )
+            .collect()[0]
+        )
+        accept = (
+            row["n_eval"] > 0
+            and row["n_agree"] >= KMEANS_ROUTE_MIN_AGREE * row["n_eval"]
+        )
+    _GATE_CACHE[ckey] = accept
+    return accept
+
+
+def assign_routed(spark: SparkSession, sf_dir: str, e: DataFrame, vec: Column) -> Column:
+    """THE production assignment entry point: two-level routed when the
+    sampled-agreement gate accepts, exact flat (GEMM+refine) when it
+    rejects. Both legs and the decision are mirrored in the oracle."""
+    ckey = _cache_key(spark, sf_dir)
+    if ckey not in _CENT_CACHE:
+        kmeans_embeddings(spark, sf_dir)
+    cents = _CENT_CACHE[ckey]
+    k_int = _K_CACHE.get(ckey)
+    if k_int is None:
+        k_int = kmeans_k(e.count())
+        _K_CACHE[ckey] = k_int
+    if route_gate(spark, e, cents, k_int, ckey):
+        return _assign_twolevel(vec, cents, k_int)
+    return _assign(vec, cents)
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -281,6 +490,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent2 = _CENT_CACHE[ckey]
     else:
         k = kmeans_k(e.count())
+        _K_CACHE[ckey] = k
         init = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
             for r in e.filter(F.col("vec_id") < k)
@@ -311,7 +521,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent2 = sorted((int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows)
         _CENT_CACHE[ckey] = cent2
 
-    best = _assign(v, cent2)
+    best = assign_routed(spark, sf_dir, e, v)
     return (
         e.select(
             best.getField("cluster").alias("cluster"),
@@ -373,13 +583,88 @@ assign2 AS (
   GROUP BY d2.vec_id
 )"""
 
+
+def _twolevel_ctes(src_rel: str, p: str) -> str:
+    """CTE chain computing the single-probe two-level assignment of the
+    vectors in ``src_rel`` (columns vec_id, v DOUBLE[]) against cent2:
+    coarse argmin over the id-blocked group means (tie → lowest gid),
+    fine argmin within the winning group (tie → lowest cluster id) —
+    the SQL mirror of ``_route_np``. Emits ``{p}two(vec_id, two, d)``.
+    Expects the shared ``gsize``/``coarse`` CTEs to already be in
+    scope."""
+    return f""",
+{p}cdist AS (
+  SELECT s.vec_id, coarse.gid,
+         round(list_distance(s.v, coarse.cc), 6) AS d
+  FROM {src_rel} s, coarse
+),
+{p}cwin AS (
+  SELECT vec_id, min(gid) AS gid FROM {p}cdist c
+  WHERE d = (SELECT min(d) FROM {p}cdist c2 WHERE c2.vec_id = c.vec_id)
+  GROUP BY vec_id
+),
+{p}fdist AS (
+  SELECT w.vec_id, c2.cluster,
+         round(list_distance(s.v, c2.c), 6) AS d
+  FROM {p}cwin w
+  JOIN {src_rel} s ON w.vec_id = s.vec_id
+  JOIN gsize ON true
+  JOIN cent2 c2 ON c2.cluster // gsize.g = w.gid
+),
+{p}two AS (
+  SELECT vec_id, min(cluster) AS two, min(d) AS d FROM {p}fdist f
+  WHERE d = (SELECT min(d) FROM {p}fdist f2 WHERE f2.vec_id = f.vec_id)
+  GROUP BY vec_id
+)"""
+
+
+# coarse structure + the corpus's own two-level assignment + the
+# sampled-agreement GATE (the router's accept/reject decision, computed
+# in SQL exactly as route_gate computes it in Spark) + the gated
+# per-vector selection ``sel`` — appended to the shared chain so every
+# consumer of the routed assignment (kmeans_embeddings, semdedup) hash-
+# checks the routing decision itself. Unreferenced CTEs are pruned by
+# DuckDB, so the flat-only consumers (trained IVF) pay nothing.
+ORACLE_KMEANS_CTES = (
+    ORACLE_KMEANS_CTES
+    + """,
+gsize AS (
+  SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS g FROM kk
+),
+coarse AS (
+  SELECT grp_id AS gid,
+         list_transform(range(1, 65),
+           j -> round(list_sum(list_transform(grp, c -> c[j])) / len(grp), 6)) AS cc
+  FROM (
+    SELECT cluster // g AS grp_id, list(c ORDER BY cluster) AS grp
+    FROM cent2, gsize GROUP BY cluster // g
+  )
+),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
+    + _twolevel_ctes("ev", "")
+    + f""",
+gate AS (
+  SELECT (SELECT k FROM kk) >= {KMEANS_ROUTE_MIN_K}
+         AND sum(CASE WHEN t.two = a2.cluster THEN 1 ELSE 0 END)
+             >= {KMEANS_ROUTE_MIN_AGREE} * count(*) AS ok
+  FROM two t JOIN assign2 a2 ON t.vec_id = a2.vec_id
+  WHERE t.vec_id % 10 = 0
+),
+sel AS (
+  SELECT a2.vec_id,
+         CASE WHEN g.ok THEN t.two ELSE a2.cluster END AS cluster,
+         CASE WHEN g.ok THEN t.d ELSE a2.d END AS d
+  FROM assign2 a2 JOIN two t ON a2.vec_id = t.vec_id CROSS JOIN gate g
+)"""
+)
+
 ORACLE_KMEANS = (
     ORACLE_KMEANS_CTES
     + """
 SELECT cluster, count(*) AS n_vecs,
        sum(CAST(round(d * 1000000, 0) AS BIGINT)) / count(*) / 1000000.0
          AS mean_dist
-FROM assign2
+FROM sel
 GROUP BY cluster
 ORDER BY cluster
 """
@@ -402,8 +687,6 @@ def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential-order/HALF_UP arithmetic as ``_assign``, and the oracle
     rebuilds coarse centroids, both argmins, and the agreement join in
     SQL — clustering, routing, and the eval all hash-check."""
-    import math
-
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -419,59 +702,21 @@ def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # position in the centroid list — so both stay identical to the
     # oracle even if a Lloyd step left a cluster empty (cent2 then has
     # id gaps and positional grouping would diverge)
-    G = math.ceil(math.sqrt(kmeans_k(e.count())))
-
-    # coarse centroids: per-dim mean over each id-group's fine centroids
-    # (cluster-ascending sum order; round 1e-6 — both engines' avg+round
-    # land identically, same as the Lloyd-step dims aggregate)
-    from collections import OrderedDict
-
-    by_gid: "OrderedDict[int, list]" = OrderedDict()
-    for k, c in cents:  # cents sorted by cluster id
-        by_gid.setdefault(k // G, []).append(c)
-    gids = list(by_gid)
-    coarse = []
-    for g in gids:
-        grp = by_gid[g]
-        dim = len(grp[0])
-        m = []
-        for j in range(dim):
-            t = 0.0
-            for c in grp:
-                t += c[j]
-            m.append(half_up(t / len(grp)))
-        coarse.append(m)
-
-    C = np.array([c for _, c in cents], dtype=np.float64)
-    kid = np.array([k for k, _ in cents], dtype=np.int64)
-    CO = np.array(coarse, dtype=np.float64)
-    # fine-centroid row indices per coarse group, keyed by group POSITION
-    fine_idx = [np.nonzero(kid // G == g)[0] for g in gids]
-
-    def _dists(V, M):  # rounded distances, sequential dim accumulation
-        D = np.zeros((len(V), len(M)))
-        for j in range(M.shape[1]):
-            D += (V[:, j][:, None] - M[:, j][None, :]) ** 2
-        return half_up_np(np.sqrt(D))
+    k_int = _K_CACHE.get(ckey) or kmeans_k(e.count())
+    _, kid, C, _, CO, fine_idx = _twolevel_parts(cents, k_int)
 
     # the exact-argmin reference costs the very n·K the two-level path
     # avoids, so the agreement EVAL runs on a deterministic 10% sample
     # (vec_id % 10 == 0) — sampled QA, the production shape: routing is
-    # n·2√K, the gate pays n·K/10
+    # n·2√K, the gate pays n·K/10 (GEMM-batched via _exact_micro_argmin)
     def _route(s: "pd.Series", vid: "pd.Series") -> "pd.DataFrame":
         V = np.array([np.asarray(x, dtype=np.float64) for x in s])
         ids = vid.to_numpy()
-        gi = _dists(V, CO).argmin(axis=1)  # coarse winner, tie -> low gid
-        two = np.empty(len(V), dtype=np.int64)
-        for g in np.unique(gi):
-            rows = np.nonzero(gi == g)[0]
-            members = fine_idx[g]
-            sub = _dists(V[rows], C[members]).argmin(axis=1)
-            two[rows] = kid[members[sub]]
+        _, two = _route_np(V, kid, C, CO, fine_idx)
         exact = np.full(len(V), -1, dtype=np.int64)
         samp = np.nonzero(ids % 10 == 0)[0]
         if len(samp):
-            exact[samp] = kid[_dists(V[samp], C).argmin(axis=1)]
+            _, exact[samp] = _exact_micro_argmin(V[samp], C, kid)
         return pd.DataFrame(
             {"two": two.astype("int64"), "exact": exact.astype("int64")}
         )
@@ -498,48 +743,12 @@ def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_kmeans_twolevel() -> str:
-    import math
-
-    # G must match the Spark side: G = ceil(sqrt(K)) with K derived from
-    # the corpus — recompute it in SQL from the same count
+    # the shared chain already carries gsize/coarse and the corpus's
+    # two-level assignment (``two``) — this diagnostic just reports the
+    # per-cell population + sampled agreement from it
     return (
         ORACLE_KMEANS_CTES
-        + f""",
-gsize AS (
-  SELECT CAST(ceil(sqrt(k)) AS BIGINT) AS g FROM kk
-),
-coarse AS (
-  SELECT grp_id AS gid,
-         list_transform(range(1, 65),
-           j -> round(list_sum(list_transform(grp, c -> c[j])) / len(grp), 6)) AS cc
-  FROM (
-    SELECT cluster // g AS grp_id, list(c ORDER BY cluster) AS grp
-    FROM cent2, gsize GROUP BY cluster // g
-  )
-),
-cdist AS (
-  SELECT e.vec_id, coarse.gid,
-         round(list_distance(e.embedding::DOUBLE[], coarse.cc), 6) AS d
-  FROM embeddings e, coarse
-),
-cwin AS (
-  SELECT vec_id, min(gid) AS gid FROM cdist c
-  WHERE d = (SELECT min(d) FROM cdist c2 WHERE c2.vec_id = c.vec_id)
-  GROUP BY vec_id
-),
-fdist AS (
-  SELECT w.vec_id, c2.cluster,
-         round(list_distance(e.embedding::DOUBLE[], c2.c), 6) AS d
-  FROM cwin w
-  JOIN embeddings e ON w.vec_id = e.vec_id
-  JOIN gsize ON true
-  JOIN cent2 c2 ON c2.cluster // gsize.g = w.gid
-),
-two AS (
-  SELECT vec_id, min(cluster) AS two FROM fdist f
-  WHERE d = (SELECT min(d) FROM fdist f2 WHERE f2.vec_id = f.vec_id)
-  GROUP BY vec_id
-)
+        + """
 SELECT two.two AS cluster, count(*) AS n_vecs,
        sum(CASE WHEN two.vec_id % 10 = 0 THEN 1 ELSE 0 END) AS n_eval,
        sum(CASE WHEN two.vec_id % 10 = 0 AND two.two = a2.cluster

@@ -36,7 +36,30 @@ def kv_alias_table(node_meta: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def write_kv(merged: DataFrame, node_meta: DataFrame, out_dir: str, buckets: int = 64) -> None:
+def kv_edge_table(edges: DataFrame) -> DataFrame:
+    """(id, json) — one row per materialised edge, value = the full
+    edge JSON. The reference bulk-loads edges next to nodes into the
+    same store (nextflow/01_create_subgraph.nf:309-312 loads the edge
+    summary alongside; grebi_shared/src/lib.rs:26-49 keys both by their
+    id line), so the resolver can hydrate an edge id without touching
+    the graph DB."""
+    return edges.select(
+        F.col("edge_id").alias("id"),
+        F.to_json(
+            F.struct(
+                "edge_id", "edge_type", "subgraph", "from_id", "to_id", "datasources"
+            )
+        ).alias("json"),
+    )
+
+
+def write_kv(
+    merged: DataFrame,
+    node_meta: DataFrame,
+    out_dir: str,
+    buckets: int = 64,
+    edges: DataFrame | None = None,
+) -> None:
     """Persist sorted-by-key for pruning-friendly point reads."""
     kv_node_table(merged).repartitionByRange(buckets, "id").sortWithinPartitions(
         "id"
@@ -44,23 +67,43 @@ def write_kv(merged: DataFrame, node_meta: DataFrame, out_dir: str, buckets: int
     kv_alias_table(node_meta).repartitionByRange(buckets, "alias").sortWithinPartitions(
         "alias"
     ).write.mode("overwrite").parquet(f"{out_dir}/alias_kv")
+    if edges is not None:
+        kv_edge_table(edges).repartitionByRange(buckets, "id").sortWithinPartitions(
+            "id"
+        ).write.mode("overwrite").parquet(f"{out_dir}/edges_kv")
 
 
 def resolve(
     spark: SparkSession, ids: list[str], kv_dir: str
 ) -> DataFrame:
-    """multiGet with alias resolution: ids may be any source id."""
+    """multiGet with alias resolution: ids may be any source id, node
+    id, or (when the store was written with edges) an edge id — edge
+    hits come back with alias == node_id == the edge id, same shape."""
+    import os
+
     probe = spark.createDataFrame([(i,) for i in ids], ["alias"])
     alias_kv = spark.read.parquet(f"{kv_dir}/alias_kv")
     nodes_kv = spark.read.parquet(f"{kv_dir}/nodes_kv")
     resolved = alias_kv.join(F.broadcast(probe), "alias")
-    return resolved.join(nodes_kv, resolved.node_id == nodes_kv.id).select(
+    out = resolved.join(nodes_kv, resolved.node_id == nodes_kv.id).select(
         "alias", "node_id", "json"
     )
+    if os.path.exists(f"{kv_dir}/edges_kv"):
+        edges_kv = spark.read.parquet(f"{kv_dir}/edges_kv")
+        out = out.unionByName(
+            edges_kv.join(F.broadcast(probe), edges_kv.id == probe.alias).select(
+                "alias", F.col("id").alias("node_id"), "json"
+            )
+        )
+    return out
 
 
 def build_kv_store(
-    merged: DataFrame, node_meta: DataFrame, db_path: str, shards: int = 8
+    merged: DataFrame,
+    node_meta: DataFrame,
+    db_path: str,
+    shards: int = 8,
+    edges: DataFrame | None = None,
 ) -> int:
     """K6 final mile, EXECUTED: the reference bulk-loads the node KV
     into RocksDB and compacts it (07_create_db/rocksdb/grebi_make_rocks/
@@ -129,6 +172,16 @@ def build_kv_store(
         .repartitionByRange(shards, "alias")
         .sortWithinPartitions("alias"),
     )
+    tables = ["kv", "alias"]
+    if edges is not None:
+        _write_shard(
+            "edge",
+            "id TEXT, json TEXT",
+            kv_edge_table(edges)
+            .repartitionByRange(shards, "id")
+            .sortWithinPartitions("id"),
+        )
+        tables.append("edge")
 
     # compaction: merge shards in key order into the serving file
     if os.path.exists(db_path):
@@ -136,7 +189,8 @@ def build_kv_store(
     con = sqlite3.connect(db_path)
     con.execute("CREATE TABLE kv (id TEXT PRIMARY KEY, json TEXT)")
     con.execute("CREATE TABLE alias (alias TEXT, node_id TEXT)")
-    for table in ("kv", "alias"):
+    con.execute("CREATE TABLE edge (id TEXT PRIMARY KEY, json TEXT)")
+    for table in tables:
         for f in sorted(glob.glob(f"{stage}/shard-{table}-*.sqlite")):
             con.execute("ATTACH DATABASE ? AS s", (f,))
             con.execute(f"INSERT INTO {table} SELECT * FROM s.{table}")
@@ -161,6 +215,10 @@ def kv_store_get(db_path: str, ids: list[str]) -> dict[str, str]:
     out: dict[str, str] = {}
     for i in ids:
         row = con.execute("SELECT json FROM kv WHERE id = ?", (i,)).fetchone()
+        if row is None:
+            row = con.execute(
+                "SELECT json FROM edge WHERE id = ?", (i,)
+            ).fetchone()
         if row is None:
             hit = con.execute(
                 "SELECT node_id FROM alias WHERE alias = ? LIMIT 1", (i,)

@@ -124,8 +124,22 @@ class GrebiApiServer:
     """Serve one or more built graphs. ``port=0`` binds an ephemeral
     port (exposed as ``.port`` after ``start()``)."""
 
-    def __init__(self, graphs: dict[str, BuiltGraph], host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        graphs: dict[str, BuiltGraph],
+        host: str = "127.0.0.1",
+        port: int = 0,
+        kv_stores: dict[str, str] | None = None,
+    ):
+        """``kv_stores`` maps subgraph name → a sqlite store built by
+        ``sinks.kv.build_kv_store``. When present for a subgraph, the
+        resolve route serves from PURE point reads against that store
+        (the reference's resolver-service shape: RocksDB multiGet, no
+        query engine on the hot path) and edge pages hydrate each
+        edge's stored JSON from it — the production serving wiring the
+        module docstring promises, exercised behind this flag."""
         self.graphs = graphs
+        self.kv_stores = kv_stores or {}
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -187,6 +201,14 @@ class GrebiApiServer:
             if tail == ["suggest"]:
                 return 200, [r["name"] for r in _rows(suggest(g, g1("q", "")))]
             if len(tail) == 2 and tail[0] == "resolve":
+                kv = self.kv_stores.get(rest[1])
+                if kv:
+                    from ..sinks.kv import kv_store_get
+
+                    got = kv_store_get(kv, [tail[1]])
+                    return 200, [
+                        json.loads(v) for v in got.values()
+                    ]
                 return 200, _rows(resolve_alias(g, tail[1]))
             if len(tail) >= 2 and tail[0] == "nodes":
                 node_id = tail[1]
@@ -199,14 +221,32 @@ class GrebiApiServer:
                         incoming_edges(g, node_id, page=page, size=size,
                                        edge_type=g1("type"))
                     )
+                    self._hydrate_edges(rest[1], rows)
                     return 200, _page_envelope(rows, page, size)
                 if tail[2] == "outgoing_edges":
                     rows = _rows(
                         outgoing_edges(g, node_id, page=page, size=size,
                                        edge_type=g1("type"))
                     )
+                    self._hydrate_edges(rest[1], rows)
                     return 200, _page_envelope(rows, page, size)
         return 404, {"error": "not found"}
+
+    def _hydrate_edges(self, subgraph: str, rows: list[dict]) -> None:
+        """Edge-page hydration from the built KV: each page row gains
+        the edge's stored JSON document (``edge`` key), a multiGet of
+        page-size ids — the reference hydrates edge pages from its KV
+        build the same way (nextflow/01_create_subgraph.nf:309-312)."""
+        kv = self.kv_stores.get(subgraph)
+        if not kv or not rows:
+            return
+        from ..sinks.kv import kv_store_get
+
+        got = kv_store_get(kv, [r["edge_id"] for r in rows])
+        for r in rows:
+            doc = got.get(r["edge_id"])
+            if doc is not None:
+                r["edge"] = json.loads(doc)
 
     # --- server lifecycle --------------------------------------------
 

@@ -611,6 +611,70 @@ ORDER BY node_id
 """
 
 
+# one EXECUTED sqlite KV store (nodes + aliases + edges) per
+# (application, sf_dir) — the serving artifact is built once, exactly
+# like the graph it serves
+_KV_STORE_CACHE: dict[str, str] = {}
+
+
+def _kv_store(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from ..sinks.kv import build_kv_store
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _KV_STORE_CACHE:
+        g = _built_graph(spark, sf_dir)
+        db = os.path.join(tempfile.mkdtemp(prefix="grebi_kv_"), "store.sqlite")
+        build_kv_store(g.merged, g.nodes, db, shards=4, edges=g.edges)
+        _KV_STORE_CACHE[key] = db
+    return _KV_STORE_CACHE[key]
+
+
+def kv_edge_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6's EDGE half on the driver's board: every nation→region edge
+    of the built star graph, resolved BY EDGE ID through the executed
+    sqlite KV store (distributed shard load → compaction → pure point-
+    read multiGet, sinks/kv.py) and returned from the STORED JSON —
+    if the store dropped, miskeyed, or corrupted any edge document the
+    row set or values diverge from the oracle's relational restatement.
+    The reference bulk-loads edges next to nodes into its RocksDB
+    (nextflow/01_create_subgraph.nf:309-312) and hydrates edge ids from
+    it; this is that read path, executed."""
+    import json as _json
+
+    from ..sinks.kv import kv_store_get
+
+    g = _built_graph(spark, sf_dir)
+    db = _kv_store(spark, sf_dir)
+    ids = [
+        r["edge_id"]
+        for r in g.edges.filter(F.col("edge_type") == "geo:region")
+        .select("edge_id")
+        .collect()
+    ]
+    got = kv_store_get(db, sorted(ids))
+    docs = [_json.loads(v) for v in got.values()]
+    rows = [
+        (d["edge_type"], d["from_id"], d["to_id"], ",".join(d["datasources"]))
+        for d in docs
+    ]
+    return spark.createDataFrame(
+        rows, "edge_type string, from_id string, to_id string, datasources string"
+    ).orderBy("from_id")
+
+
+ORACLE_KV_EDGE_RESOLUTION = """
+SELECT 'geo:region' AS edge_type,
+       'n:' || n_nationkey::varchar AS from_id,
+       'r:' || n_regionkey::varchar AS to_id,
+       'geo' AS datasources
+FROM nation
+ORDER BY from_id
+"""
+
+
 def edge_page_outgoing_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q8's OUTGOING half on the driver's board (GrebiApi.java:129-176
     — the /nodes/{id}/outgoing_edges endpoint the HTTP facade serves):
@@ -661,6 +725,7 @@ LIMIT 5
 
 
 QUERIES = {
+    "kv_edge_resolution": kv_edge_resolution,
     "edge_page_outgoing_graph": edge_page_outgoing_graph,
     "graph_suggest": graph_suggest,
     "cypher_star_query": cypher_star_query,
@@ -677,6 +742,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kv_edge_resolution": ORACLE_KV_EDGE_RESOLUTION,
     "edge_page_outgoing_graph": ORACLE_EDGE_PAGE_OUTGOING,
     "graph_suggest": ORACLE_GRAPH_SUGGEST,
     "cypher_star_query": ORACLE_CYPHER_STAR,

@@ -91,7 +91,7 @@ def resolve(
     if os.path.exists(f"{kv_dir}/edges_kv"):
         edges_kv = spark.read.parquet(f"{kv_dir}/edges_kv")
         out = out.unionByName(
-            edges_kv.join(F.broadcast(probe), edges_kv.id == probe.alias).select(
+            edges_kv.join(F.broadcast(probe), edges_kv["id"] == probe["alias"]).select(
                 "alias", F.col("id").alias("node_id"), "json"
             )
         )

@@ -85,3 +85,42 @@ def test_unknown_routes(server):
     assert st == 404
     st, _ = _get(server, "/api/v1/subgraphs/absent/search?q=x")
     assert st == 404
+
+
+@pytest.fixture(scope="module")
+def kv_server(graph, tmp_path_factory):  # noqa: F811
+    """The same facade pointed at an EXECUTED sqlite KV store: resolve
+    serves pure point reads (no Spark on the hot path) and edge pages
+    hydrate each edge's stored JSON — the production serving wiring."""
+    from grebi_spark.sinks.kv import build_kv_store
+
+    db = str(tmp_path_factory.mktemp("kv") / "store.sqlite")
+    build_kv_store(graph.merged, graph.nodes, db, shards=2, edges=graph.edges)
+    srv = GrebiApiServer({"main": graph}, kv_stores={"main": db}).start()
+    yield srv
+    srv.stop()
+
+
+def test_kv_backed_resolve(kv_server):
+    # node id straight from the store
+    st, rows = _get(kv_server, "/api/v1/subgraphs/main/resolve/mondo:0005044")
+    assert st == 200 and len(rows) == 1
+    assert rows[0]["node_id"] == "mondo:0005044" and rows[0]["properties"]
+    # alias resolves through the alias table to the merged node
+    st, rows = _get(kv_server, "/api/v1/subgraphs/main/resolve/mp:0002169")
+    assert st == 200 and len(rows) == 1 and rows[0]["node_id"]
+    # miss -> empty, not an error
+    st, rows = _get(kv_server, "/api/v1/subgraphs/main/resolve/nope:404")
+    assert st == 200 and rows == []
+
+
+def test_kv_backed_edge_page_hydration(kv_server):
+    st, body = _get(
+        kv_server, "/api/v1/subgraphs/main/nodes/mondo:0005044/incoming_edges?size=5"
+    )
+    assert st == 200 and body["numElements"] >= 1
+    for e in body["elements"]:
+        # every page row carries its KV-stored edge document, keyed back
+        assert e["edge"]["edge_id"] == e["edge_id"]
+        assert e["edge"]["edge_type"] == e["edge_type"]
+        assert e["edge"]["to_id"] == e["to_id"]

@@ -250,19 +250,41 @@ def test_kv_store_build_and_serve(spark, merged, meta, tmp_path):
 
     from grebi_spark.sinks.kv import build_kv_store, kv_store_get, resolve, write_kv
 
+    from grebi_spark.operators.materialise import materialise_edges
+
+    edges = materialise_edges(merged, meta)
+    edge_ids = [r["edge_id"] for r in edges.collect()]
+    assert edge_ids  # rel:disease g:1 -> d:2 materialises
+
     db = str(tmp_path / "kv" / "store.sqlite")
-    n = build_kv_store(merged, meta, db, shards=2)
+    n = build_kv_store(merged, meta, db, shards=2, edges=edges)
     assert n == 2  # g:1 and d:2
 
     got = kv_store_get(db, ["g:1", "x:9", "nope:0"])
     assert set(got) == {"g:1", "x:9"}  # x:9 resolves via alias
     assert _json.loads(got["x:9"])["node_id"] == "g:1"
 
+    # edge-id multiGet: the stored document is the full edge JSON
+    egot = kv_store_get(db, edge_ids)
+    assert set(egot) == set(edge_ids)
+    edoc = _json.loads(egot[edge_ids[0]])
+    assert (edoc["from_id"], edoc["edge_type"], edoc["to_id"]) == (
+        "g:1",
+        "rel:disease",
+        "d:2",
+    )
+
     # parity with the Spark-side resolver join over the parquet KV
     out = str(tmp_path / "kvp")
-    write_kv(merged, meta, out)
+    write_kv(merged, meta, out, edges=edges)
     spark_rows = {
         r["alias"]: r["json"]
         for r in resolve(spark, ["g:1", "x:9"], out).collect()
     }
     assert spark_rows == got
+    # Spark-side edge resolution mirrors the sqlite point read
+    e_rows = {
+        r["alias"]: r["json"]
+        for r in resolve(spark, edge_ids, out).collect()
+    }
+    assert e_rows == egot

@@ -183,6 +183,19 @@ class GrebiApiServer:
                 return 200, {r["entity"]: r["n"] for r in _rows(graph_stats(g))}
             if tail == ["search"]:
                 page, size = int(g1("page", "0")), int(g1("size", "10"))
+                # every non-reserved query param is a WHOLE_FIELD filter
+                # (GrebiApi.java:199-211); a leading "-" negates it, and
+                # includeObsoleteEntries drops the default obsolete
+                # exclusion (GrebiApi.java:198's -ols:isObsolete)
+                reserved = {
+                    "q", "page", "size", "exactMatch",
+                    "includeObsoleteEntries", "lang", "facet", "type",
+                }
+                filters = tuple(
+                    (k.lstrip("-"), tuple(vs), k.startswith("-"))
+                    for k, vs in query.items()
+                    if k not in reserved
+                )
                 page_df, facets = search_nodes(
                     g,
                     g1("q", ""),
@@ -190,6 +203,9 @@ class GrebiApiServer:
                     size=size,
                     type_filter=g1("type"),
                     facet_fields=tuple(query.get("facet", [])),
+                    filters=filters,
+                    exclude_obsolete=g1("includeObsoleteEntries", "false")
+                    != "true",
                 )
                 body = _page_envelope(_rows(page_df), page, size)
                 if facets:

@@ -220,6 +220,28 @@ def ic_scores(graph: BuiltGraph, hierarchy_edge: str = "biolink:broad_match") ->
     )
 
 
+def _filter_nodes(
+    nodes: DataFrame, merged: DataFrame, prop: str, values: tuple[str, ...],
+    negate: bool,
+) -> DataFrame:
+    """One WHOLE_FIELD filter (GrebiSolrQuery.java:109-140): keep nodes
+    where ``prop`` has ANY of ``values`` (OR within a filter), or drop
+    them when negated (the Solr ``-field:(...)`` form). Header arrays
+    filter in place; arbitrary props filter through a semi/anti join on
+    the merged long table — the scale shape, since a node's property
+    set never has to be assembled row-wide to be filtered."""
+    vals = list(values)
+    if prop in ("types", "datasources"):
+        cond = F.arrays_overlap(F.col(prop), F.array(*[F.lit(v) for v in vals]))
+        return nodes.filter(~cond if negate else cond)
+    hit = (
+        merged.filter((F.col("prop_key") == prop) & F.col("value").isin(vals))
+        .select("node_id")
+        .distinct()
+    )
+    return nodes.join(hit, "node_id", "left_anti" if negate else "left_semi")
+
+
 def search_nodes(
     graph: BuiltGraph,
     q: str,
@@ -227,11 +249,26 @@ def search_nodes(
     size: int = 10,
     type_filter: str | None = None,
     facet_fields: tuple[str, ...] = (),
+    filters: tuple[tuple[str, tuple[str, ...], bool], ...] = (),
+    exclude_obsolete: bool = True,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """Q6 — weighted node search with facets and pagination over the
     built graph (GrebiApi.java:185-227 semantics: id beats name beats
-    synonym beats any-field; obsolete/type filters; facet counts computed
-    under the same filter)."""
+    synonym beats any-field; obsolete/type filters; facet counts
+    computed under the same filter).
+
+    Filter semantics match GrebiSolrQuery.constructQuery():
+
+    * ``filters`` = (prop, values, negate): OR within a filter, AND
+      across filters, ``negate=True`` is the Solr ``-field`` form
+      (GrebiSolrQuery.java:118-121);
+    * ``exclude_obsolete`` is the always-on
+      ``-ols:isObsolete:("true")`` filter (GrebiApi.java:198), dropped
+      when the caller passes ``includeObsoleteEntries``;
+    * MULTI-SELECT faceting: filters on faceted fields are tagged and
+      facet counts exclude them (the ``{!tag=grebifacet}`` /
+      ``{!ex=grebifacet}`` pair, GrebiSolrQuery.java:112-114,141-146)
+      — a facet keeps showing the counts a user could still select."""
     ql = q.lower()
     nodes = graph.nodes
     if type_filter:
@@ -241,14 +278,29 @@ def search_nodes(
         F.exists("names", lambda n: F.lower(n).contains(ql)), 900
     ).otherwise(0)
     scored = nodes.withColumn("score", id_hit + name_hit).filter(F.col("score") > 0)
+
+    all_filters = list(filters)
+    if exclude_obsolete:
+        all_filters.append(("ols:isObsolete", ("true",), True))
+    # untagged filters apply everywhere; tagged (faceted-prop) filters
+    # apply to the page but are EXCLUDED from every facet count
+    base = scored
+    for prop, values, negate in all_filters:
+        if prop not in facet_fields:
+            base = _filter_nodes(base, graph.merged, prop, values, negate)
+    paged = base
+    for prop, values, negate in all_filters:
+        if prop in facet_fields:
+            paged = _filter_nodes(paged, graph.merged, prop, values, negate)
+
     page_df = (
-        scored.orderBy(F.desc("score"), "node_id")
+        paged.orderBy(F.desc("score"), "node_id")
         .offset(page * size)
         .limit(size)
         .select("node_id", "types", "names", "score")
     )
     facets = {
-        f: scored.select(F.explode(f).alias("value")).groupBy("value").count()
+        f: base.select(F.explode(f).alias("value")).groupBy("value").count()
         for f in facet_fields
         if f in ("types", "datasources")
     }

@@ -705,6 +705,43 @@ LIMIT 10
 """
 
 
+def graph_search_negative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6's NEGATIVE-FILTER semantics on the board (GrebiSolrQuery.java:
+    118-121's ``-field:(...)`` filter + GrebiApi.java:198's always-on
+    obsolete exclusion): search the built star graph for id-substring
+    'c:11', excluding two market segments (OR within the negated
+    filter), page 0 of 10 by (score desc, node_id). The oracle restates
+    the same predicate relationally — the hash proves the filter pushes
+    through the merged long table (anti-join), not a row-wide pivot."""
+    from ..plans.graph_queries import search_nodes
+
+    g = _built_graph(spark, sf_dir)
+    page_df, _ = search_nodes(
+        g,
+        "c:11",
+        page=0,
+        size=10,
+        filters=(("crm:segment", ("BUILDING", "MACHINERY"), True),),
+    )
+    return page_df.select(
+        "node_id",
+        F.array_join("names", ",").alias("name"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+ORACLE_SEARCH_NEGATIVE = """
+SELECT 'c:' || c_custkey::varchar AS node_id,
+       c_name AS name,
+       1000 AS score
+FROM customer
+WHERE contains('c:' || c_custkey::varchar, 'c:11')
+  AND c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+ORDER BY node_id
+LIMIT 10
+"""
+
+
 def graph_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 over the BUILT graph (the /suggest endpoint,
     GrebiApi.java:228): case-insensitive name-prefix autocomplete,
@@ -727,6 +764,7 @@ LIMIT 5
 QUERIES = {
     "kv_edge_resolution": kv_edge_resolution,
     "edge_page_outgoing_graph": edge_page_outgoing_graph,
+    "graph_search_negative": graph_search_negative,
     "graph_suggest": graph_suggest,
     "cypher_star_query": cypher_star_query,
     "cypher_filter_query": cypher_filter_query,
@@ -744,6 +782,7 @@ QUERIES = {
 ORACLES = {
     "kv_edge_resolution": ORACLE_KV_EDGE_RESOLUTION,
     "edge_page_outgoing_graph": ORACLE_EDGE_PAGE_OUTGOING,
+    "graph_search_negative": ORACLE_SEARCH_NEGATIVE,
     "graph_suggest": ORACLE_GRAPH_SUGGEST,
     "cypher_star_query": ORACLE_CYPHER_STAR,
     "cypher_filter_query": ORACLE_CYPHER_FILTER,

@@ -88,6 +88,83 @@ def test_unknown_routes(server):
 
 
 @pytest.fixture(scope="module")
+def search_server(spark):
+    """A purpose-built graph for the reference's search-filter
+    semantics: one obsolete term (ols:isObsolete=true), two datasources,
+    mixed types — enough to exercise -field negation, the obsolete
+    default, and multi-select facet counts."""
+    import json as _json
+
+    from grebi_spark.config import SubgraphConfig
+    from grebi_spark.pipeline import build_graph
+    from grebi_spark.sources.jsonl import jsonl_to_nodes
+
+    rows = [
+        {"id": "t:1", "grebi:type": "ols:Class", "grebi:name": ["alpha term"]},
+        {"id": "t:2", "grebi:type": "ols:Class", "grebi:name": ["alpha synonym"],
+         "ols:isObsolete": "true"},
+        {"id": "t:3", "grebi:type": "hgnc:Gene", "grebi:name": ["alpha gene"]},
+    ]
+    df = spark.createDataFrame([(_json.dumps(r),) for r in rows], ["value"])
+    ga = jsonl_to_nodes(df, "dsA")
+    rows_b = [
+        {"id": "t:4", "grebi:type": "hgnc:Gene", "grebi:name": ["alpha beta"]},
+    ]
+    gb = jsonl_to_nodes(
+        spark.createDataFrame([(_json.dumps(r),) for r in rows_b], ["value"]), "dsB"
+    )
+    g = build_graph([ga, gb], SubgraphConfig(exclude_edges=("id",)))
+    srv = GrebiApiServer({"main": g}).start()
+    yield srv
+    srv.stop()
+
+
+def test_search_excludes_obsolete_by_default(search_server):
+    st, body = _get(search_server, "/api/v1/subgraphs/main/search?q=alpha")
+    assert st == 200
+    ids = {e["node_id"] for e in body["elements"]}
+    assert "t:2" not in ids and {"t:1", "t:3", "t:4"} <= ids
+    # includeObsoleteEntries=true drops the default -ols:isObsolete
+    st, body = _get(
+        search_server,
+        "/api/v1/subgraphs/main/search?q=alpha&includeObsoleteEntries=true",
+    )
+    assert "t:2" in {e["node_id"] for e in body["elements"]}
+
+
+def test_search_negative_filter_param(search_server):
+    # -datasources=dsB : the Solr -field:(...) negation via query param
+    st, body = _get(
+        search_server, "/api/v1/subgraphs/main/search?q=alpha&-datasources=dsB"
+    )
+    assert st == 200
+    ids = {e["node_id"] for e in body["elements"]}
+    assert "t:4" not in ids and {"t:1", "t:3"} <= ids
+
+
+def test_search_multiselect_facet_excludes_own_filter(search_server):
+    # filter types=hgnc:Gene while faceting on types: the page narrows
+    # to genes but the types facet keeps the counts the user could
+    # still select ({!tag}/{!ex} multi-select semantics)
+    st, body = _get(
+        search_server,
+        "/api/v1/subgraphs/main/search?q=alpha&facet=types&types=hgnc:Gene",
+    )
+    assert st == 200
+    ids = {e["node_id"] for e in body["elements"]}
+    assert ids == {"t:3", "t:4"}
+    fc = body["facetFieldsToCounts"]["types"]
+    assert fc["hgnc:Gene"] == 2 and fc["ols:Class"] == 1  # t:2 obsolete-excluded
+    # an UNfaceted filter narrows the facet counts too (no tag to exclude)
+    st, body = _get(
+        search_server,
+        "/api/v1/subgraphs/main/search?q=alpha&facet=types&datasources=dsA",
+    )
+    fc = body["facetFieldsToCounts"]["types"]
+    assert fc == {"hgnc:Gene": 1, "ols:Class": 1}
+
+
+@pytest.fixture(scope="module")
 def kv_server(graph, tmp_path_factory):  # noqa: F811
     """The same facade pointed at an EXECUTED sqlite KV store: resolve
     serves pure point reads (no Spark on the hot path) and edge pages
@@ -123,4 +200,5 @@ def test_kv_backed_edge_page_hydration(kv_server):
         # every page row carries its KV-stored edge document, keyed back
         assert e["edge"]["edge_id"] == e["edge_id"]
         assert e["edge"]["edge_type"] == e["edge_type"]
-        assert e["edge"]["to_id"] == e["to_id"]
+        assert e["edge"]["from_id"] == e["from_id"]
+        assert e["edge"]["to_id"] == "mondo:0005044"

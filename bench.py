@@ -82,6 +82,16 @@ def main() -> None:
 
     import statistics
 
+    # Machine-load context for the record: a noise-inflated run (hypervisor
+    # steal, concurrent suite) is identifiable from the record itself
+    # instead of needing a re-run to diagnose. loadavg is sampled at END of
+    # the run so the 1-min figure reflects the bench itself.
+    try:
+        load1, load5, load15 = os.getloadavg()
+        load = {"1m": round(load1, 2), "5m": round(load5, 2), "15m": round(load15, 2)}
+    except OSError:  # pragma: no cover - not available on some platforms
+        load = None
+
     # The per-query dict comes FIRST so that a tail-truncated capture of
     # this (single, ~5 KB) line still contains the scalar headline metrics:
     # round 3's driver captured only the tail of the line and could not
@@ -99,6 +109,7 @@ def main() -> None:
         "n_queries": len(times),
         "median_sec": round(statistics.median(times.values()), 3) if times else 0.0,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "load": load,
     }
     if errors:
         result["errors"] = errors

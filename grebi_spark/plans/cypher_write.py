@@ -68,15 +68,26 @@ _PROP_REF_RE = re.compile(r"\b(\w+)\.(`[^`]+`|[A-Za-z_][\w:]*)")
 def _subst_params(text: str, params: dict | None) -> str:
     if not params:
         return text
-    return re.sub(
-        r"\$(\w+)",
-        lambda m: (
-            f'"{params[m.group(1)]}"'
-            if isinstance(params[m.group(1)], str)
-            else repr(params[m.group(1)])
-        ),
-        text,
-    )
+
+    def _render(m: re.Match) -> str:
+        v = params[m.group(1)]
+        if isinstance(v, str):
+            # the Cypher subset's string-literal grammar has no escape
+            # sequences ("[^"]*"), so a value containing a quote or
+            # backslash cannot be rendered faithfully — rendering it
+            # anyway would break parsing or ALTER the statement
+            # (parameter injection into the mutation text). Refuse
+            # loudly instead of mutating the wrong thing silently.
+            if '"' in v or "\\" in v:
+                raise ValueError(
+                    f"string parameter ${m.group(1)} contains a quote or "
+                    "backslash, which the Cypher-subset literal grammar "
+                    "cannot represent; pre-sanitize the value"
+                )
+            return f'"{v}"'
+        return repr(v)
+
+    return re.sub(r"\$(\w+)", _render, text)
 
 
 def _strip_ticks(p: str) -> str:
@@ -186,8 +197,23 @@ def run_cypher_mutation(
     no_strings = re.sub(r'"[^"]*"|\'[^\']*\'', '""', text)
     is_set = _SET_RE.search(re.sub(r'"[^"]*"|\'[^\']*\'', '""', stripped))
     # detect DELETE on the ORIGINAL text: the notebook's DELETEs live
-    # inside the CALL-IN-TRANSACTIONS wrappers the strip just removed
+    # inside the CALL-IN-TRANSACTIONS wrappers the strip just removed.
+    # If the ONLY delete was inside the wrapper (the notebook runs
+    # `CALL { WITH r DELETE r } IN TRANSACTIONS` as its own statement,
+    # cell by cell), re-append the wrapper's target so _plan_delete sees
+    # which VARIABLE dies — an edge var must not become a node delete.
     if is_set is None and re.search(r"\bDELETE\b", no_strings, re.I):
+        if not re.search(r"\bDELETE\b", stripped, re.I):
+            targets = [m.group(1) for m in _CALL_TX_RE.finditer(text)]
+            # a node target wins: DETACH DELETE node subsumes any edge
+            # wrapper in the same statement (the ic_scores prune runs
+            # `DELETE r` then `DELETE n` — net effect is the node kill)
+            node_targets = [
+                t
+                for t in targets
+                if not re.search(r"\[\s*" + re.escape(t) + r"[\s:\]]", text)
+            ]
+            stripped = f"{stripped} DELETE {(node_targets or targets)[0]}"
         return _plan_delete(graph, stripped)
 
     # extract from the REAL text — the detection pass blanked string
@@ -232,17 +258,65 @@ def run_cypher_mutation(
 
 
 def _plan_delete(graph: BuiltGraph, text: str) -> MutationResult:
-    """``MATCH (n ...)[-[r]-()] WHERE cond ... DELETE`` → DETACH DELETE
-    of the matched node variable (the ic_scores pruning shape: the edge
-    deletions are subsumed — every edge touching a deleted node dies)."""
-    mm = re.match(r"\s*MATCH\s*\(\s*(\w+)", text)
-    if not mm:
-        raise ValueError(f"unsupported DELETE statement: {text!r}")
-    var = mm.group(1)
-    # read-plan the node selection: pattern + WHERE, minus the DELETE /
+    """``MATCH (n ...)[-[r]-()] WHERE cond ... DELETE <target>``.
+
+    The DELETE target variable decides the semantics (previously ANY
+    DELETE detach-deleted the first MATCH node, which silently killed
+    nodes when a notebook cell deleted only relationships):
+
+    - target is a NODE variable → DETACH DELETE of that variable (the
+      ic_scores pruning shape: edge deletions are subsumed — every edge
+      touching a deleted node dies);
+    - target is a RELATIONSHIP variable in a single-hop pattern between
+      two NAMED nodes → edge-only anti-join deletion (nodes survive);
+    - anything else → ValueError, never a silent node delete."""
+    # read-plan the selection: pattern + WHERE, minus the DELETE /
     # WITH DISTINCT tail
     head = re.split(
         r"\b(?:DETACH\s+)?DELETE\b|\bWITH\s+DISTINCT\b", text, flags=re.I
     )[0]
-    ids = run_cypher(graph, f"{head.strip()} RETURN DISTINCT {var} AS node_id")
+    dm = re.search(r"\b(?:DETACH\s+)?DELETE\s+(\w+)", text, flags=re.I)
+    nm = re.match(r"\s*MATCH\s*\(\s*(\w+)", text)
+    if not dm or not nm:
+        raise ValueError(f"unsupported DELETE statement: {text!r}")
+    target = dm.group(1)
+
+    # is the target declared as a relationship variable? (appears inside
+    # a -[target ...]- bracket rather than a (target ...) parenthesis)
+    rel = re.search(
+        r"\(\s*(\w*)[^)]*\)\s*(<)?-\s*\[\s*" + re.escape(target)
+        + r"\s*(?::\s*`?([^\]`]+?)`?\s*)?\]\s*-\s*(>)?\s*\(\s*(\w*)[^)]*\)",
+        text,
+    )
+    if rel:
+        a, left, etype, right, b = rel.groups()
+        if not a or not b:
+            raise ValueError(
+                "edge-only DELETE needs both endpoint nodes named "
+                f"(anonymous endpoint in {text!r})"
+            )
+        pairs = run_cypher(
+            graph, f"{head.strip()} RETURN DISTINCT {a} AS from_id, {b} AS to_id"
+        ).localCheckpoint()
+        directed = bool(left) != bool(right)
+        if not directed or left:  # undirected or right-to-left: reversed too
+            pairs = pairs.unionByName(
+                pairs.select(
+                    F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id")
+                )
+            ).distinct()
+        doomed = graph.edges.join(pairs, ["from_id", "to_id"], "semi")
+        if etype:
+            doomed = doomed.filter(F.col("edge_type") == etype.strip())
+        edges = graph.edges.join(
+            doomed.select("edge_id"), "edge_id", "left_anti"
+        ).localCheckpoint()
+        return MutationResult(graph=_rederive(graph, graph.merged, edges), result=None)
+
+    if not re.search(r"\(\s*" + re.escape(target) + r"\b", text):
+        raise ValueError(
+            f"DELETE target {target!r} is not a declared node or "
+            f"relationship variable in {text!r}"
+        )
+    ids = run_cypher(graph, f"{head.strip()} RETURN DISTINCT {target} AS node_id")
     return MutationResult(graph=_detach_delete(graph, ids), result=None)

@@ -100,7 +100,10 @@ class GrebiJsonlWriter(DataSourceArrowWriter):
     writes to ``part-NNNNN.jsonl.tmp-<attempt>`` — a task that dies
     mid-write leaves only a tmp file that no reader matches — and the
     driver-side ``commit`` renames exactly the shards named in the
-    WriterCommitMessages to their final ``part-NNNNN.jsonl`` names.
+    WriterCommitMessages to their final ``part-NNNNN.jsonl`` names
+    (append mode: ``part-NNNNN-<writeid>.jsonl``, so a second append
+    with overlapping partition ids adds shards instead of replacing the
+    first write's).
     ``mode("overwrite")`` deletes the target's pre-existing ``*.jsonl``
     at commit time, so a previous write with MORE partitions can't leave
     stale shards that later reads silently include. ``abort`` removes
@@ -114,6 +117,14 @@ class GrebiJsonlWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         if not self._path:
             raise ValueError("grebi_jsonl requires a path")
+        # append-mode shard names carry a per-write token: two append
+        # writes with overlapping partition ids must ADD shards, not
+        # silently os.replace() the earlier write's part-NNNNN.jsonl.
+        # Overwrite mode keeps the bare deterministic names (it deletes
+        # all prior *.jsonl at commit, so collisions cannot happen).
+        import uuid
+
+        self._wid = "" if overwrite else f"-{uuid.uuid4().hex[:8]}"
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -122,7 +133,8 @@ class GrebiJsonlWriter(DataSourceArrowWriter):
         pid = ctx.partitionId()
         os.makedirs(self._path, exist_ok=True)
         tmp = os.path.join(
-            self._path, f"part-{pid:05d}.jsonl.tmp-{ctx.taskAttemptId()}"
+            self._path,
+            f"part-{pid:05d}{self._wid}.jsonl.tmp-{ctx.taskAttemptId()}",
         )
         n = 0
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -200,15 +212,29 @@ class GrebiJsonlStreamReader:
     def initialOffset(self) -> dict:
         return {"files": []}
 
+    def _offset_files(self, offset: dict) -> set[str]:
+        """Offset → consumed-name set, accepting the LEGACY format too:
+        checkpoints written by the previous version stored
+        ``{"n_files": N}`` (a count into the sorted listing). Map that to
+        the first N sorted names of the current listing — exactly the
+        files the old reader had consumed, since it only ever appended in
+        sorted order — so an in-flight checkpoint resumes instead of
+        raising KeyError."""
+        if "files" in offset:
+            return set(offset["files"])
+        if "n_files" in offset:
+            return set(self._names()[: offset["n_files"]])
+        raise ValueError(f"unrecognized grebi_jsonl stream offset: {offset!r}")
+
     def read(self, start: dict):
-        seen = set(start["files"])
+        seen = self._offset_files(start)
         fresh = [n for n in self._names() if n not in seen]
         return iter(self._read_names(fresh)), {
             "files": sorted(seen | set(fresh))
         }
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        delta = sorted(set(end["files"]) - set(start["files"]))
+        delta = sorted(self._offset_files(end) - self._offset_files(start))
         return iter(self._read_names(delta))
 
     def commit(self, end: dict) -> None:

@@ -402,3 +402,57 @@ def test_ic_scores_delete_flow(graph):  # noqa: F811
     assert dangling == 0
     # surviving nodes keep their rows
     assert "mondo:0005044" in left
+
+
+def test_edge_only_delete_keeps_nodes(graph):  # noqa: F811
+    """An edge-variable DELETE run as its own statement (the notebook's
+    cell-by-cell shape) must remove ONLY the matched relationships —
+    previously it silently DETACH-deleted the matched nodes."""
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    stmt = """
+MATCH (mg:`impc:MouseGene`)-[r:`impc:humanGeneOrthologues`]->(hg:`hgnc:Gene`)
+CALL {
+WITH r
+DELETE r
+} IN TRANSACTIONS
+"""
+    before_edges = graph.edges.count()
+    killed = graph.edges.filter(
+        F.col("edge_type") == "impc:humanGeneOrthologues"
+    ).count()
+    assert killed > 0
+    out = run_cypher_mutation(graph, stmt)
+    g2 = out.graph
+    assert g2.edges.count() == before_edges - killed
+    assert (
+        g2.edges.filter(F.col("edge_type") == "impc:humanGeneOrthologues").count()
+        == 0
+    )
+    # every node survives: only relationships die in an edge delete
+    assert g2.nodes.count() == graph.nodes.count()
+    # other edge types between other endpoints are untouched
+    assert (
+        g2.edges.filter(F.col("edge_type") == "otar:targetId").count()
+        == graph.edges.filter(F.col("edge_type") == "otar:targetId").count()
+    )
+
+
+def test_delete_unknown_variable_raises(graph):  # noqa: F811
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    with pytest.raises(ValueError, match="not a declared"):
+        run_cypher_mutation(
+            graph, "MATCH (n:`ols:Class`) DETACH DELETE zzz"
+        )
+
+
+def test_string_param_injection_rejected(graph):  # noqa: F811
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    with pytest.raises(ValueError, match="quote or.*backslash|backslash"):
+        run_cypher_mutation(
+            graph,
+            "MATCH (n:`ols:Class`) SET n.note = $v",
+            params={"v": 'evil" RETURN 1 //'},
+        )

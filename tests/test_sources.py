@@ -497,3 +497,76 @@ def test_python_datasource_stream_offset_order_independent(spark, tmp_path):
     write_file("a-early.jsonl", [3])
     got = drain()
     assert got == {1, 2, 3}, got  # 3 ingested once, 1/2 not re-read
+
+
+def test_python_datasource_append_twice_accumulates(spark, tmp_path):
+    """Two append-mode writes with overlapping partition ids must ADD
+    shards, not replace the first write's part files (append shard names
+    carry a per-write token)."""
+    import os
+
+    from grebi_spark.sources import pysource
+
+    pysource.register(spark)
+    out = str(tmp_path / "pyds_append")
+
+    def corpus(lo, hi):
+        return spark.range(lo, hi, 1, 2).select(
+            F.col("id").alias("doc_id"),
+            F.lit("t").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("s").alias("source"),
+            F.lit(1).cast("long").alias("n_chars"),
+        )
+
+    corpus(0, 10).write.mode("append").format("grebi_jsonl").option("path", out).save()
+    corpus(10, 20).write.mode("append").format("grebi_jsonl").option("path", out).save()
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(shards) == 4  # 2 partitions x 2 writes, no clobber
+    back = (
+        spark.read.format("grebi_jsonl")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .option("path", out)
+        .load()
+    )
+    assert back.count() == 20
+    assert back.select("doc_id").distinct().count() == 20
+
+
+def test_stream_reader_legacy_offset_migration(tmp_path):
+    """A checkpoint written by the previous offset format {"n_files": N}
+    resumes cleanly: the count maps to the first N sorted names."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from grebi_spark.sources.pysource import GrebiJsonlStreamReader
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    for i in range(3):
+        (d / f"{i:03d}.jsonl").write_text('{"doc_id": %d}\n' % i)
+    rdr = GrebiJsonlStreamReader(
+        StructType([StructField("doc_id", LongType())]), {"path": str(d)}
+    )
+    rows, end = rdr.read({"n_files": 2})  # legacy: first 2 consumed
+    assert [r[0] for r in rows] == [2]
+    assert end == {"files": ["000.jsonl", "001.jsonl", "002.jsonl"]}
+    # between-offsets replay across formats
+    replay = list(rdr.readBetweenOffsets({"n_files": 1}, end))
+    assert [r[0] for r in replay] == [1, 2]
+
+
+def test_half_up_negative_matches_oracle():
+    """half_up/half_up_np round half AWAY FROM ZERO for negatives,
+    matching F.round / DuckDB round (ties like -0.1234565 must not
+    round toward +inf)."""
+    import numpy as np
+
+    from grebi_spark.functions.num import half_up, half_up_np
+
+    assert half_up(0.1234565) == 0.123457  # was already half-up for x>=0
+    assert half_up(-2.5, 0) == -3.0
+    assert half_up(-0.0000005) == -0.000001
+    arr = half_up_np(np.array([2.5, -2.5, 1.15, -1.15]), 0)
+    assert list(arr) == [3.0, -3.0, 1.0, -1.0]
+    arr6 = half_up_np(np.array([-0.0000005, 0.0000005]))
+    assert list(arr6) == [-0.000001, 0.000001]

@@ -611,6 +611,165 @@ ORDER BY node_id
 """
 
 
+def _bio_graph_long(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
+    """Melt region/nation/customer into the BIOMEDICAL long form the
+    reference's remaining two queries/*.cypher expect — so their
+    VERBATIM texts run on the driver's board against sf data:
+
+    - disease per region (``biolink:Disease``, id ``mondo:000504<r>`` —
+      region 4 yields the queries' literal anchor ``mondo:0005044``)
+    - gene per nation (``hgnc:Gene``, ``hgnc:symbol GENE_<n>``)
+    - SNP per nation (``gwas:SNP``) with ``gwas:associated_with`` →
+      its region's disease and ``gwas:mapped_gene`` → its gene
+    - evidence per customer (``otar:Evidence``) with ``otar:snp`` →
+      its nation's SNP, a fixed-width unique ``otar:score``
+      (``0.<custkey zero-padded>`` — lexicographic == numeric, so the
+      translator's raw-value ORDER BY and the oracle's float sort pick
+      the same top-10), and ``otar:variantEffect`` absent for every 7th
+      customer (exercising the IS NOT NULL leg)."""
+    t = load_tables(spark, sf_dir, ("customer", "nation", "region"))
+
+    def row(ds, eid, key, val):
+        return (
+            F.lit("bio").alias("subgraph"),
+            F.lit(ds).alias("datasource"),
+            eid.alias("entity_id"),
+            F.lit(key).alias("prop_key"),
+            val.alias("value"),
+            F.lit(None).cast("string").alias("value_props"),
+        )
+
+    r = t["region"]
+    did = F.concat(F.lit("mondo:000504"), F.col("r_regionkey").cast("string"))
+    diseases = (
+        r.select(*row("mondo", did, "id", did))
+        .unionAll(r.select(*row("mondo", did, "grebi:type", F.lit("biolink:Disease"))))
+        .unionAll(
+            r.select(*row("mondo", did, "grebi:name", F.concat(F.lit("DISEASE_"), F.col("r_name"))))
+        )
+    )
+    n = t["nation"]
+    gid = F.concat(F.lit("hgnc:"), F.col("n_nationkey").cast("string"))
+    genes = (
+        n.select(*row("hgnc", gid, "id", gid))
+        .unionAll(n.select(*row("hgnc", gid, "grebi:type", F.lit("hgnc:Gene"))))
+        .unionAll(
+            n.select(
+                *row("hgnc", gid, "hgnc:symbol", F.concat(F.lit("GENE_"), F.col("n_nationkey").cast("string")))
+            )
+        )
+    )
+    sid = F.concat(F.lit("snp:"), F.col("n_nationkey").cast("string"))
+    snp_did = F.concat(F.lit("mondo:000504"), F.col("n_regionkey").cast("string"))
+    snps = (
+        n.select(*row("gwas", sid, "id", sid))
+        .unionAll(n.select(*row("gwas", sid, "grebi:type", F.lit("gwas:SNP"))))
+        .unionAll(n.select(*row("gwas", sid, "gwas:associated_with", snp_did)))
+        .unionAll(n.select(*row("gwas", sid, "gwas:mapped_gene", gid)))
+    )
+    c = t["customer"]
+    eid = F.concat(F.lit("otar:"), F.col("c_custkey").cast("string"))
+    esnp = F.concat(F.lit("snp:"), F.col("c_nationkey").cast("string"))
+    score = F.concat(F.lit("0."), F.lpad(F.col("c_custkey").cast("string"), 6, "0"))
+    evidence = (
+        c.select(*row("otar", eid, "id", eid))
+        .unionAll(c.select(*row("otar", eid, "grebi:type", F.lit("otar:Evidence"))))
+        .unionAll(c.select(*row("otar", eid, "otar:snp", esnp)))
+        .unionAll(c.select(*row("otar", eid, "otar:score", score)))
+        .unionAll(
+            c.filter(F.col("c_custkey") % 7 != 0).select(
+                *row("otar", eid, "otar:variantEffect", F.col("c_mktsegment"))
+            )
+        )
+    )
+    return [diseases, genes, snps, evidence]
+
+
+_BIO_CACHE: dict[str, object] = {}
+
+
+def _bio_graph(spark: SparkSession, sf_dir: str):
+    from ..pipeline import build_graph
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _BIO_CACHE:
+        _BIO_CACHE[key] = build_graph(
+            _bio_graph_long(spark, sf_dir), PARITY_CONFIG
+        )
+    return _BIO_CACHE[key]
+
+
+# queries/genes_to_diseases_ranked_by_otar_score.cypher:1-10, verbatim
+CYPHER_OTAR_RANKED = """
+MATCH (d:`biolink:Disease`)-[:id]->(id:Id {id: "mondo:0005044"})
+WITH d
+MATCH (d)<-[r1:`gwas:associated_with`]-(s:`gwas:SNP`)-[]->(g:`hgnc:Gene`)
+WITH d,s,r1,g
+MATCH (s)-[r2]-(o:`otar:Evidence`)
+WHERE o.`otar:variantEffect` is not null
+WITH d,s, o,r1,r2,g
+ORDER BY o.`otar:score` DESC
+RETURN DISTINCT(g.`hgnc:symbol`[0]) as gene_symbol, d.`grebi:name`[0] as disease_name, o.`otar:variantEffect`[0] as variant_effect, toFloat(o.`otar:score`[0]) as otar_score
+LIMIT 10
+"""
+
+# queries/gwas_snps_to_human_diseases.cypher:1-7, verbatim
+CYPHER_SNP_PATHS = """
+MATCH (d:`biolink:Disease`)-[:id]->(id:Id {id: "mondo:0005044"})
+WITH d
+MATCH (s:`gwas:SNP`)-[]->(d)
+WITH s, d
+MATCH p = (d)<-[]-(s)-[]->(g:`hgnc:Gene`)
+RETURN p
+"""
+
+
+def cypher_otar_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's queries/genes_to_diseases_ranked_by_otar_score
+    .cypher run VERBATIM through the translator against the built bio
+    graph — Id-anchored match, three chained MATCH/WITH hops, an
+    undirected leg, IS-NOT-NULL filter, ORDER BY a raw multi-valued
+    prop, DISTINCT projection, LIMIT. Scores are unique fixed-width
+    decimals so the top-10 row SET is deterministic at every sf."""
+    from .cypher import run_cypher
+
+    g = _bio_graph(spark, sf_dir)
+    return run_cypher(g, CYPHER_OTAR_RANKED)
+
+
+ORACLE_CYPHER_OTAR_RANKED = """
+SELECT DISTINCT 'GENE_' || c_nationkey::varchar AS gene_symbol,
+       'DISEASE_' || r_name AS disease_name,
+       c_mktsegment AS variant_effect,
+       CAST('0.' || lpad(c_custkey::varchar, 6, '0') AS DOUBLE) AS otar_score
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_regionkey = 4 AND c_custkey % 7 <> 0
+ORDER BY otar_score DESC
+LIMIT 10
+"""
+
+
+def cypher_snp_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """queries/gwas_snps_to_human_diseases.cypher run VERBATIM: the
+    ``p = (...)`` path-assignment + ``RETURN p`` shape — the path
+    expands to the query's named node vars (d, s, g) as node ids."""
+    from .cypher import run_cypher
+
+    g = _bio_graph(spark, sf_dir)
+    return run_cypher(g, CYPHER_SNP_PATHS)
+
+
+ORACLE_CYPHER_SNP_PATHS = """
+SELECT 'mondo:0005044' AS d,
+       'snp:' || n_nationkey::varchar AS s,
+       'hgnc:' || n_nationkey::varchar AS g
+FROM nation WHERE n_regionkey = 4
+ORDER BY s
+"""
+
+
 # one EXECUTED sqlite KV store (nodes + aliases + edges) per
 # (application, sf_dir) — the serving artifact is built once, exactly
 # like the graph it serves
@@ -769,6 +928,8 @@ QUERIES = {
     "cypher_star_query": cypher_star_query,
     "cypher_filter_query": cypher_filter_query,
     "cypher_set_ic_scores": cypher_set_ic_scores,
+    "cypher_otar_ranked": cypher_otar_ranked,
+    "cypher_snp_paths": cypher_snp_paths,
     "graph_merge_nodes": graph_merge_nodes,
     "graph_edges_fk": graph_edges_fk,
     "equivalence_groups_events": equivalence_groups_events,
@@ -787,6 +948,8 @@ ORACLES = {
     "cypher_star_query": ORACLE_CYPHER_STAR,
     "cypher_filter_query": ORACLE_CYPHER_FILTER,
     "cypher_set_ic_scores": ORACLE_CYPHER_SET_IC,
+    "cypher_otar_ranked": ORACLE_CYPHER_OTAR_RANKED,
+    "cypher_snp_paths": ORACLE_CYPHER_SNP_PATHS,
     "graph_merge_nodes": ORACLE_MERGE_NODES,
     "graph_edges_fk": ORACLE_EDGES_FK,
     "equivalence_groups_events": ORACLE_EQUIV_GROUPS,

@@ -67,3 +67,12 @@ def oracle_sql() -> dict[str, str]:
     for mod in _MODULES:
         out.update(mod.ORACLES)
     return out
+
+
+def skipped() -> dict[str, str]:
+    """Queries auto-unregistered by an environment gate, with the reason —
+    surfaced in the bench record so the driver sees WHY a name is absent."""
+    out: dict[str, str] = {}
+    for mod in _MODULES:
+        out.update(getattr(mod, "SKIPPED", {}))
+    return out

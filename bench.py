@@ -113,6 +113,9 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    skipped = getattr(entry_mod, "skipped", dict)()
+    if skipped:
+        result["skipped"] = skipped
     print(json.dumps(result))
     # Belt and braces: a second compact line with scalars only, emitted
     # last, so a driver that keeps only the final line parses a full

@@ -5,7 +5,10 @@ counts, per-type counts, the distinct name set, the distinct id set, and a
 metadata.jsonl side table (04_index/grebi_index/src/main.rs:45-245).
 
 Spark design: four small aggregate jobs over one cached merged DataFrame —
-each is a map-side-combined hash aggregate; no custom code.
+each is a map-side-combined hash aggregate; no custom code. Every
+aggregate is exposed as a per-frame helper so the incremental path
+(incremental.py) can run the SAME aggregate over a delta frame and apply
+it additively to the stored counts instead of re-scanning the corpus.
 """
 
 from __future__ import annotations
@@ -31,10 +34,14 @@ class GraphIndex:
     metadata: DataFrame         # (node_id, subgraph, datasources, source_ids, types, names)
 
 
-def build_index(merged: DataFrame) -> GraphIndex:
-    prop_counts = merged.groupBy("prop_key").agg(F.count("*").alias("n_values"))
+def prop_counts_of(merged: DataFrame) -> DataFrame:
+    """(prop_key, n_values) row counts — additive across disjoint frames."""
+    return merged.groupBy("prop_key").agg(F.count("*").alias("n_values"))
 
-    edge_prop_counts = (
+
+def edge_prop_counts_of(merged: DataFrame) -> DataFrame:
+    """(prop_key, n_values) over reified value_props keys — additive."""
+    return (
         merged.filter(F.col("value_props").isNotNull())
         .select(
             F.explode(F.map_keys(F.from_json("value_props", VALUE_PROPS))).alias(
@@ -45,7 +52,12 @@ def build_index(merged: DataFrame) -> GraphIndex:
         .agg(F.count("*").alias("n_values"))
     )
 
-    type_counts = (
+
+def type_counts_of(merged: DataFrame) -> DataFrame:
+    """(type, n_nodes) — distinct (node_id, type) within the frame.
+    Additive across frames with DISJOINT node_id sets (the incremental
+    path's unchanged/re-merged split is clique-granular, so it is)."""
+    return (
         merged.filter(F.col("prop_key") == "grebi:type")
         .select("node_id", F.col("value").alias("type"))
         .distinct()
@@ -53,33 +65,59 @@ def build_index(merged: DataFrame) -> GraphIndex:
         .agg(F.count("*").alias("n_nodes"))
     )
 
-    names = (
+
+def name_counts_of(merged: DataFrame) -> DataFrame:
+    """(name, n) row counts over the name props — the refcounted form of
+    the distinct-name index, additive across disjoint frames; the name
+    set is ``filter(n > 0)``."""
+    return (
         merged.filter(F.col("prop_key").isin(list(NAME_PROPS)))
-        .select(F.col("value").alias("name"))
-        .distinct()
+        .groupBy(F.col("value").alias("name"))
+        .agg(F.count("*").alias("n"))
     )
 
-    ids = merged.select(F.explode("source_ids").alias("id")).distinct()
 
+def id_counts_of(merged: DataFrame) -> DataFrame:
+    """(id, n) row counts over exploded source_ids — refcounted distinct
+    id set, additive across disjoint frames."""
+    return (
+        merged.select(F.explode("source_ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def node_metadata(merged: DataFrame) -> DataFrame:
+    """The per-node header frame — node-granular, so the incremental
+    path can rebuild it for re-merged cliques only and pass the rest
+    through (every row of a node lies in one frame of the split)."""
     node_names = (
         merged.filter(F.col("prop_key").isin(list(NAME_PROPS)))
         .groupBy("node_id")
         .agg(F.array_sort(F.collect_set("value")).alias("names"))
     )
-    metadata = (
+    return (
         node_table(merged)
         .join(node_names, "node_id", "left")
         .withColumn("names", F.coalesce("names", F.array().cast("array<string>")))
         .select("node_id", "subgraph", "datasources", "source_ids", "types", "names")
     )
 
+
+def build_index(merged: DataFrame) -> GraphIndex:
+    names = (
+        merged.filter(F.col("prop_key").isin(list(NAME_PROPS)))
+        .select(F.col("value").alias("name"))
+        .distinct()
+    )
+    ids = merged.select(F.explode("source_ids").alias("id")).distinct()
     return GraphIndex(
-        prop_counts=prop_counts,
-        edge_prop_counts=edge_prop_counts,
-        type_counts=type_counts,
+        prop_counts=prop_counts_of(merged),
+        edge_prop_counts=edge_prop_counts_of(merged),
+        type_counts=type_counts_of(merged),
         names=names,
         ids=ids,
-        metadata=metadata,
+        metadata=node_metadata(merged),
     )
 
 

@@ -1297,9 +1297,18 @@ FROM events GROUP BY event_type ORDER BY event_type
 if _has_protobuf():  # pragma: no cover — env-dependent registration
     _TWS_EXTRA_QUERIES = {"events_tws_running_stats": events_tws_running_stats}
     _TWS_EXTRA_ORACLES = {"events_tws_running_stats": ORACLE_TWS_RUNNING}
+    SKIPPED: dict[str, str] = {}
 else:
     _TWS_EXTRA_QUERIES = {}
     _TWS_EXTRA_ORACLES = {}
+    # surfaced in the bench record so an auto-skipped registration is
+    # visible as a documented environment gap, not a silent omission
+    SKIPPED = {
+        "events_tws_running_stats": (
+            "transformWithStateInPandas requires the protobuf package "
+            "(state-server wire format); not installed in this container"
+        )
+    }
 
 
 QUERIES = {

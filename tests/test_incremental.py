@@ -44,6 +44,25 @@ def _sources(spark):
         ),
     )
     ols = jsonl_to_nodes(_lines_df(spark, FX.jsonl(FX.OLS_JSONL)), "ols")
+    # a node in its OWN clique that references efo:0000537 by value:
+    # exercises cross-clique reference invalidation — the sssom add must
+    # rewrite this value to the fused canonical (and materialise the
+    # edge), removal must revert it, update must move it
+    refsrc = jsonl_to_nodes(
+        _lines_df(
+            spark,
+            FX.jsonl(
+                [
+                    {
+                        "id": "ref:1",
+                        "grebi:type": ["ref:Annotation"],
+                        "ref:about": ["efo:0000537"],
+                    }
+                ]
+            ),
+        ),
+        "refsrc",
+    )
     sssom = jsonl_to_nodes(
         _lines_df(
             spark,
@@ -59,7 +78,7 @@ def _sources(spark):
         ),
         "sssom",
     )
-    return [hgnc, impc, kgx_e, kgx_n, ols], sssom
+    return [hgnc, impc, kgx_e, kgx_n, ols, refsrc], sssom
 
 
 def _canon(df):
@@ -75,12 +94,53 @@ PM = PrefixMap({"http://purl.obolibrary.org/obo/MONDO_": "mondo:"})
 
 
 @pytest.fixture(scope="module")
-def graphs(spark):
+def tri(spark):
+    """One shared build set for all three incremental verbs. Full builds
+    are the dominant test cost, and the scratch baseline of one verb is
+    exactly another verb's input state, so three builds serve all three:
+
+      state_base = stateful(base)          — add's input; remove's scratch
+      state_plus = stateful(base + sssom)  — add's scratch; remove/update's input
+      scratch_v2 = build(base + sssom_v2)  — update's scratch
+    """
+    from grebi_spark.incremental import remove_datasource, update_datasource
+
     base_sources, sssom = _sources(spark)
-    full = build_graph(base_sources + [sssom], CONFIG, prefix_map=PM)
-    state = build_graph_stateful(base_sources, CONFIG, prefix_map=PM)
-    inc = add_datasource(state, sssom, prefix_map=PM)
-    return full, inc.graph
+    sssom_v2 = jsonl_to_nodes(
+        _lines_df(
+            spark,
+            FX.jsonl(
+                [
+                    {
+                        "id": "mondo:0001134",
+                        "skos:exactMatch": ["efo:0000537"],
+                        "sssom:mapping_justification": [
+                            "semapv:ManualMappingCuration"
+                        ],
+                    }
+                ]
+            ),
+        ),
+        "sssom",
+    )
+    state_base = build_graph_stateful(base_sources, CONFIG, prefix_map=PM)
+    state_plus = build_graph_stateful(base_sources + [sssom], CONFIG, prefix_map=PM)
+    inc = add_datasource(state_base, sssom, prefix_map=PM, with_stats=True)
+    reduced = remove_datasource(state_plus, "sssom", with_stats=True)
+    upd = update_datasource(
+        state_plus, "sssom", sssom_v2, prefix_map=PM, with_stats=True
+    )
+    scratch_v2 = build_graph(base_sources + [sssom_v2], CONFIG, prefix_map=PM)
+    return {
+        "add": (state_plus.graph, inc),
+        "remove": (state_base.graph, reduced),
+        "update": (scratch_v2, upd),
+    }
+
+
+@pytest.fixture(scope="module")
+def graphs(tri):
+    return tri["add"]
 
 
 @pytest.mark.parametrize(
@@ -89,28 +149,63 @@ def graphs(spark):
 )
 def test_incremental_equals_full_rebuild(graphs, part):
     full, inc = graphs
-    assert _canon(getattr(inc, part)) == _canon(getattr(full, part)), part
+    assert _canon(getattr(inc.graph, part)) == _canon(getattr(full, part)), part
 
 
 def test_incremental_fuses_pre_existing_cliques(graphs):
     _full, inc = graphs
-    groups = {r["id"]: r["group_id"] for r in inc.groups.collect()}
+    groups = {r["id"]: r["group_id"] for r in inc.graph.groups.collect()}
     # the added sssom row linked efo:0000537 into the mondo clique
     assert groups["efo:0000537"] == "mondo:0005044"
 
 
-@pytest.fixture(scope="module")
-def removal_graphs(spark):
-    """Build over ALL sources (incl. sssom), retire sssom, compare with
-    a from-scratch build over the base set — the inverse of the fusion
-    case: the mondo/efo clique must SPLIT back apart, with efo:0000537
-    re-elected as its own canonical and every sssom row gone."""
-    from grebi_spark.incremental import remove_datasource
+def test_add_delta_inputs_are_delta_sized(graphs):
+    """The verdict-#4 gate: the delta stages must re-merge ONLY the
+    affected clique's rows, not the corpus — asserted via the recorded
+    input row counts of the delta path."""
+    full, inc = graphs
+    stats = inc.delta_stats
+    total = inc.graph.merged.count()
+    # affected after fusion: the mondo clique plus the ref:1 clique that
+    # REFERENCES the re-canonicalised efo id; the delta re-merge must
+    # process exactly those rows, nothing else
+    expected = full.merged.filter(
+        full.merged.node_id.isin(["mondo:0005044", "ref:1"])
+    ).count()
+    assert stats["n_delta_rows"] == expected
+    assert 0 < stats["n_delta_rows"] < total
+    assert 0 < stats["n_removed_rows"] < total
 
-    base_sources, sssom = _sources(spark)
-    state = build_graph_stateful(base_sources + [sssom], CONFIG, prefix_map=PM)
-    reduced = remove_datasource(state, "sssom")
-    scratch = build_graph(base_sources, CONFIG, prefix_map=PM)
+
+def test_add_rewrites_cross_clique_reference(graphs):
+    """ref:1 sits in its own clique but references efo:0000537 by value;
+    folding in sssom re-canonicalises efo:0000537 → mondo:0005044, so the
+    incremental path must rewrite ref:1's stored value and materialise
+    the now-resolvable edge (a full rebuild does both via assign_ids)."""
+    import pyspark.sql.functions as SF
+
+    _full, inc = graphs
+    vals = [
+        r["value"]
+        for r in inc.graph.merged.filter(
+            (SF.col("node_id") == "ref:1") & (SF.col("prop_key") == "ref:about")
+        ).collect()
+    ]
+    assert vals == ["mondo:0005044"]
+    assert (
+        inc.graph.edges.filter(
+            (SF.col("from_id") == "ref:1") & (SF.col("to_id") == "mondo:0005044")
+        ).count()
+        == 1
+    )
+
+
+@pytest.fixture(scope="module")
+def removal_graphs(tri):
+    """Retiring sssom must SPLIT the fused clique back apart, with
+    efo:0000537 re-elected as its own canonical, every sssom row gone,
+    and ref:1's cross-clique reference REVERTED to efo:0000537."""
+    scratch, reduced = tri["remove"]
     return scratch, reduced.graph
 
 
@@ -135,3 +230,55 @@ def test_remove_splits_clique_and_drops_source(removal_graphs):
     assert (
         reduced.merged.filter(SF.array_contains("datasources", "sssom")).count() == 0
     )
+    # cross-clique reference reverted: ref:1's value must be the raw
+    # efo id again (no longer a node → its edge vanishes with it)
+    vals = [
+        r["value"]
+        for r in reduced.merged.filter(
+            (SF.col("node_id") == "ref:1") & (SF.col("prop_key") == "ref:about")
+        ).collect()
+    ]
+    assert vals == ["efo:0000537"]
+    assert reduced.edges.filter(SF.col("from_id") == "ref:1").count() == 0
+
+
+@pytest.fixture(scope="module")
+def update_graphs(tri):
+    """Replace sssom v1 (efo:0000537 ↔ mondo:0005044) with a v2 that maps
+    the SAME efo id to a DIFFERENT disease (mondo:0001134): one
+    update_datasource call must both split the old fusion and fuse the
+    new one, and the result must equal a from-scratch build over
+    base + v2 — including moving ref:1's reference to the new canonical."""
+    return tri["update"]
+
+
+@pytest.mark.parametrize(
+    "part",
+    ["groups", "merged", "nodes", "edges", "display_types", "edge_summary"],
+)
+def test_update_equals_full_rebuild(update_graphs, part):
+    scratch, upd = update_graphs
+    assert _canon(getattr(upd.graph, part)) == _canon(getattr(scratch, part)), part
+
+
+def test_update_moves_link_and_stays_delta_sized(update_graphs):
+    scratch, upd = update_graphs
+    groups = {r["id"]: r["group_id"] for r in upd.graph.groups.collect()}
+    # the replacement moved the efo link from 0005044 to 0001134
+    assert groups["efo:0000537"] == "mondo:0001134"
+    assert groups.get("mondo:0005044", "mondo:0005044") != "mondo:0001134"
+    # fused remove∘add still touches only the two mondo cliques' rows
+    stats = upd.delta_stats
+    total = upd.graph.merged.count()
+    assert 0 < stats["n_delta_rows"] < total
+    assert 0 < stats["n_removed_rows"] < total
+    # cross-clique reference moved with the link
+    import pyspark.sql.functions as SF
+
+    vals = [
+        r["value"]
+        for r in upd.graph.merged.filter(
+            (SF.col("node_id") == "ref:1") & (SF.col("prop_key") == "ref:about")
+        ).collect()
+    ]
+    assert vals == ["mondo:0001134"]

@@ -920,7 +920,225 @@ LIMIT 5
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental maintenance as oracle-checked queries: the add / remove /
+# update verbs (incremental.py) produce graphs that must be value-identical
+# to a from-scratch build over the resulting source set — so the DuckDB
+# oracle IS the from-scratch build, and a hash match proves the delta path
+# end to end (grouping, re-merge, additive index, delta materialise).
+# Like the Cypher family, the maintained states are built once per
+# (session, sf_dir): build-once / query-many.
+# ---------------------------------------------------------------------------
+
+INC_CONFIG = SubgraphConfig(
+    name="parity-inc",
+    identifier_props=("id", "parity:sameAs"),
+    exclude_edges=("id", "parity:sameAs"),
+)
+
+_INC_CACHE: dict[str, dict] = {}
+
+
+def _zone_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 'map' datasource declaring one grebi:zone_* entity per region,
+    equivalent (parity:sameAs) to the region's node — folding it in must
+    FUSE each {zone, region} pair into one clique whose canonical is the
+    grebi:-prefixed id, and rewrite every nation's geo:region reference."""
+    r = load_tables(spark, sf_dir, ("region",))["region"]
+    zid = F.concat(F.lit("grebi:zone"), F.col("r_regionkey").cast("string"))
+    rid = F.concat(F.lit("r:"), F.col("r_regionkey").cast("string"))
+
+    def row(key, val):
+        return (
+            F.lit("star").alias("subgraph"),
+            F.lit("map").alias("datasource"),
+            zid.alias("entity_id"),
+            F.lit(key).alias("prop_key"),
+            val.alias("value"),
+            F.lit(None).cast("string").alias("value_props"),
+        )
+
+    return (
+        r.select(*row("id", zid))
+        .unionAll(r.select(*row("grebi:type", F.lit("geo:Zone"))))
+        .unionAll(r.select(*row("parity:sameAs", rid)))
+    )
+
+
+def _inc_states(spark: SparkSession, sf_dir: str) -> dict:
+    """The maintained graph states, built once per (session, sf_dir):
+
+    * ``full``  — stateful([customers, nations]) + add(regions): grows the
+      graph with a source whose ids are TARGETS of existing references
+      (born nodes ⇒ the born-edge materialise leg).
+    * ``geo``   — remove('crm') applied to ``full``: a double-incremental
+      chain (the remove runs on an already-incrementally-maintained
+      state), vanishing nodes + additive count decrements.
+    * ``fused`` — stateful([c, n, r]) + add(zone aliases) under a config
+      whose identifier_props include parity:sameAs: clique FUSION with a
+      canonical flip (grebi:* wins election) plus cross-clique reference
+      rewrite of every nation's geo:region value.
+    """
+    from ..incremental import add_datasource, build_graph_stateful, remove_datasource
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _INC_CACHE:
+        return _INC_CACHE[key]
+    customers, nations, regions = _star_graph_long(spark, sf_dir)
+    state = build_graph_stateful([customers, nations], PARITY_CONFIG)
+    s_full = add_datasource(state, regions)
+    s_geo = remove_datasource(s_full, "crm")
+    state_b = build_graph_stateful([customers, nations, regions], INC_CONFIG)
+    s_fused = add_datasource(state_b, _zone_source(spark, sf_dir))
+    out = {"full": s_full, "geo": s_geo, "fused": s_fused}
+    _INC_CACHE[key] = out
+    return out
+
+
+def _merge_profile(merged: DataFrame) -> DataFrame:
+    return (
+        merged.groupBy("node_id")
+        .agg(
+            F.count("*").alias("n_props"),
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("datasources")))
+                ),
+                ",",
+            ).alias("datasources"),
+        )
+        .orderBy("node_id")
+    )
+
+
+def incremental_add_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_datasource correctness gate: the incrementally-grown graph's
+    merged profile vs the oracle's from-scratch build over all three
+    sources (same SQL as graph_merge_nodes — equality IS the contract)."""
+    return _merge_profile(_inc_states(spark, sf_dir)["full"].graph.merged)
+
+
+def incremental_add_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta-materialise gate: adding regions makes every nation's
+    geo:region value resolvable, so the BORN-edge leg (unchanged rows ⋈
+    newly-born ids) must emit exactly the nation→region FK edges next to
+    the pass-through customer→nation set."""
+    edges = _inc_states(spark, sf_dir)["full"].graph.edges
+    return (
+        edges.groupBy("edge_type", "to_id")
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("edge_type", "to_id")
+    )
+
+
+def incremental_remove_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """remove_datasource gate, chained on the incrementally-grown state:
+    retiring 'crm' must vanish every customer node and leave the
+    geo-only graph — value-identical to never having ingested crm."""
+    return _merge_profile(_inc_states(spark, sf_dir)["geo"].graph.merged)
+
+
+ORACLE_INC_REMOVE_MERGE = """
+WITH long_form AS (
+  SELECT 'n:' || n_nationkey::varchar AS node_id, 'id' AS prop_key,
+         'n:' || n_nationkey::varchar AS value, 'geo' AS ds FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:type', 'geo:Nation', 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:name', n_name, 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'geo:region',
+                   'r:' || n_regionkey::varchar, 'geo' FROM nation
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'id', 'r:' || r_regionkey::varchar, 'geo' FROM region
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'grebi:type', 'geo:Region', 'geo' FROM region
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'grebi:name', r_name, 'geo' FROM region
+), merged AS (
+  SELECT node_id, prop_key, value,
+         string_agg(DISTINCT ds, ',' ORDER BY ds) AS datasources
+  FROM long_form GROUP BY node_id, prop_key, value
+)
+SELECT node_id, count(*) AS n_props,
+       string_agg(DISTINCT datasources, ',' ORDER BY datasources) AS datasources
+FROM merged GROUP BY node_id ORDER BY node_id
+"""
+
+
+def incremental_remove_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ADDITIVE index gate: after the chained add + remove, the
+    maintained per-prop counts (old − removed + added, outer-join merge)
+    must equal a fresh aggregation over the surviving corpus."""
+    pc = _inc_states(spark, sf_dir)["geo"].graph.index.prop_counts
+    return pc.orderBy("prop_key")
+
+
+ORACLE_INC_REMOVE_INDEX = """
+WITH long_form AS (
+  SELECT 'n:' || n_nationkey::varchar AS node_id, 'id' AS prop_key,
+         'n:' || n_nationkey::varchar AS value FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:type', 'geo:Nation' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:name', n_name FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'geo:region',
+                   'r:' || n_regionkey::varchar FROM nation
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'id', 'r:' || r_regionkey::varchar FROM region
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'grebi:type', 'geo:Region' FROM region
+  UNION ALL SELECT 'r:' || r_regionkey::varchar, 'grebi:name', r_name FROM region
+), merged AS (
+  SELECT DISTINCT node_id, prop_key, value FROM long_form
+)
+SELECT prop_key, count(*) AS n_values
+FROM merged GROUP BY prop_key ORDER BY prop_key
+"""
+
+
+def incremental_fuse_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hard add: folding in zone aliases FUSES each {zone, region}
+    clique (canonical flips to the grebi:* id), and cross-clique
+    reference invalidation must rewrite every nation's geo:region value
+    and the fused rows' own id/sameAs strings. Full merged triple dump —
+    any stale canonical anywhere hash-mismatches."""
+    merged = _inc_states(spark, sf_dir)["fused"].graph.merged
+    return merged.select(
+        "node_id",
+        "prop_key",
+        "value",
+        F.array_join("datasources", ",").alias("datasources"),
+    ).orderBy("node_id", "prop_key", "value", "datasources")
+
+
+ORACLE_INC_FUSE_MERGED = """
+WITH long_form AS (
+  SELECT 'c:' || c_custkey::varchar AS node_id, 'id' AS prop_key,
+         'c:' || c_custkey::varchar AS value, 'crm' AS ds FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:type', 'crm:Customer', 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:name', c_name, 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:segment', c_mktsegment, 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:nation',
+                   'n:' || c_nationkey::varchar, 'crm' FROM customer
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'id', 'n:' || n_nationkey::varchar, 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:type', 'geo:Nation', 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:name', n_name, 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'geo:region',
+                   'grebi:zone' || n_regionkey::varchar, 'geo' FROM nation
+  UNION ALL SELECT 'grebi:zone' || r_regionkey::varchar, 'id',
+                   'grebi:zone' || r_regionkey::varchar, 'geo' FROM region
+  UNION ALL SELECT 'grebi:zone' || r_regionkey::varchar, 'grebi:type', 'geo:Region', 'geo' FROM region
+  UNION ALL SELECT 'grebi:zone' || r_regionkey::varchar, 'grebi:name', r_name, 'geo' FROM region
+  UNION ALL SELECT 'grebi:zone' || r_regionkey::varchar, 'id',
+                   'grebi:zone' || r_regionkey::varchar, 'map' FROM region
+  UNION ALL SELECT 'grebi:zone' || r_regionkey::varchar, 'grebi:type', 'geo:Zone', 'map' FROM region
+  UNION ALL SELECT 'grebi:zone' || r_regionkey::varchar, 'parity:sameAs',
+                   'grebi:zone' || r_regionkey::varchar, 'map' FROM region
+)
+SELECT node_id, prop_key, value,
+       string_agg(DISTINCT ds, ',' ORDER BY ds) AS datasources
+FROM long_form GROUP BY node_id, prop_key, value
+ORDER BY node_id, prop_key, value, datasources
+"""
+
+
 QUERIES = {
+    "incremental_add_merge_nodes": incremental_add_merge_nodes,
+    "incremental_add_edges": incremental_add_edges,
+    "incremental_remove_merge_nodes": incremental_remove_merge_nodes,
+    "incremental_remove_index": incremental_remove_index,
+    "incremental_fuse_merged": incremental_fuse_merged,
     "kv_edge_resolution": kv_edge_resolution,
     "edge_page_outgoing_graph": edge_page_outgoing_graph,
     "graph_search_negative": graph_search_negative,
@@ -941,6 +1159,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
+    "incremental_add_edges": ORACLE_EDGES_FK,
+    "incremental_remove_merge_nodes": ORACLE_INC_REMOVE_MERGE,
+    "incremental_remove_index": ORACLE_INC_REMOVE_INDEX,
+    "incremental_fuse_merged": ORACLE_INC_FUSE_MERGED,
     "kv_edge_resolution": ORACLE_KV_EDGE_RESOLUTION,
     "edge_page_outgoing_graph": ORACLE_EDGE_PAGE_OUTGOING,
     "graph_search_negative": ORACLE_SEARCH_NEGATIVE,

@@ -8,11 +8,11 @@ Nextflow DAG has no incremental path — every run re-ingests, re-groups
 with a 300 GB union-find, and re-merges everything). Here the update is
 scoped to the *affected* cliques end to end:
 
-1. **Groups**: the old ``(id, group_id)`` mapping is itself a star-edge
-   set whose connected components equal the old cliques, so new
-   identifier pairs ∪ old star edges re-converge in O(1) label rounds —
-   the CC loop never revisits the full historical pair set. Removal
-   re-groups only the touched cliques' remaining raw pairs.
+1. **Groups**: new identifier pairs can only touch cliques that share an
+   id with them, so CC re-runs over (new pairs ∪ the affected cliques'
+   star edges) only — delta-sized — and every other clique keeps its
+   exact ``(id, group_id)`` rows, canonical included. Removal re-groups
+   only the touched cliques' remaining raw pairs, same shape.
 2. **Affected cliques** = components containing at least one identifier
    from the changed datasource. Memberships only grow on add and only
    split on remove, so a clique with no changed id is exactly its old
@@ -23,22 +23,38 @@ scoped to the *affected* cliques end to end:
    table, so passing them through verbatim would leave stale canonicals
    (``_expand_affected_for_references``).
 3. **Re-merge** only the affected cliques, from the retained
-   pre-assignment rows. Unchanged merged rows pass through untouched.
+   pre-assignment rows, with a groups table REDUCED to the ids those
+   rows can mention — the whole re-merge is delta × delta.
 4. **Delta index**: the count side tables (prop counts, reified-prop
    counts, type counts, and the refcounted name/id sets) are maintained
    ADDITIVELY — aggregate the removed and re-merged rows only, then
-   merge the per-key deltas into the stored counts with an outer join
-   (old-side corpus table ⋈ delta-sized update; bucketed at rest this
-   is a zero-shuffle merge). The node-header table is node-granular:
-   drop the affected canonicals, append the re-merged cliques' headers.
+   merge the per-key deltas into the stored counts with one broadcast
+   left join (stored keys) plus one broadcast anti (new keys); the
+   stored table is scanned, never shuffled. The node-header table is
+   node-granular: drop the affected canonicals, append the re-merged
+   cliques' headers.
 5. **Delta materialise**: new edges =
    (old edges whose from-node is unchanged and whose target survives)
    ∪ (re-merged clique rows ⋈ ALL node ids)
    ∪ (unchanged rows ⋈ NEWLY-BORN node ids only)
-   — the two materialise joins see a delta-sized side each; the old
-   edge set passes through behind two anti-joins. The edge-summary cube
-   is maintained additively the same way, re-aggregating only edges
-   that touch an affected canonical on either endpoint.
+   — the two materialise joins broadcast their delta-sized side; the old
+   edge set passes through behind two broadcast anti-joins. The
+   edge-summary cube is maintained additively the same way,
+   re-aggregating only edges that touch an affected canonical on either
+   endpoint.
+
+**Shuffle budget per verb** (the 100 TB contract): every join in the
+delta path pairs a corpus-sized table with a broadcast delta-sized set —
+broadcast hints are explicit because the delta frames are
+``localCheckpoint``-backed, whose unknown statistics would otherwise
+default the initial plan to a corpus shuffle join. The only shuffles are
+delta-sized (the delta CC, the re-merge aggregation, the delta count
+aggregations). The corpus tables (merged, edges, groups, headers, the
+refcounted id/name counts) are scanned map-side a bounded number of
+times and are NOT eagerly re-materialised: the pass-through halves stay
+lazy unions over the previous state's checkpointed tables, which is
+exactly the copy-on-write layout a bucketed-Parquet deployment gets by
+rewriting only affected partitions.
 
 ``display_types`` is recomputed (a narrow per-node argmin against the
 broadcast type counts): a changed GLOBAL type count can legally flip the
@@ -46,8 +62,9 @@ display type of an untouched node, so the pass is corpus-wide by
 semantics — but it scans two slim columns, not the merged long table.
 
 Equivalence with a from-scratch build over the union of sources is the
-correctness contract, asserted by ``tests/test_incremental.py``; the
-same tests assert the delta paths' materialise inputs are delta-sized.
+correctness contract, asserted by ``tests/test_incremental.py`` and by
+the ``incremental_*`` oracle board queries (plans/parity.py); the same
+tests assert the delta paths' materialise inputs are delta-sized.
 """
 
 from __future__ import annotations
@@ -144,25 +161,34 @@ def _apply_count_delta(
     old: DataFrame, removed: DataFrame, added: DataFrame, keys: list[str], n: str
 ) -> DataFrame:
     """new = old − removed + added, per key; keys that hit zero vanish.
-    ``removed``/``added`` are already-aggregated DELTA-SIZED frames; the
-    single outer join against the stored table is the merge a bucketed
-    layout runs shuffle-free."""
+
+    ``removed``/``added`` aggregate DELTA-SIZED frames, so the update is
+    broadcast and the stored table is never shuffled: one broadcast left
+    join covers every stored key map-side, and the genuinely new keys
+    arrive via a broadcast anti against the (delta-sized) hit key set —
+    the merge a bucketed layout runs as a local upsert."""
     upd = (
         removed.select(*keys, (-F.col(n)).alias(n))
         .unionByName(added)
         .groupBy(*keys)
         .agg(F.sum(n).alias("__dn"))
+        .localCheckpoint()  # delta-sized; feeds all three joins below
     )
-    return (
-        old.join(upd, keys, "full_outer")
+    merged_old = (
+        old.join(F.broadcast(upd), keys, "left")
         .select(
             *keys,
-            (
-                F.coalesce(F.col(n), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
-            ).alias(n),
+            (F.col(n) + F.coalesce(F.col("__dn"), F.lit(0))).alias(n),
         )
         .filter(F.col(n) > 0)
     )
+    hit = old.join(F.broadcast(upd.select(*keys)), keys, "left_semi").select(*keys)
+    fresh = (
+        upd.join(F.broadcast(hit), keys, "left_anti")
+        .select(*keys, F.col("__dn").alias(n))
+        .filter(F.col(n) > 0)
+    )
+    return merged_old.unionByName(fresh)
 
 
 def _delta_finish(
@@ -182,25 +208,28 @@ def _delta_finish(
     counts = _ensure_counts(state)
     old = state.graph
 
-    # Materialise the three delta frames FIRST: every eager job below
+    # Materialise the two delta frames FIRST: every eager job below
     # (count deltas, metadata, edge legs) reads one of them, and without
-    # this barrier each job would re-run the split join + re-merge chain
-    # from scratch (measured 4×+ slower at test scale).
+    # this barrier each job would re-run the re-merge chain from scratch.
+    # ``unchanged`` stays LAZY — it is a broadcast anti over the previous
+    # state's tables, i.e. a map-side scan, and checkpointing it would
+    # copy the corpus on every verb.
     merged_delta = merged_delta.localCheckpoint()
-    unchanged = unchanged.localCheckpoint()
     removed_old = removed_old.localCheckpoint()
-    # cheap union of two checkpointed frames — no barrier needed
     merged = unchanged.unionByName(merged_delta)
 
     # canonical-id bookkeeping: R = retired canonicals, born/vanished =
-    # node ids that appear/disappear (all delta-sized; cached — each
-    # feeds several joins below)
+    # node ids that appear/disappear (all delta-sized, pinned — each
+    # feeds several joins below as a broadcast side)
     R = _pin(removed_old.select("node_id").distinct())
     new_canons = _pin(merged_delta.select("node_id").distinct())
-    vanished = _pin(R.join(new_canons, "node_id", "left_anti"))
-    born = _pin(new_canons.join(R, "node_id", "left_anti"))
+    vanished = _pin(R.join(F.broadcast(new_canons), "node_id", "left_anti"))
+    born = _pin(new_canons.join(F.broadcast(R), "node_id", "left_anti"))
 
     # -- delta index: additive counts + node-granular metadata ----------
+    # the first three stored tables are key-cardinality-sized (small);
+    # the refcounted name/id tables are corpus-sized and stay LAZY —
+    # their update chain is map-side over the previous checkpointed state
     prop_counts = _apply_count_delta(
         old.index.prop_counts,
         prop_counts_of(removed_old),
@@ -228,32 +257,31 @@ def _delta_finish(
         name_counts_of(merged_delta),
         ["name"],
         "n",
-    ).localCheckpoint()
+    )
     id_counts = _apply_count_delta(
         counts.id_counts,
         id_counts_of(removed_old),
         id_counts_of(merged_delta),
         ["id"],
         "n",
-    ).localCheckpoint()
-    meta = (
-        old.nodes.join(R, "node_id", "left_anti")
-        .unionByName(node_metadata(merged_delta))
-        .localCheckpoint()
+    )
+    meta_delta = _pin(node_metadata(merged_delta))
+    meta = old.nodes.join(F.broadcast(R), "node_id", "left_anti").unionByName(
+        meta_delta
     )
 
     # -- delta materialise (module docstring step 5) --------------------
     Rf = R.withColumnRenamed("node_id", "from_id")
     Vt = vanished.withColumnRenamed("node_id", "to_id")
     kept = (
-        old.edges.join(Rf, "from_id", "left_anti")
-        .join(Vt, "to_id", "left_anti")
+        old.edges.join(F.broadcast(Rf), "from_id", "left_anti")
+        .join(F.broadcast(Vt), "to_id", "left_anti")
         .select(*old.edges.columns)  # the USING joins front the join keys
     )
-    delta_edges = materialise_edges(merged_delta, meta, config)
-    born_edges = materialise_edges(unchanged, born, config)
+    delta_edges = materialise_edges(F.broadcast(merged_delta), meta, config)
+    born_edges = materialise_edges(unchanged, F.broadcast(born), config)
     new_edge_rows = delta_edges.unionByName(born_edges).localCheckpoint()
-    edges = kept.unionByName(new_edge_rows).localCheckpoint()
+    edges = kept.unionByName(new_edge_rows)
 
     # -- delta edge summary: re-aggregate only edges touching R ---------
     # dropped-from-summary = every old edge with an endpoint in R
@@ -262,22 +290,22 @@ def _delta_finish(
     # to-node's types may have changed, so they are re-added against the
     # new metadata alongside the genuinely new edge rows.
     Rt = R.withColumnRenamed("node_id", "to_id")
-    e_fromR = old.edges.join(Rf, "from_id", "left_semi")
-    e_toR_only = old.edges.join(Rf, "from_id", "left_anti").join(
-        Rt, "to_id", "left_semi"
+    e_fromR = old.edges.join(F.broadcast(Rf), "from_id", "left_semi")
+    e_toR_only = old.edges.join(F.broadcast(Rf), "from_id", "left_anti").join(
+        F.broadcast(Rt), "to_id", "left_semi"
     )
     persisting_t = (
-        R.join(new_canons, "node_id", "left_semi")
+        R.join(F.broadcast(new_canons), "node_id", "left_semi")
         .withColumnRenamed("node_id", "to_id")
     )
-    kept_touch = old.edges.join(Rf, "from_id", "left_anti").join(
-        persisting_t, "to_id", "left_semi"
+    kept_touch = old.edges.join(F.broadcast(Rf), "from_id", "left_anti").join(
+        F.broadcast(persisting_t), "to_id", "left_semi"
     )
     sig_keys = ["from_sig", "edge_type", "to_sig", "ds_sig"]
     summary = _apply_count_delta(
         old.edge_summary,
-        edge_summary(e_fromR.unionByName(e_toR_only), old.nodes),
-        edge_summary(new_edge_rows.unionByName(kept_touch), meta),
+        edge_summary(e_fromR.unionByName(e_toR_only), old.nodes, small_edges=True),
+        edge_summary(new_edge_rows.unionByName(kept_touch), meta, small_edges=True),
         sig_keys,
         "n_edges",
     ).localCheckpoint()
@@ -317,6 +345,21 @@ def _delta_finish(
     )
 
 
+def _affected_of(groups_delta: DataFrame, member_ids: DataFrame) -> DataFrame:
+    """Affected canonicals under the new mapping: the re-grouped delta
+    components' canonicals ∪ the member ids the delta left as singletons
+    (which map to themselves). All-delta, broadcast anti for the misses."""
+    return _pin(
+        groups_delta.select(F.col("group_id").alias("node_id"))
+        .unionAll(
+            member_ids.join(
+                F.broadcast(groups_delta.select("id")), "id", "left_anti"
+            ).select(F.col("id").alias("node_id"))
+        )
+        .distinct()
+    )
+
+
 def _expand_affected_for_references(
     scan_rows: DataFrame,
     old_groups: DataFrame,
@@ -339,16 +382,21 @@ def _expand_affected_for_references(
     no second-order propagation is possible: one pass reaches fixpoint.
 
     Scale shape: the remap set (ids in touched cliques whose mapping
-    changed) is delta-sized, so the scan over the retained corpus is one
-    map-side semi-join against a broadcast side — no shuffle. At rest, a
-    value→entity inverted index turns even that scan into a point
-    lookup.
-    """
-    om = old_groups.select("id", F.col("group_id").alias("__old_gid"))
-    nm = groups.select("id", F.col("group_id").alias("__new_gid"))
+    changed) is delta-sized, so every step is a map-side scan against a
+    broadcast side — the old/new groups tables are semi-scanned down to
+    the member set before the comparison, and the corpus row scan probes
+    the broadcast remap. At rest, a value→entity inverted index turns
+    even that scan into a point lookup."""
+    mb = F.broadcast(member_ids)
+    om = old_groups.join(mb, "id", "left_semi").select(
+        "id", F.col("group_id").alias("__old_gid")
+    )
+    nm = groups.join(mb, "id", "left_semi").select(
+        "id", F.col("group_id").alias("__new_gid")
+    )
     remap = (
-        member_ids.join(om, "id", "left")
-        .join(nm, "id", "left")
+        member_ids.join(F.broadcast(om), "id", "left")
+        .join(F.broadcast(nm), "id", "left")
         .filter(
             F.coalesce("__old_gid", F.col("id"))
             != F.coalesce("__new_gid", F.col("id"))
@@ -357,27 +405,36 @@ def _expand_affected_for_references(
     )
     remap = _pin(remap)
     ref_entities = (
-        scan_rows.join(remap, scan_rows.value == remap.id, "left_semi")
+        scan_rows.join(F.broadcast(remap), scan_rows.value == remap.id, "left_semi")
         .unionByName(
-            scan_rows.join(remap, scan_rows.prop_key == remap.id, "left_semi")
+            scan_rows.join(
+                F.broadcast(remap), scan_rows.prop_key == remap.id, "left_semi"
+            )
         )
         .select("datasource", "entity_id")
         .distinct()
     )
-    ref_rows = scan_rows.join(ref_entities, ["datasource", "entity_id"], "left_semi")
+    ref_rows = scan_rows.join(
+        F.broadcast(ref_entities), ["datasource", "entity_id"], "left_semi"
+    )
+    ref_ids = _pin(extract_identifiers(ref_rows, config).select("id").distinct())
+    hit = groups.join(F.broadcast(ref_ids), "id", "left_semi").localCheckpoint()
     ref_canons = (
-        extract_identifiers(ref_rows, config)
-        .select("id")
-        .distinct()
-        .join(groups, "id", "left")
-        .select(F.coalesce("group_id", F.col("id")).alias("node_id"))
+        hit.select(F.col("group_id").alias("node_id"))
+        .unionAll(
+            ref_ids.join(F.broadcast(hit.select("id")), "id", "left_anti").select(
+                F.col("id").alias("node_id")
+            )
+        )
         .distinct()
     )
     affected = _pin(affected.unionByName(ref_canons).distinct())
     member_ids = _pin(
         member_ids.unionAll(
             groups.join(
-                ref_canons, groups.group_id == ref_canons.node_id, "left_semi"
+                F.broadcast(ref_canons),
+                groups.group_id == ref_canons.node_id,
+                "left_semi",
             ).select("id")
         )
         .unionAll(ref_canons.select(F.col("node_id").alias("id")))
@@ -387,30 +444,104 @@ def _expand_affected_for_references(
 
 
 def _split_old_merged(
-    old_merged: DataFrame, groups: DataFrame, affected: DataFrame
+    old_merged: DataFrame, member_ids: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
-    """Split the old merged frame on the NEW canonical of each row's
-    node id: rows whose clique is affected are retired, the rest pass
-    through. (An absorbed old canonical maps to a different new
-    canonical, so the test must be against the row's new canonical.)"""
-    with_canon = old_merged.join(
-        groups.withColumnRenamed("id", "node_id").withColumnRenamed(
-            "group_id", "new_canon"
-        ),
-        "node_id",
-        "left",
-    ).withColumn("new_canon", F.coalesce("new_canon", F.col("node_id")))
-    unchanged = (
-        with_canon.join(affected, with_canon.new_canon == affected.node_id, "left_anti")
-        .drop("new_canon")
-        .select(*old_merged.columns)
-    )
-    removed_old = (
-        with_canon.join(affected, with_canon.new_canon == affected.node_id, "left_semi")
-        .drop("new_canon")
-        .select(*old_merged.columns)
-    )
+    """Split the old merged frame clique-granularly: a row is retired iff
+    its node id — an OLD canonical — lies in an affected old clique, and
+    old cliques are disjoint id sets, so membership of the (delta-sized)
+    ``member_ids`` set is an exact test: an affected clique's canonical
+    is one of its members, and no unaffected clique contains a member id
+    (a shared id would have made it affected). Both halves are broadcast
+    semi/anti map-side scans; the old corpus is never shuffled."""
+    m = member_ids.select(F.col("id").alias("node_id"))
+    unchanged = old_merged.join(F.broadcast(m), "node_id", "left_anti")
+    removed_old = old_merged.join(F.broadcast(m), "node_id", "left_semi")
     return unchanged, removed_old
+
+
+def _remerge(
+    all_rows: DataFrame,
+    member_ids: DataFrame,
+    groups: DataFrame,
+    config: SubgraphConfig,
+) -> DataFrame:
+    """Re-merge the touched entities' rows (module docstring step 3),
+    every stage delta-scoped: the touched-entity restriction is a pair of
+    broadcast semi-joins over the corpus rows, and ``assign_ids`` gets a
+    groups table REDUCED to the ids the changed rows can mention — their
+    values, their property keys, and the member set (an entity's aliases
+    all lie inside its own affected clique) — so its three rewrite joins
+    are delta × delta instead of delta × corpus."""
+    touched_entities = (
+        extract_identifiers(all_rows, config)
+        .join(F.broadcast(member_ids), "id", "left_semi")
+        .select("datasource", "entity_id")
+        .distinct()
+    )
+    changed_rows = _pin(
+        all_rows.join(
+            F.broadcast(touched_entities), ["datasource", "entity_id"], "left_semi"
+        )
+    )
+    need = (
+        changed_rows.select(F.col("value").alias("id"))
+        .unionAll(changed_rows.select(F.col("prop_key").alias("id")))
+        .unionAll(member_ids.select("id"))
+        .distinct()
+    )
+    groups_small = _pin(groups.join(F.broadcast(need), "id", "left_semi"))
+    return merge_nodes(
+        lift_types(assign_ids(changed_rows, groups_small, config), config), config
+    )
+
+
+def _grow_groups(
+    old_groups: DataFrame, new_ids: DataFrame, config: SubgraphConfig
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The ADD half of incremental grouping → (groups, groups_delta,
+    member_ids).
+
+    New pairs can only touch cliques sharing an id with them, so CC runs
+    over new pairs ∪ star edges of the AFFECTED old cliques only; every
+    other clique keeps its exact rows via a broadcast anti pass-through.
+    ``build_groups`` re-adds config seed edges; the delta output is
+    restricted to the member set so unaffected seed cliques are not
+    re-emitted (a seed edge bridging outside the member set would have
+    made its endpoints old co-members — i.e. affected)."""
+    ids_new = _pin(new_ids.select("id").distinct())
+    hit = old_groups.join(F.broadcast(ids_new), "id", "left_semi").localCheckpoint()
+    aff_old = (
+        hit.select(F.col("group_id").alias("node_id"))
+        .unionAll(
+            ids_new.join(F.broadcast(hit.select("id")), "id", "left_anti").select(
+                F.col("id").alias("node_id")
+            )
+        )
+        .distinct()
+    )
+    member_ids = _pin(
+        old_groups.join(
+            F.broadcast(aff_old), old_groups.group_id == aff_old.node_id, "left_semi"
+        )
+        .select("id")
+        .unionAll(aff_old.select(F.col("node_id").alias("id")))
+        .unionAll(ids_new.select("id"))
+        .distinct()
+    )
+    old_star_aff = (
+        old_groups.join(F.broadcast(member_ids), "id", "left_semi")
+        .select(F.col("group_id").alias("src"), F.col("id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    groups_delta = _pin(
+        build_groups(identifier_pairs(new_ids).unionAll(old_star_aff), config).join(
+            F.broadcast(member_ids), "id", "left_semi"
+        )
+    )
+    groups = old_groups.join(F.broadcast(member_ids), "id", "left_anti").unionAll(
+        groups_delta
+    )
+    return groups, groups_delta, member_ids
 
 
 def add_datasource(
@@ -424,60 +555,26 @@ def add_datasource(
     config = state.config
     if prefix_map:
         new_rows = normalise_prefixes(new_rows, prefix_map)
+    old_groups = state.graph.groups
 
-    # -- 1. incremental grouping: new pairs ∪ old star edges ------------
+    # -- 1+2. delta-scoped incremental grouping + affected cliques ------
     new_ids = extract_identifiers(new_rows, config)
-    old_star = state.graph.groups.select(
-        F.col("group_id").alias("src"), F.col("id").alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
-    # localCheckpoint (eager): groups and merged are read by many
-    # downstream branches — without cutting lineage here, the CC loop's
-    # plan is re-inlined into every consumer and the composed plan
-    # explodes (driver OOM at analysis time on deep graphs)
-    groups = build_groups(
-        identifier_pairs(new_ids).unionAll(old_star), config
-    ).localCheckpoint()
-
-    # -- 2. affected cliques: canonical ids touched by any new id -------
-    ids_new = new_ids.select("id").distinct()
-    affected = _pin(
-        ids_new.join(groups, "id", "left")
-        .select(F.coalesce("group_id", F.col("id")).alias("node_id"))
-        .distinct()
-    )
-    # every member id of an affected clique (non-clique new ids map to
-    # themselves — their singleton is "affected" too)
-    member_ids = _pin(
-        groups.join(affected, groups.group_id == affected.node_id, "left_semi")
-        .select("id")
-        .unionAll(affected.select(F.col("node_id").alias("id")))
-        .distinct()
-    )
+    groups, groups_delta, member_ids = _grow_groups(old_groups, new_ids, config)
+    affected = _affected_of(groups_delta, member_ids)
 
     # -- 2b. cross-clique reference invalidation ------------------------
     # (scan the OLD corpus only: every new-source entity's clique is
-    # already affected by construction of step 2)
+    # already affected by construction)
     affected, member_ids = _expand_affected_for_references(
-        state.rows, state.graph.groups, groups, affected, member_ids, config
+        state.rows, old_groups, groups, affected, member_ids, config
     )
 
     # -- 3. re-merge affected cliques from pre-assignment rows ----------
     all_rows = state.rows.unionByName(new_rows)
-    touched_entities = (
-        extract_identifiers(all_rows, config)
-        .join(member_ids, "id", "left_semi")
-        .select("datasource", "entity_id")
-        .distinct()
-    )
-    changed_rows = _pin(
-        all_rows.join(touched_entities, ["datasource", "entity_id"], "left_semi")
-    )
-    merged_delta = merge_nodes(
-        lift_types(assign_ids(changed_rows, groups, config), config), config
-    )
-    unchanged, removed_old = _split_old_merged(state.graph.merged, groups, affected)
+    merged_delta = _remerge(all_rows, member_ids, groups, config)
+    unchanged, removed_old = _split_old_merged(state.graph.merged, member_ids)
 
-    # -- 4. delta index + materialise over the clique-granular split ----
+    # -- 4+5. delta index + materialise over the clique-granular split --
     return _delta_finish(
         state, groups, all_rows, unchanged, removed_old, merged_delta, with_stats
     )
@@ -511,15 +608,24 @@ def _regroup_after_removal(
     config = state.config
     old_groups = state.graph.groups
 
-    removed_ids = extract_identifiers(removed, config).select("id").distinct()
-    affected_old = _pin(
-        removed_ids.join(old_groups, "id", "left")
-        .select(F.coalesce("group_id", F.col("id")).alias("node_id"))
+    removed_ids = _pin(extract_identifiers(removed, config).select("id").distinct())
+    hit = old_groups.join(
+        F.broadcast(removed_ids), "id", "left_semi"
+    ).localCheckpoint()
+    affected_old = (
+        hit.select(F.col("group_id").alias("node_id"))
+        .unionAll(
+            removed_ids.join(
+                F.broadcast(hit.select("id")), "id", "left_anti"
+            ).select(F.col("id").alias("node_id"))
+        )
         .distinct()
     )
     member_ids = _pin(
         old_groups.join(
-            affected_old, old_groups.group_id == affected_old.node_id, "left_semi"
+            F.broadcast(affected_old),
+            old_groups.group_id == affected_old.node_id,
+            "left_semi",
         )
         .select("id")
         .unionAll(affected_old.select(F.col("node_id").alias("id")))
@@ -528,12 +634,14 @@ def _regroup_after_removal(
 
     rem_ids = extract_identifiers(remaining, config)
     touched_entities = (
-        rem_ids.join(member_ids, "id", "left_semi")
+        rem_ids.join(F.broadcast(member_ids), "id", "left_semi")
         .select("datasource", "entity_id")
         .distinct()
     )
     touched_pairs = identifier_pairs(
-        rem_ids.join(touched_entities, ["datasource", "entity_id"], "left_semi")
+        rem_ids.join(
+            F.broadcast(touched_entities), ["datasource", "entity_id"], "left_semi"
+        )
     )
     # build_groups re-adds the config seed edges; restrict its output to
     # affected members so an UNaffected seed clique is not re-emitted as
@@ -541,22 +649,18 @@ def _regroup_after_removal(
     # a shrunken re-election could conflict). A delta component can never
     # mix member and non-member ids — the bridging seed edge would have
     # made them one old component, i.e. all members.
-    groups_delta = build_groups(touched_pairs, config).join(
-        member_ids, "id", "left_semi"
+    groups_delta = _pin(
+        build_groups(touched_pairs, config).join(
+            F.broadcast(member_ids), "id", "left_semi"
+        )
     )
-    groups = (
-        old_groups.join(member_ids, "id", "left_anti")
-        .unionAll(groups_delta)
-        .localCheckpoint()
+    groups = old_groups.join(F.broadcast(member_ids), "id", "left_anti").unionAll(
+        groups_delta
     )
-    # affected canonicals under the NEW mapping: every member id of an
-    # affected old clique, mapped through the new groups (split cliques
-    # yield several canonicals; ids that vanished entirely map to self)
-    affected_new = _pin(
-        member_ids.join(groups, "id", "left")
-        .select(F.coalesce("group_id", F.col("id")).alias("node_id"))
-        .distinct()
-    )
+    # affected canonicals under the NEW mapping: split cliques yield
+    # several canonicals; member ids that vanished from the delta map to
+    # themselves
+    affected_new = _affected_of(groups_delta, member_ids)
     return groups, affected_new, member_ids
 
 
@@ -578,20 +682,8 @@ def remove_datasource(
         remaining, state.graph.groups, groups, affected, member_ids, config
     )
 
-    # re-merge the touched entities' remaining rows; pass the rest through
-    rem_ids = extract_identifiers(remaining, config)
-    touched_entities = (
-        rem_ids.join(member_ids, "id", "left_semi")
-        .select("datasource", "entity_id")
-        .distinct()
-    )
-    changed_rows = _pin(
-        remaining.join(touched_entities, ["datasource", "entity_id"], "left_semi")
-    )
-    merged_delta = merge_nodes(
-        lift_types(assign_ids(changed_rows, groups, config), config), config
-    )
-    unchanged, removed_old = _split_old_merged(state.graph.merged, groups, affected)
+    merged_delta = _remerge(remaining, member_ids, groups, config)
+    unchanged, removed_old = _split_old_merged(state.graph.merged, member_ids)
 
     return _delta_finish(
         state, groups, remaining, unchanged, removed_old, merged_delta, with_stats
@@ -610,7 +702,7 @@ def update_datasource(
     materialise) run ONCE over the union of both phases' affected
     cliques, instead of paying two full delta passes. The grouping
     update runs its two cheap halves (split re-convergence, then
-    new-pairs ∪ star-edges), both delta-scoped.
+    delta-scoped growth over the replacement's pairs).
 
     This is the maintenance verb a real pipeline runs on every refreshed
     dump: same source name, new rows."""
@@ -622,57 +714,30 @@ def update_datasource(
     all_rows = remaining.unionByName(new_rows)
 
     # -- grouping phase 1: split on removal (delta-scoped CC) -----------
-    g1, affected_r, member_r = _regroup_after_removal(state, remaining, removed)
+    g1, _affected_r, member_r = _regroup_after_removal(state, remaining, removed)
 
-    # -- grouping phase 2: fuse on the replacement's pairs --------------
+    # -- grouping phase 2: delta-scoped growth on the replacement -------
     new_ids = extract_identifiers(new_rows, config)
-    g1_star = g1.select(
-        F.col("group_id").alias("src"), F.col("id").alias("dst")
-    ).filter(F.col("src") != F.col("dst"))
-    groups = build_groups(
-        identifier_pairs(new_ids).unionAll(g1_star), config
-    ).localCheckpoint()
+    groups, groups_delta2, member_a = _grow_groups(g1, new_ids, config)
 
-    ids_new = new_ids.select("id").distinct()
-    affected_a = (
-        ids_new.join(groups, "id", "left")
-        .select(F.coalesce("group_id", F.col("id")).alias("node_id"))
-        .distinct()
+    # union of both phases' member sets: phase-1 members whose cliques
+    # the replacement re-fused re-merge once, under the FINAL mapping
+    member_ids = _pin(member_a.unionAll(member_r.select("id")).distinct())
+    # the members' final grouped rows: phase-2 delta ∪ the phase-1 delta
+    # rows phase 2 did not supersede (ids outside phase 2's member set)
+    g1_delta_rest = g1.join(F.broadcast(member_r), "id", "left_semi").join(
+        F.broadcast(member_a), "id", "left_anti"
     )
-    # phase-1 affected canonicals re-mapped through the FINAL groups (a
-    # split clique may have been re-fused by the replacement's pairs)
-    affected = _pin(
-        affected_r.withColumnRenamed("node_id", "id")
-        .join(groups, "id", "left")
-        .select(F.coalesce("group_id", F.col("id")).alias("node_id"))
-        .unionAll(affected_a)
-        .distinct()
-    )
-    member_ids = _pin(
-        groups.join(affected, groups.group_id == affected.node_id, "left_semi")
-        .select("id")
-        .unionAll(affected.select(F.col("node_id").alias("id")))
-        .unionAll(member_r.select("id"))
-        .distinct()
+    affected = _affected_of(
+        groups_delta2.unionAll(g1_delta_rest), member_ids
     )
     affected, member_ids = _expand_affected_for_references(
         remaining, state.graph.groups, groups, affected, member_ids, config
     )
 
     # -- single re-merge over the union of both phases' cliques ---------
-    touched_entities = (
-        extract_identifiers(all_rows, config)
-        .join(member_ids, "id", "left_semi")
-        .select("datasource", "entity_id")
-        .distinct()
-    )
-    changed_rows = _pin(
-        all_rows.join(touched_entities, ["datasource", "entity_id"], "left_semi")
-    )
-    merged_delta = merge_nodes(
-        lift_types(assign_ids(changed_rows, groups, config), config), config
-    )
-    unchanged, removed_old = _split_old_merged(state.graph.merged, groups, affected)
+    merged_delta = _remerge(all_rows, member_ids, groups, config)
+    unchanged, removed_old = _split_old_merged(state.graph.merged, member_ids)
 
     return _delta_finish(
         state, groups, all_rows, unchanged, removed_old, merged_delta, with_stats

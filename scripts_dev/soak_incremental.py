@@ -35,9 +35,22 @@ BASE = "/root/testdata/sf0.1"
 
 
 def _force(graph) -> tuple[int, int]:
-    """Materialise the stages a build would persist (they are already
-    localCheckpoint-backed; counts are then metadata reads)."""
-    return graph.merged.count(), graph.edges.count()
+    """Materialise EVERY table a build persists — merged, edges, node
+    headers, the index side tables, display types, the edge summary —
+    on both sides: the rebuild baseline must pay the same stages the
+    incremental path maintains, or the comparison flatters it."""
+    counts = (
+        graph.merged.count(),
+        graph.edges.count(),
+        graph.nodes.count(),
+        graph.index.prop_counts.count(),
+        graph.index.type_counts.count(),
+        graph.index.names.count(),
+        graph.index.ids.count(),
+        graph.display_types.count(),
+        graph.edge_summary.count(),
+    )
+    return counts[0], counts[1]
 
 
 def main() -> None:

@@ -939,12 +939,18 @@ INC_CONFIG = SubgraphConfig(
 _INC_CACHE: dict[str, dict] = {}
 
 
-def _zone_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _zone_source(
+    spark: SparkSession, sf_dir: str, even_only: bool = False
+) -> DataFrame:
     """A 'map' datasource declaring one grebi:zone_* entity per region,
     equivalent (parity:sameAs) to the region's node — folding it in must
     FUSE each {zone, region} pair into one clique whose canonical is the
-    grebi:-prefixed id, and rewrite every nation's geo:region reference."""
+    grebi:-prefixed id, and rewrite every nation's geo:region reference.
+    ``even_only`` keeps only even region keys — the update_datasource
+    replacement that splits the odd cliques back apart."""
     r = load_tables(spark, sf_dir, ("region",))["region"]
+    if even_only:
+        r = r.filter(F.col("r_regionkey") % 2 == 0)
     zid = F.concat(F.lit("grebi:zone"), F.col("r_regionkey").cast("string"))
     rid = F.concat(F.lit("r:"), F.col("r_regionkey").cast("string"))
 
@@ -978,8 +984,17 @@ def _inc_states(spark: SparkSession, sf_dir: str) -> dict:
       whose identifier_props include parity:sameAs: clique FUSION with a
       canonical flip (grebi:* wins election) plus cross-clique reference
       rewrite of every nation's geo:region value.
+    * ``upd``   — update_datasource('map', even-only zones) applied to
+      ``fused``: one verb must SPLIT the odd cliques back (canonical
+      reverts to r:*, references rewritten back), keep the even cliques
+      fused, and vanish the odd zone entities — remove∘add fused.
     """
-    from ..incremental import add_datasource, build_graph_stateful, remove_datasource
+    from ..incremental import (
+        add_datasource,
+        build_graph_stateful,
+        remove_datasource,
+        update_datasource,
+    )
 
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _INC_CACHE:
@@ -990,7 +1005,10 @@ def _inc_states(spark: SparkSession, sf_dir: str) -> dict:
     s_geo = remove_datasource(s_full, "crm")
     state_b = build_graph_stateful([customers, nations, regions], INC_CONFIG)
     s_fused = add_datasource(state_b, _zone_source(spark, sf_dir))
-    out = {"full": s_full, "geo": s_geo, "fused": s_fused}
+    s_upd = update_datasource(
+        s_fused, "map", _zone_source(spark, sf_dir, even_only=True)
+    )
+    out = {"full": s_full, "geo": s_geo, "fused": s_fused, "upd": s_upd}
     _INC_CACHE[key] = out
     return out
 
@@ -1133,8 +1151,60 @@ ORDER BY node_id, prop_key, value, datasources
 """
 
 
+def incremental_update_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The replace-in-place gate: updating 'map' to even-only zones must,
+    in ONE verb, split every odd {zone, region} clique back apart
+    (canonical reverts to r:*, every referencing nation's geo:region
+    value rewritten back), keep the even cliques fused under grebi:zone*,
+    and vanish the odd zone entities. Full merged triple dump — any stale
+    canonical in either direction hash-mismatches the from-scratch
+    oracle."""
+    merged = _inc_states(spark, sf_dir)["upd"].graph.merged
+    return merged.select(
+        "node_id",
+        "prop_key",
+        "value",
+        F.array_join("datasources", ",").alias("datasources"),
+    ).orderBy("node_id", "prop_key", "value", "datasources")
+
+
+ORACLE_INC_UPDATE_MERGED = """
+WITH canon AS (
+  SELECT r_regionkey AS k, r_name,
+         CASE WHEN r_regionkey % 2 = 0
+              THEN 'grebi:zone' || r_regionkey::varchar
+              ELSE 'r:' || r_regionkey::varchar END AS cid
+  FROM region
+), long_form AS (
+  SELECT 'c:' || c_custkey::varchar AS node_id, 'id' AS prop_key,
+         'c:' || c_custkey::varchar AS value, 'crm' AS ds FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:type', 'crm:Customer', 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:name', c_name, 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:segment', c_mktsegment, 'crm' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:nation',
+                   'n:' || c_nationkey::varchar, 'crm' FROM customer
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'id', 'n:' || n_nationkey::varchar, 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:type', 'geo:Nation', 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'grebi:name', n_name, 'geo' FROM nation
+  UNION ALL SELECT 'n:' || n_nationkey::varchar, 'geo:region', c.cid, 'geo'
+    FROM nation JOIN canon c ON c.k = n_regionkey
+  UNION ALL SELECT c.cid, 'id', c.cid, 'geo' FROM canon c
+  UNION ALL SELECT c.cid, 'grebi:type', 'geo:Region', 'geo' FROM canon c
+  UNION ALL SELECT c.cid, 'grebi:name', c.r_name, 'geo' FROM canon c
+  UNION ALL SELECT c.cid, 'id', c.cid, 'map' FROM canon c WHERE c.k % 2 = 0
+  UNION ALL SELECT c.cid, 'grebi:type', 'geo:Zone', 'map' FROM canon c WHERE c.k % 2 = 0
+  UNION ALL SELECT c.cid, 'parity:sameAs', c.cid, 'map' FROM canon c WHERE c.k % 2 = 0
+)
+SELECT node_id, prop_key, value,
+       string_agg(DISTINCT ds, ',' ORDER BY ds) AS datasources
+FROM long_form GROUP BY node_id, prop_key, value
+ORDER BY node_id, prop_key, value, datasources
+"""
+
+
 QUERIES = {
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
+    "incremental_update_merged": incremental_update_merged,
     "incremental_add_edges": incremental_add_edges,
     "incremental_remove_merge_nodes": incremental_remove_merge_nodes,
     "incremental_remove_index": incremental_remove_index,
@@ -1160,6 +1230,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
+    "incremental_update_merged": ORACLE_INC_UPDATE_MERGED,
     "incremental_add_edges": ORACLE_EDGES_FK,
     "incremental_remove_merge_nodes": ORACLE_INC_REMOVE_MERGE,
     "incremental_remove_index": ORACLE_INC_REMOVE_INDEX,

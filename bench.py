@@ -57,9 +57,14 @@ def main() -> None:
     # survives the per-query clearCache(), so without this warmup the
     # alphabetically-first parity query absorbs the whole one-time build
     # (~5-10 s) into its per-query number.
-    from grebi_spark.plans.parity import _built_graph, _inc_states
+    from grebi_spark.plans.parity import _bio_graph, _built_graph, _inc_states
 
     _built_graph(spark, sf_dir)
+    # ...and the biomedical graph the verbatim reference-Cypher queries
+    # hit (same build-once/query-many split; without this the
+    # alphabetically-first consumer, cypher_otar_ranked, absorbs the
+    # one-time build)
+    _bio_graph(spark, sf_dir)
     # ...and the incrementally-maintained graph states (the incremental_*
     # family is build-once/query-many like the Cypher family; the verb
     # latencies themselves are profiled in PERFORMANCE.md's soak)

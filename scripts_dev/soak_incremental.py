@@ -104,6 +104,29 @@ def main() -> None:
             f"counts match={match} ({inc_counts} vs {scratch_counts})",
             flush=True,
         )
+
+        # the other two verbs, chained on the maintained state: remove
+        # must return exactly to the pre-add table counts; update (half
+        # the zones) must land between the two. Same delta-cost claim.
+        from grebi_spark.incremental import remove_datasource, update_datasource
+        from grebi_spark.plans.parity import _zone_source as _zs
+
+        zones_half = _zs(spark, BASE, even_only=True).localCheckpoint()
+        t0 = time.time()
+        s3 = remove_datasource(s2, "map")
+        rm_counts = _force(s3.graph)
+        t_rm = time.time() - t0
+        t0 = time.time()
+        s4 = update_datasource(s2, "map", zones_half)
+        up_counts = _force(s4.graph)
+        t_up = time.time() - t0
+        print(
+            f"SOAK-INC {n}x verbs: remove {t_rm:.1f}s "
+            f"(counts back to base={rm_counts == base_counts}) | "
+            f"update(half) {t_up:.1f}s (merged {up_counts[0]}, "
+            f"edges {up_counts[1]})",
+            flush=True,
+        )
     spark.stop()
 
 

@@ -443,10 +443,8 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking. Scale shape: assignment is a map-only pass against K
     broadcast literal centroids; written partitioned by cell, a query
     scan prunes to nprobe/K of the data."""
-    import math
-
     from .training import _CENT_CACHE as _KM_CACHE
-    from .training import _assign, _cache_key, _euclid_dist, kmeans_embeddings
+    from .training import _cache_key, _euclid_dist, assign_routed, kmeans_embeddings
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     ckey = _cache_key(spark, sf_dir)
@@ -472,7 +470,9 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v = as_double(F.col("embedding"))
     q = F.array(*[F.lit(x) for x in qv])
-    best = _assign(v, cents)
+    # the gated two-level router (n·2√K) instead of the flat n·K argmin —
+    # the oracle's ``sel`` CTE mirrors the same gate decision
+    best = assign_routed(spark, sf_dir, e, v)
     return (
         e.withColumn("cell", best.getField("cluster"))
         .filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
@@ -501,7 +501,7 @@ probe AS (
 )
 SELECT a.vec_id, a.cluster AS cell,
        round(list_distance(e.embedding::DOUBLE[], qv.q), 6) AS dist
-FROM assign2 a
+FROM sel a
 JOIN embeddings e ON e.vec_id = a.vec_id, qv
 WHERE a.cluster IN (SELECT cluster FROM probe) AND a.vec_id != 0
 ORDER BY dist, a.vec_id
@@ -1149,7 +1149,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         StructType,
     )
 
-    from .training import _CENT_CACHE, _assign, _cache_key, kmeans_embeddings
+    from .training import _CENT_CACHE, _cache_key, assign_routed, kmeans_embeddings
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     ckey = _cache_key(spark, sf_dir)
@@ -1158,6 +1158,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _CENT_CACHE[ckey]  # [(cluster, centroid)] sorted
     cent_of = dict(cents)
     qv = _query_vector(e, sf_dir)
+    # the gated two-level router (n·2√K) instead of the flat n·K argmin —
+    # the coarse-quantizer assignment is the one corpus-wide pass here,
+    # and the oracle's ``sel`` CTE mirrors the same gate decision
+    cell_col = assign_routed(spark, sf_dir, e, as_double(F.col("embedding")))
 
     from .num import half_up as _r6
 
@@ -1173,10 +1177,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             s += (x - y) * (x - y)
         return s
 
-    def _cell(vec) -> int:  # argmin by (rounded dist, cluster), tie -> low id
-        return min((_r6(math.sqrt(_d2_raw(vec, c))), k) for k, c in cents)[1]
-
-    # residual codebook from seeds 1..PQ_K (driver-side: PQ_K vectors)
+    # residual codebook from seeds 1..PQ_K (driver-side: PQ_K vectors,
+    # cells from the SAME routed assignment the corpus pass uses — a
+    # seed landing differently under routing must shift its codebook
+    # entry identically on both sides)
     seed_key = f"pq:{spark.sparkContext.applicationId}:{sf_dir}"
     byid = _IVF_SEED_CACHE.get(seed_key)
     if byid is None:
@@ -1187,11 +1191,17 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         byid = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
         _IVF_SEED_CACHE[seed_key] = byid
+    seed_cells = {
+        int(r["vec_id"]): int(r["cell"])
+        for r in e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= PQ_K))
+        .select("vec_id", cell_col.getField("cluster").alias("cell"))
+        .collect()
+    }
     rcb = []  # rcb[m][k] = residual subvector
     seed_resid = {}
     for k in range(1, PQ_K + 1):
         sv = byid[k]
-        cell = _cell(sv)
+        cell = seed_cells[k]
         seed_resid[k] = [x - y for x, y in zip(sv, cent_of[cell])]
     for m in range(PQ_M):
         rcb.append(
@@ -1222,7 +1232,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = e.filter(F.col("vec_id") != 0).select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
-        _assign(as_double(F.col("embedding")), cents).getField("cluster").alias("cell"),
+        cell_col.getField("cluster").alias("cell"),
     )
     pruned = assigned.filter(F.col("cell").isin(probe_ids))
 
@@ -1288,7 +1298,7 @@ resid AS (
   SELECT a.vec_id, a.cluster,
          list_transform(range(1, 65),
                         i -> e.embedding[i]::DOUBLE - c.c[i]) AS rv
-  FROM assign2 a
+  FROM sel a
   JOIN embeddings e ON a.vec_id = e.vec_id
   JOIN cent2 c ON a.cluster = c.cluster
 ),

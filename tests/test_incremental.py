@@ -282,3 +282,31 @@ def test_update_moves_link_and_stays_delta_sized(update_graphs):
         ).collect()
     ]
     assert vals == ["mondo:0001134"]
+
+
+def test_verb_chain_and_degenerate_verbs(spark):
+    """Chained maintenance (add → remove → re-add) must equal the
+    from-scratch build over the FINAL source set, and the degenerate
+    verbs — adding an empty source, removing an unknown datasource —
+    must be value-identity no-ops (they exercise the empty-delta path
+    end to end: empty CC, empty re-merge, zero count deltas)."""
+    from grebi_spark.incremental import add_datasource, remove_datasource
+
+    base_sources, sssom = _sources(spark)
+    refsrc = base_sources[5]  # the ref:1 annotation source (see _sources)
+    state = build_graph_stateful(base_sources, CONFIG, prefix_map=PM)
+
+    s_e = add_datasource(state, sssom.limit(0), prefix_map=PM)
+    assert _canon(s_e.graph.merged) == _canon(state.graph.merged)
+    assert _canon(s_e.graph.edges) == _canon(state.graph.edges)
+
+    s_n = remove_datasource(state, "no-such-source")
+    assert _canon(s_n.graph.merged) == _canon(state.graph.merged)
+    assert _canon(s_n.graph.edges) == _canon(state.graph.edges)
+
+    s1 = add_datasource(state, sssom, prefix_map=PM)
+    s2 = remove_datasource(s1, "refsrc")
+    s3 = add_datasource(s2, refsrc, prefix_map=PM)
+    scratch = build_graph(base_sources + [sssom], CONFIG, prefix_map=PM)
+    for part in ("groups", "merged", "nodes", "edges"):
+        assert _canon(getattr(s3.graph, part)) == _canon(getattr(scratch, part)), part

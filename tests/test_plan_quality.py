@@ -656,3 +656,27 @@ def test_length_drift_grid_is_broadcast(spark, sf_dir):
     plan = plan_of(source_length_drift(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_incremental_verbs_never_shuffle_the_corpus(spark, sf_dir):
+    """The delta-maintenance contract (incremental.py module docstring):
+    every corpus-sized table in the maintained graph is only ever probed
+    by BROADCAST delta-sized sets. A SortMergeJoin anywhere in the
+    maintained tables' plans means a corpus shuffle crept back in —
+    exactly the regression that made the first delta path 2.5× slower
+    than a from-scratch rebuild at the 64× soak."""
+    from grebi_spark.incremental import add_datasource, build_graph_stateful
+    from grebi_spark.plans.parity import PARITY_CONFIG, _star_graph_long
+
+    customers, nations, regions = _star_graph_long(spark, sf_dir)
+    state = build_graph_stateful([customers, nations], PARITY_CONFIG)
+    s2 = add_datasource(state, regions)
+    for part in ("groups", "merged", "edges", "nodes"):
+        plan = plan_of(getattr(s2.graph, part))
+        assert "SortMergeJoin" not in plan, part
+        assert "BroadcastHashJoin" in plan, part
+    # the refcounted id/name count tables: broadcast-left-join upsert +
+    # broadcast-anti fresh-key leg over the stored (checkpointed) table
+    for part in ("ids", "names"):
+        plan = plan_of(getattr(s2.graph.index, part))
+        assert "SortMergeJoin" not in plan, part

@@ -59,8 +59,9 @@ def build_graph(
       downstream action: planning time, not IO, becomes the bottleneck.
       At cluster scale the blocks live on executor local storage
       (memory then disk), the standard barrier for iterative/multi-stage
-      jobs; for restartability across job failures write the stage to
-      durable parquet instead (plans/runner.write_partitioned).
+      jobs; for restartability across job failures persist the built
+      state to durable parquet instead (incremental.save_state, or
+      sinks/bucketed.write_bucketed_graph for the co-located layout).
     - ``"cache"``: lazy ``.cache()`` only — keeps full lineage (so a
       lost partition can recompute from source), first consumer pays the
       build. Right when only one output will be consumed.

@@ -135,6 +135,11 @@ def tri(spark):
         "add": (state_plus.graph, inc),
         "remove": (state_base.graph, reduced),
         "update": (scratch_v2, upd),
+        # raw inputs for the chain / persistence tests, so they reuse
+        # these builds instead of paying their own
+        "state_base": state_base,
+        "sources": base_sources,
+        "sssom": sssom,
     }
 
 
@@ -284,7 +289,7 @@ def test_update_moves_link_and_stays_delta_sized(update_graphs):
     assert vals == ["mondo:0001134"]
 
 
-def test_verb_chain_and_degenerate_verbs(spark):
+def test_verb_chain_and_degenerate_verbs(spark, tri):
     """Chained maintenance (add → remove → re-add) must equal the
     from-scratch build over the FINAL source set, and the degenerate
     verbs — adding an empty source, removing an unknown datasource —
@@ -292,9 +297,10 @@ def test_verb_chain_and_degenerate_verbs(spark):
     end to end: empty CC, empty re-merge, zero count deltas)."""
     from grebi_spark.incremental import add_datasource, remove_datasource
 
-    base_sources, sssom = _sources(spark)
-    refsrc = base_sources[5]  # the ref:1 annotation source (see _sources)
-    state = build_graph_stateful(base_sources, CONFIG, prefix_map=PM)
+    state = tri["state_base"]
+    sssom = tri["sssom"]
+    refsrc = tri["sources"][5]  # the ref:1 annotation source (see _sources)
+    plus_graph, _ = tri["add"]  # from-scratch build over base + sssom
 
     s_e = add_datasource(state, sssom.limit(0), prefix_map=PM)
     assert _canon(s_e.graph.merged) == _canon(state.graph.merged)
@@ -307,6 +313,35 @@ def test_verb_chain_and_degenerate_verbs(spark):
     s1 = add_datasource(state, sssom, prefix_map=PM)
     s2 = remove_datasource(s1, "refsrc")
     s3 = add_datasource(s2, refsrc, prefix_map=PM)
-    scratch = build_graph(base_sources + [sssom], CONFIG, prefix_map=PM)
     for part in ("groups", "merged", "nodes", "edges"):
-        assert _canon(getattr(s3.graph, part)) == _canon(getattr(scratch, part)), part
+        assert _canon(getattr(s3.graph, part)) == _canon(
+            getattr(plus_graph, part)
+        ), part
+
+
+def test_state_roundtrips_disk_and_resumes_maintenance(spark, tri, tmp_path):
+    """save_state → load_state must reproduce the graph value-for-value,
+    and a verb applied to the RELOADED state must land on the same graph
+    as the live chain — maintenance across sessions (the state's
+    checkpoint blocks die with the JVM; Parquet is the durable form)."""
+    from grebi_spark.incremental import load_state, remove_datasource, save_state
+
+    base_graph, _ = tri["remove"]  # build over base sources only
+    _, live = tri["add"]  # the incrementally-maintained base+sssom state
+
+    path = str(tmp_path / "state")
+    save_state(live, path)
+    reloaded = load_state(spark, path)
+    for part in ("groups", "merged", "nodes", "edges"):
+        assert _canon(getattr(reloaded.graph, part)) == _canon(
+            getattr(live.graph, part)
+        ), part
+    assert reloaded.config == live.config
+
+    # removing the added source from the RELOADED state must return to
+    # the base build exactly — the reloaded counts resume additively
+    on_reloaded = remove_datasource(reloaded, "sssom")
+    for part in ("merged", "edges"):
+        assert _canon(getattr(on_reloaded.graph, part)) == _canon(
+            getattr(base_graph, part)
+        ), part

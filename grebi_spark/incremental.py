@@ -853,3 +853,48 @@ def load_state(spark, path: str) -> GraphState:
             name_counts=rd["name_counts"], id_counts=rd["id_counts"]
         ),
     )
+
+
+def compact_state(state: GraphState) -> GraphState:
+    """Flatten the pass-through chains a SEQUENCE of verbs builds up.
+
+    Each verb leaves the unchanged half of every corpus table as a lazy
+    broadcast-anti over the previous state's tables — LSM-style levels:
+    correct at any depth, but after many verbs every scan re-applies the
+    whole chain. One corpus materialisation per table resets every chain
+    to a flat checkpoint scan; run it every N verbs, or when scan
+    amplification shows. The durable form of the same operation is
+    ``save_state`` (write) + ``load_state`` (reopen) — at rest this is
+    the compaction a bucketed layout runs by rewriting its levels."""
+    counts = _ensure_counts(state)
+    g = state.graph
+    merged = g.merged.localCheckpoint()
+    nodes = g.nodes.localCheckpoint()
+    edges = g.edges.localCheckpoint()
+    groups = g.groups.localCheckpoint()
+    name_counts = counts.name_counts.localCheckpoint()
+    id_counts = counts.id_counts.localCheckpoint()
+    type_counts = g.index.type_counts.localCheckpoint()
+    index = GraphIndex(
+        prop_counts=g.index.prop_counts.localCheckpoint(),
+        edge_prop_counts=g.index.edge_prop_counts.localCheckpoint(),
+        type_counts=type_counts,
+        names=name_counts.select("name"),
+        ids=id_counts.select("id"),
+        metadata=nodes,
+    )
+    graph = BuiltGraph(
+        groups=groups,
+        merged=merged,
+        nodes=nodes,
+        edges=edges,
+        index=index,
+        display_types=display_types(nodes, type_counts),
+        edge_summary=g.edge_summary.localCheckpoint(),
+    )
+    return GraphState(
+        rows=state.rows.localCheckpoint(),
+        graph=graph,
+        config=state.config,
+        counts=IndexCounts(name_counts=name_counts, id_counts=id_counts),
+    )

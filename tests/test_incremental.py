@@ -345,3 +345,28 @@ def test_state_roundtrips_disk_and_resumes_maintenance(spark, tri, tmp_path):
         assert _canon(getattr(on_reloaded.graph, part)) == _canon(
             getattr(base_graph, part)
         ), part
+
+
+def test_compact_state_preserves_values_and_flattens_plans(spark, tri):
+    """compact_state must be a value-identity that resets the chained
+    pass-through plans to flat checkpoint scans (no joins left in the
+    maintained tables' plans), and maintenance must continue on the
+    compacted state."""
+    import contextlib
+    import io
+
+    from grebi_spark.incremental import compact_state, remove_datasource
+
+    base_graph, _ = tri["remove"]
+    _, live = tri["add"]
+    compacted = compact_state(live)
+    for part in ("groups", "merged", "nodes", "edges"):
+        assert _canon(getattr(compacted.graph, part)) == _canon(
+            getattr(live.graph, part)
+        ), part
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        compacted.graph.merged.explain(mode="simple")
+    assert "Join" not in buf.getvalue()  # flat scan, chain gone
+    on_compacted = remove_datasource(compacted, "sssom")
+    assert _canon(on_compacted.graph.merged) == _canon(base_graph.merged)

@@ -774,7 +774,11 @@ def save_state(state: GraphState, path: str) -> None:
     per frame plus the config as JSON. At a production deployment the
     node-keyed tables would be written BUCKETED (sinks/bucketed.py) so
     the delta path's broadcast probes become co-located bucket reads;
-    plain Parquet keeps the round-trip engine-portable here."""
+    plain Parquet keeps the round-trip engine-portable here.
+
+    Not transactional across frames: a crash mid-save leaves a mixed
+    snapshot. Write each snapshot to a fresh directory and publish by
+    switching a pointer (or use a table format with atomic commits)."""
     import dataclasses
     import json as _json
 

@@ -989,6 +989,13 @@ def _inc_states(spark: SparkSession, sf_dir: str) -> dict:
       reverts to r:*, references rewritten back), keep the even cliques
       fused, and vanish the odd zone entities — remove∘add fused.
     """
+    return {k: _inc_state(spark, sf_dir, k) for k in ("full", "geo", "fused", "upd")}
+
+
+def _inc_state(spark: SparkSession, sf_dir: str, which: str):
+    """One maintained state, built lazily per (session, sf_dir, state) —
+    a query sampled cold pays only its own dependency chain (geo needs
+    full; upd needs fused), not the whole family."""
     from ..incremental import (
         add_datasource,
         build_graph_stateful,
@@ -996,19 +1003,26 @@ def _inc_states(spark: SparkSession, sf_dir: str) -> dict:
         update_datasource,
     )
 
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}:{which}"
     if key in _INC_CACHE:
         return _INC_CACHE[key]
     customers, nations, regions = _star_graph_long(spark, sf_dir)
-    state = build_graph_stateful([customers, nations], PARITY_CONFIG)
-    s_full = add_datasource(state, regions)
-    s_geo = remove_datasource(s_full, "crm")
-    state_b = build_graph_stateful([customers, nations, regions], INC_CONFIG)
-    s_fused = add_datasource(state_b, _zone_source(spark, sf_dir))
-    s_upd = update_datasource(
-        s_fused, "map", _zone_source(spark, sf_dir, even_only=True)
-    )
-    out = {"full": s_full, "geo": s_geo, "fused": s_fused, "upd": s_upd}
+    if which == "full":
+        state = build_graph_stateful([customers, nations], PARITY_CONFIG)
+        out = add_datasource(state, regions)
+    elif which == "geo":
+        out = remove_datasource(_inc_state(spark, sf_dir, "full"), "crm")
+    elif which == "fused":
+        state_b = build_graph_stateful([customers, nations, regions], INC_CONFIG)
+        out = add_datasource(state_b, _zone_source(spark, sf_dir))
+    elif which == "upd":
+        out = update_datasource(
+            _inc_state(spark, sf_dir, "fused"),
+            "map",
+            _zone_source(spark, sf_dir, even_only=True),
+        )
+    else:  # pragma: no cover - caller bug
+        raise ValueError(which)
     _INC_CACHE[key] = out
     return out
 
@@ -1033,7 +1047,7 @@ def incremental_add_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """add_datasource correctness gate: the incrementally-grown graph's
     merged profile vs the oracle's from-scratch build over all three
     sources (same SQL as graph_merge_nodes — equality IS the contract)."""
-    return _merge_profile(_inc_states(spark, sf_dir)["full"].graph.merged)
+    return _merge_profile(_inc_state(spark, sf_dir, "full").graph.merged)
 
 
 def incremental_add_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1041,7 +1055,7 @@ def incremental_add_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     geo:region value resolvable, so the BORN-edge leg (unchanged rows ⋈
     newly-born ids) must emit exactly the nation→region FK edges next to
     the pass-through customer→nation set."""
-    edges = _inc_states(spark, sf_dir)["full"].graph.edges
+    edges = _inc_state(spark, sf_dir, "full").graph.edges
     return (
         edges.groupBy("edge_type", "to_id")
         .agg(F.count("*").alias("n_edges"))
@@ -1053,7 +1067,7 @@ def incremental_remove_merge_nodes(spark: SparkSession, sf_dir: str) -> DataFram
     """remove_datasource gate, chained on the incrementally-grown state:
     retiring 'crm' must vanish every customer node and leave the
     geo-only graph — value-identical to never having ingested crm."""
-    return _merge_profile(_inc_states(spark, sf_dir)["geo"].graph.merged)
+    return _merge_profile(_inc_state(spark, sf_dir, "geo").graph.merged)
 
 
 ORACLE_INC_REMOVE_MERGE = """
@@ -1082,7 +1096,7 @@ def incremental_remove_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ADDITIVE index gate: after the chained add + remove, the
     maintained per-prop counts (old − removed + added, outer-join merge)
     must equal a fresh aggregation over the surviving corpus."""
-    pc = _inc_states(spark, sf_dir)["geo"].graph.index.prop_counts
+    pc = _inc_state(spark, sf_dir, "geo").graph.index.prop_counts
     return pc.orderBy("prop_key")
 
 
@@ -1111,7 +1125,7 @@ def incremental_fuse_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference invalidation must rewrite every nation's geo:region value
     and the fused rows' own id/sameAs strings. Full merged triple dump —
     any stale canonical anywhere hash-mismatches."""
-    merged = _inc_states(spark, sf_dir)["fused"].graph.merged
+    merged = _inc_state(spark, sf_dir, "fused").graph.merged
     return merged.select(
         "node_id",
         "prop_key",
@@ -1159,7 +1173,7 @@ def incremental_update_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     and vanish the odd zone entities. Full merged triple dump — any stale
     canonical in either direction hash-mismatches the from-scratch
     oracle."""
-    merged = _inc_states(spark, sf_dir)["upd"].graph.merged
+    merged = _inc_state(spark, sf_dir, "upd").graph.merged
     return merged.select(
         "node_id",
         "prop_key",

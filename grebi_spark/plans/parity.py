@@ -1216,8 +1216,34 @@ ORDER BY node_id, prop_key, value, datasources
 """
 
 
+def incremental_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The durable-state gate, driver-visible: save_state → load_state of
+    the 'fused' maintained graph, then dump the RELOADED merged frame —
+    it must hash-match the same from-scratch DuckDB oracle the live state
+    matches, proving the maintained graph round-trips Parquet
+    value-for-value (the suite additionally proves maintenance RESUMES
+    on the reloaded state)."""
+    import tempfile
+
+    from ..incremental import load_state, save_state
+
+    key = f"persist:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _INC_CACHE:
+        path = tempfile.mkdtemp(prefix="grebi_state_")
+        save_state(_inc_state(spark, sf_dir, "fused"), path)
+        _INC_CACHE[key] = load_state(spark, path)
+    merged = _INC_CACHE[key].graph.merged
+    return merged.select(
+        "node_id",
+        "prop_key",
+        "value",
+        F.array_join("datasources", ",").alias("datasources"),
+    ).orderBy("node_id", "prop_key", "value", "datasources")
+
+
 QUERIES = {
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
+    "incremental_persist_roundtrip": incremental_persist_roundtrip,
     "incremental_update_merged": incremental_update_merged,
     "incremental_add_edges": incremental_add_edges,
     "incremental_remove_merge_nodes": incremental_remove_merge_nodes,
@@ -1244,6 +1270,7 @@ QUERIES = {
 
 ORACLES = {
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
+    "incremental_persist_roundtrip": ORACLE_INC_FUSE_MERGED,
     "incremental_update_merged": ORACLE_INC_UPDATE_MERGED,
     "incremental_add_edges": ORACLE_EDGES_FK,
     "incremental_remove_merge_nodes": ORACLE_INC_REMOVE_MERGE,

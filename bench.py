@@ -69,6 +69,9 @@ def main() -> None:
     # family is build-once/query-many like the Cypher family; the verb
     # latencies themselves are profiled in PERFORMANCE.md's soak)
     _inc_states(spark, sf_dir)
+    # ...and the save→load persisted state (one-time disk round-trip;
+    # the query then reads the reloaded Parquet scans)
+    queries["incremental_persist_roundtrip"](spark, sf_dir).limit(1).collect()
     # ...and the trained k-means centroids, the other session-shared
     # artifact (the trained-IVF index): train-once/query-many — without
     # this the alphabetically-first consumer (ann_ivf_trained_topk)

@@ -56,10 +56,12 @@ lazy unions over the previous state's checkpointed tables, which is
 exactly the copy-on-write layout a bucketed-Parquet deployment gets by
 rewriting only affected partitions.
 
-``display_types`` is recomputed (a narrow per-node argmin against the
-broadcast type counts): a changed GLOBAL type count can legally flip the
-display type of an untouched node, so the pass is corpus-wide by
-semantics — but it scans two slim columns, not the merged long table.
+``display_types`` is maintained delta-wise too: a changed GLOBAL type
+count can legally flip the display type of an untouched node, but only
+of nodes CARRYING a changed type — so the recompute is restricted to
+(nodes with any changed type ∪ re-merged cliques), candidate-sized in
+the common case and legitimately corpus-wide only when a ubiquitous
+type's count changed.
 
 Equivalence with a from-scratch build over the union of sources is the
 correctness contract, asserted by ``tests/test_incremental.py`` and by
@@ -310,6 +312,37 @@ def _delta_finish(
         "n_edges",
     ).localCheckpoint()
 
+    # -- delta display types --------------------------------------------
+    # display(n) = argmin over (global count(t), t) for t ∈ types(n), so
+    # only nodes carrying a type whose GLOBAL count changed — plus the
+    # re-merged cliques — can flip; everything else passes through. This
+    # replaces the per-verb corpus explode+shuffle with a candidate-sized
+    # one (worst case — a ubiquitous type's count changed — legitimately
+    # degrades to the full pass, because all those argmin inputs changed).
+    changed_types = _pin(
+        type_counts_of(removed_old)
+        .select("type")
+        .unionAll(type_counts_of(merged_delta).select("type"))
+        .distinct()
+    )
+    cand_ids = (
+        meta.select("node_id", F.explode("types").alias("type"))
+        .join(F.broadcast(changed_types), "type", "left_semi")
+        .select("node_id")
+        .distinct()
+    )
+    recompute_ids = _pin(cand_ids.unionAll(new_canons).distinct())
+    dtypes = old.display_types.join(
+        F.broadcast(recompute_ids.unionAll(R).distinct()),
+        "node_id",
+        "left_anti",
+    ).unionByName(
+        display_types(
+            meta.join(F.broadcast(recompute_ids), "node_id", "left_semi"),
+            type_counts,
+        )
+    )
+
     index = GraphIndex(
         prop_counts=prop_counts,
         edge_prop_counts=edge_prop_counts,
@@ -324,7 +357,7 @@ def _delta_finish(
         nodes=meta,
         edges=edges,
         index=index,
-        display_types=display_types(meta, type_counts),
+        display_types=dtypes,
         edge_summary=summary,
     )
     stats = {}

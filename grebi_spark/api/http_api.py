@@ -44,7 +44,6 @@ from ..pipeline import BuiltGraph
 from ..plans.graph_queries import (
     graph_stats,
     incoming_edges,
-    resolve_alias,
     search_nodes,
 )
 
@@ -109,6 +108,36 @@ def node_document(graph: BuiltGraph, node_id: str) -> dict | None:
     for r in props:
         doc.setdefault(r["prop_key"], list(r["values"]))
     return doc
+
+
+def resolve_documents(graph: BuiltGraph, alias_id: str) -> list[dict]:
+    """DataFrame-served twin of the KV resolve path, SAME response
+    shape: the stored JSON documents ({node_id, subgraph, properties}
+    for nodes, the edge row for edge ids), built from the exact
+    kv_node_table/kv_edge_table serializers — so /resolve clients see
+    one schema whether or not the subgraph has a KV store configured."""
+    from ..sinks.kv import kv_edge_table, kv_node_table
+
+    ids = (
+        graph.nodes.filter(
+            (F.col("node_id") == alias_id)
+            | F.array_contains("source_ids", alias_id)
+        ).select("node_id")
+    )
+    docs = [
+        json.loads(r["json"])
+        for r in kv_node_table(
+            graph.merged.join(F.broadcast(ids), "node_id", "left_semi")
+        ).collect()
+    ]
+    if not docs:  # maybe an edge id — the KV store serves those too
+        docs = [
+            json.loads(r["json"])
+            for r in kv_edge_table(
+                graph.edges.filter(F.col("edge_id") == alias_id)
+            ).collect()
+        ]
+    return docs
 
 
 def _rows(df) -> list[dict]:
@@ -225,7 +254,7 @@ class GrebiApiServer:
                     return 200, [
                         json.loads(v) for v in got.values()
                     ]
-                return 200, _rows(resolve_alias(g, tail[1]))
+                return 200, resolve_documents(g, tail[1])
             if len(tail) >= 2 and tail[0] == "nodes":
                 node_id = tail[1]
                 if len(tail) == 2:

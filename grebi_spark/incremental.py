@@ -393,6 +393,24 @@ def _affected_of(groups_delta: DataFrame, member_ids: DataFrame) -> DataFrame:
     )
 
 
+def _canons_of(ids: DataFrame, groups: DataFrame) -> DataFrame:
+    """Canonicals of an id set under an EXISTING mapping: ids found in
+    ``groups`` map to their group_id; misses map to themselves
+    (singletons). ``ids`` is delta-sized and broadcast both ways; the
+    stored groups table is only semi-probed, never shuffled. Returns a
+    distinct ``node_id`` column, ``.localCheckpoint()``-pinned."""
+    hit = groups.join(F.broadcast(ids), "id", "left_semi").localCheckpoint()
+    return (
+        hit.select(F.col("group_id").alias("node_id"))
+        .unionAll(
+            ids.join(F.broadcast(hit.select("id")), "id", "left_anti").select(
+                F.col("id").alias("node_id")
+            )
+        )
+        .distinct()
+    )
+
+
 def _expand_affected_for_references(
     scan_rows: DataFrame,
     old_groups: DataFrame,
@@ -451,16 +469,7 @@ def _expand_affected_for_references(
         F.broadcast(ref_entities), ["datasource", "entity_id"], "left_semi"
     )
     ref_ids = _pin(extract_identifiers(ref_rows, config).select("id").distinct())
-    hit = groups.join(F.broadcast(ref_ids), "id", "left_semi").localCheckpoint()
-    ref_canons = (
-        hit.select(F.col("group_id").alias("node_id"))
-        .unionAll(
-            ref_ids.join(F.broadcast(hit.select("id")), "id", "left_anti").select(
-                F.col("id").alias("node_id")
-            )
-        )
-        .distinct()
-    )
+    ref_canons = _canons_of(ref_ids, groups)
     affected = _pin(affected.unionByName(ref_canons).distinct())
     member_ids = _pin(
         member_ids.unionAll(
@@ -542,16 +551,7 @@ def _grow_groups(
     re-emitted (a seed edge bridging outside the member set would have
     made its endpoints old co-members — i.e. affected)."""
     ids_new = _pin(new_ids.select("id").distinct())
-    hit = old_groups.join(F.broadcast(ids_new), "id", "left_semi").localCheckpoint()
-    aff_old = (
-        hit.select(F.col("group_id").alias("node_id"))
-        .unionAll(
-            ids_new.join(F.broadcast(hit.select("id")), "id", "left_anti").select(
-                F.col("id").alias("node_id")
-            )
-        )
-        .distinct()
-    )
+    aff_old = _canons_of(ids_new, old_groups)
     member_ids = _pin(
         old_groups.join(
             F.broadcast(aff_old), old_groups.group_id == aff_old.node_id, "left_semi"
@@ -642,18 +642,7 @@ def _regroup_after_removal(
     old_groups = state.graph.groups
 
     removed_ids = _pin(extract_identifiers(removed, config).select("id").distinct())
-    hit = old_groups.join(
-        F.broadcast(removed_ids), "id", "left_semi"
-    ).localCheckpoint()
-    affected_old = (
-        hit.select(F.col("group_id").alias("node_id"))
-        .unionAll(
-            removed_ids.join(
-                F.broadcast(hit.select("id")), "id", "left_anti"
-            ).select(F.col("id").alias("node_id"))
-        )
-        .distinct()
-    )
+    affected_old = _canons_of(removed_ids, old_groups)
     member_ids = _pin(
         old_groups.join(
             F.broadcast(affected_old),
@@ -926,7 +915,7 @@ def compact_state(state: GraphState) -> GraphState:
         nodes=nodes,
         edges=edges,
         index=index,
-        display_types=display_types(nodes, type_counts),
+        display_types=g.display_types.localCheckpoint(),
         edge_summary=g.edge_summary.localCheckpoint(),
     )
     return GraphState(

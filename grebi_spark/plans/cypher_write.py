@@ -299,12 +299,19 @@ def _plan_delete(graph: BuiltGraph, text: str) -> MutationResult:
             graph, f"{head.strip()} RETURN DISTINCT {a} AS from_id, {b} AS to_id"
         ).localCheckpoint()
         directed = bool(left) != bool(right)
-        if not directed or left:  # undirected or right-to-left: reversed too
-            pairs = pairs.unionByName(
-                pairs.select(
-                    F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id")
-                )
-            ).distinct()
+        # `pairs` names the FIRST pattern endpoint from_id. For a
+        # left-directed pattern (a)<-[r]-(b) the matched edges run b→a,
+        # so the stored orientation is the SWAP of the returned columns —
+        # use only the swap, never both (dooming both orientations would
+        # delete forward edges the pattern never matched). Undirected
+        # patterns match either orientation, so only they union both.
+        swapped = pairs.select(
+            F.col("to_id").alias("from_id"), F.col("from_id").alias("to_id")
+        )
+        if not directed:
+            pairs = pairs.unionByName(swapped).distinct()
+        elif left:
+            pairs = swapped
         doomed = graph.edges.join(pairs, ["from_id", "to_id"], "semi")
         if etype:
             doomed = doomed.filter(F.col("edge_type") == etype.strip())

@@ -78,9 +78,13 @@ def resolve(
 ) -> DataFrame:
     """multiGet with alias resolution: ids may be any source id, node
     id, or (when the store was written with edges) an edge id — edge
-    hits come back with alias == node_id == the edge id, same shape."""
-    import os
+    hits come back with alias == node_id == the edge id, same shape.
 
+    The edges_kv probe goes through the Spark reader (AnalysisException
+    on absence), not a driver-local ``os.path`` check: ``kv_dir`` may be
+    any Hadoop-compatible URI (hdfs://, s3a://) that the driver's local
+    filesystem cannot see — a local-FS probe would silently skip edge
+    resolution on exactly the deployments that need it."""
     probe = spark.createDataFrame([(i,) for i in ids], ["alias"])
     alias_kv = spark.read.parquet(f"{kv_dir}/alias_kv")
     nodes_kv = spark.read.parquet(f"{kv_dir}/nodes_kv")
@@ -88,8 +92,11 @@ def resolve(
     out = resolved.join(nodes_kv, resolved.node_id == nodes_kv.id).select(
         "alias", "node_id", "json"
     )
-    if os.path.exists(f"{kv_dir}/edges_kv"):
+    try:
         edges_kv = spark.read.parquet(f"{kv_dir}/edges_kv")
+    except Exception:  # store written without edges (write_kv edges=None)
+        edges_kv = None
+    if edges_kv is not None:
         out = out.unionByName(
             edges_kv.join(F.broadcast(probe), edges_kv["id"] == probe["alias"]).select(
                 "alias", F.col("id").alias("node_id"), "json"

@@ -191,6 +191,11 @@ class GrebiJsonlStreamReader:
     def __init__(self, schema: StructType, options: dict) -> None:
         self._schema = schema
         self._path = options.get("path")
+        # legacyOffsetPolicy: how to resume from a checkpoint written by
+        # the pre-name-set version ({"n_files": N}). "error" (default)
+        # rejects ambiguous offsets; "first_n" opts into the best-effort
+        # count→first-N-sorted-names mapping (see _offset_files).
+        self._legacy_policy = options.get("legacyOffsetPolicy", "error")
         if not self._path:
             raise ValueError("grebi_jsonl requires a path")
 
@@ -213,17 +218,34 @@ class GrebiJsonlStreamReader:
         return {"files": []}
 
     def _offset_files(self, offset: dict) -> set[str]:
-        """Offset → consumed-name set, accepting the LEGACY format too:
+        """Offset → consumed-name set, handling the LEGACY format too:
         checkpoints written by the previous version stored
-        ``{"n_files": N}`` (a count into the sorted listing). Map that to
-        the first N sorted names of the current listing — exactly the
-        files the old reader had consumed, since it only ever appended in
-        sorted order — so an in-flight checkpoint resumes instead of
-        raising KeyError."""
+        ``{"n_files": N}`` (a count into the sorted listing AT CHECKPOINT
+        TIME). N = 0 migrates exactly (the empty set). N > 0 is
+        genuinely ambiguous: a file that arrived after the checkpoint
+        and sorts early (append-mode shard names carry uuids, so this is
+        routine) would be silently marked consumed-but-never-read by a
+        count→first-N mapping, while a late-sorting consumed file would
+        be re-read. Default policy is therefore a clear error telling
+        the operator to either restart the checkpoint or opt into the
+        best-effort mapping with ``legacyOffsetPolicy=first_n`` (safe
+        exactly when no file was added since the legacy checkpoint)."""
         if "files" in offset:
             return set(offset["files"])
         if "n_files" in offset:
-            return set(self._names()[: offset["n_files"]])
+            n = offset["n_files"]
+            if n == 0:
+                return set()
+            if self._legacy_policy == "first_n":
+                return set(self._names()[:n])
+            raise ValueError(
+                "grebi_jsonl checkpoint holds a legacy {'n_files': %d} "
+                "offset; the consumed-file SET it abbreviates cannot be "
+                "reconstructed if the directory changed since. Restart "
+                "with a fresh checkpoint location, or — if no file was "
+                "added to %r since that checkpoint — resume with "
+                ".option('legacyOffsetPolicy', 'first_n')." % (n, self._path)
+            )
         raise ValueError(f"unrecognized grebi_jsonl stream offset: {offset!r}")
 
     def read(self, start: dict):

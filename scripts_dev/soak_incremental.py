@@ -59,7 +59,6 @@ def main() -> None:
     for n in ns:
         customers, nations, regions = _star_graph_long(spark, BASE)
         if n > 1:
-            span = 10_000_000
             reps = [customers] + [
                 customers.withColumn(
                     "entity_id",
@@ -76,7 +75,6 @@ def main() -> None:
             customers = reps[0]
             for p in reps[1:]:
                 customers = customers.unionByName(p)
-            _ = span
         customers = customers.localCheckpoint()
         sources = [customers, nations, regions]
         zones = _zone_source(spark, BASE).localCheckpoint()
@@ -109,9 +107,8 @@ def main() -> None:
         # must return exactly to the pre-add table counts; update (half
         # the zones) must land between the two. Same delta-cost claim.
         from grebi_spark.incremental import remove_datasource, update_datasource
-        from grebi_spark.plans.parity import _zone_source as _zs
 
-        zones_half = _zs(spark, BASE, even_only=True).localCheckpoint()
+        zones_half = _zone_source(spark, BASE, even_only=True).localCheckpoint()
         t0 = time.time()
         s3 = remove_datasource(s2, "map")
         rm_counts = _force(s3.graph)

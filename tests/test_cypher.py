@@ -438,6 +438,50 @@ DELETE r
     )
 
 
+def test_left_directed_edge_delete_spares_forward_edges(graph):  # noqa: F811
+    """A LEFT-directed edge pattern (a)<-[r:T]-(b) matches only b→a
+    edges; DELETE r must not also doom the a→b orientation. Regression:
+    the doomed-pair set used to union BOTH orientations for directed-left
+    patterns, deleting forward edges the pattern never matched."""
+    from dataclasses import replace
+
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    fwd = graph.edges.filter(F.col("edge_type") == "impc:humanGeneOrthologues")
+    n_fwd = fwd.count()
+    assert n_fwd > 0
+    # plant ONE reverse edge (hg→mg) of the same type
+    rev = (
+        fwd.limit(1)
+        .select(
+            F.sha1(F.concat_ws("|", F.lit("rev"), "edge_id")).alias("edge_id"),
+            "edge_type",
+            "subgraph",
+            F.col("to_id").alias("from_id"),
+            F.col("from_id").alias("to_id"),
+            "datasources",
+            "from_source_ids",
+            "value_props",
+        )
+    )
+    g = replace(graph, edges=graph.edges.unionByName(rev).localCheckpoint())
+
+    stmt = """
+MATCH (mg:`impc:MouseGene`)<-[r:`impc:humanGeneOrthologues`]-(hg:`hgnc:Gene`)
+CALL {
+WITH r
+DELETE r
+} IN TRANSACTIONS
+"""
+    g2 = run_cypher_mutation(g, stmt).graph
+    surviving = g2.edges.filter(F.col("edge_type") == "impc:humanGeneOrthologues")
+    # the reverse edge died; every forward edge survived
+    assert surviving.count() == n_fwd
+    assert surviving.join(
+        fwd.select("edge_id"), "edge_id", "left_semi"
+    ).count() == n_fwd
+
+
 def test_delete_unknown_variable_raises(graph):  # noqa: F811
     from grebi_spark.plans.cypher_write import run_cypher_mutation
 

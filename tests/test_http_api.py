@@ -78,6 +78,9 @@ def test_suggest_and_resolve(server):
     assert st == 200 and any(n.lower().startswith("hyper") for n in names)
     st, rows = _get(server, "/api/v1/subgraphs/main/resolve/mp:0002169")
     assert st == 200 and len(rows) == 1
+    # the DataFrame fallback serves the SAME document shape as the
+    # KV-backed path (test_kv_backed_resolve): full stored JSON
+    assert rows[0]["node_id"] and rows[0]["properties"]
 
 
 def test_unknown_routes(server):

@@ -534,8 +534,11 @@ def test_python_datasource_append_twice_accumulates(spark, tmp_path):
 
 
 def test_stream_reader_legacy_offset_migration(tmp_path):
-    """A checkpoint written by the previous offset format {"n_files": N}
-    resumes cleanly: the count maps to the first N sorted names."""
+    """Legacy {"n_files": N} offsets: N=0 migrates exactly; N>0 is
+    ambiguous (a post-checkpoint file can sort into the first N, so the
+    count→first-N mapping would mark it consumed without reading it) and
+    errors by default, resuming only under legacyOffsetPolicy=first_n."""
+    import pytest
     from pyspark.sql.types import LongType, StructField, StructType
 
     from grebi_spark.sources.pysource import GrebiJsonlStreamReader
@@ -544,15 +547,33 @@ def test_stream_reader_legacy_offset_migration(tmp_path):
     d.mkdir()
     for i in range(3):
         (d / f"{i:03d}.jsonl").write_text('{"doc_id": %d}\n' % i)
-    rdr = GrebiJsonlStreamReader(
-        StructType([StructField("doc_id", LongType())]), {"path": str(d)}
+    schema = StructType([StructField("doc_id", LongType())])
+
+    # N=0 is exact under the default policy
+    rdr = GrebiJsonlStreamReader(schema, {"path": str(d)})
+    rows, end = rdr.read({"n_files": 0})
+    assert sorted(r[0] for r in rows) == [0, 1, 2]
+
+    # N>0 is rejected with an actionable error by default
+    with pytest.raises(ValueError, match="legacyOffsetPolicy"):
+        rdr.read({"n_files": 2})
+
+    # opt-in: the unchanged-directory mapping resumes
+    opt = GrebiJsonlStreamReader(
+        schema, {"path": str(d), "legacyOffsetPolicy": "first_n"}
     )
-    rows, end = rdr.read({"n_files": 2})  # legacy: first 2 consumed
+    rows, end = opt.read({"n_files": 2})  # legacy: first 2 consumed
     assert [r[0] for r in rows] == [2]
     assert end == {"files": ["000.jsonl", "001.jsonl", "002.jsonl"]}
     # between-offsets replay across formats
-    replay = list(rdr.readBetweenOffsets({"n_files": 1}, end))
+    replay = list(opt.readBetweenOffsets({"n_files": 1}, end))
     assert [r[0] for r in replay] == [1, 2]
+
+    # the ambiguity the default guards against: a new early-sorting file
+    # would be silently skipped by the first_n mapping
+    (d / "0000-late-arrival.jsonl").write_text('{"doc_id": 99}\n')
+    rows2, _ = opt.read({"n_files": 2})
+    assert 99 not in [r[0] for r in rows2]  # documented first_n hazard
 
 
 def test_half_up_negative_matches_oracle():

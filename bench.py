@@ -72,6 +72,10 @@ def main() -> None:
     # ...and the save→load persisted state (one-time disk round-trip;
     # the query then reads the reloaded Parquet scans)
     queries["incremental_persist_roundtrip"](spark, sf_dir).limit(1).collect()
+    # ...and the streaming-maintenance fold (two availableNow drains +
+    # two incremental adds — the one-time continuous-ingestion artifact;
+    # per-fold verb latency is profiled in PERFORMANCE.md's soak)
+    queries["graph_maintenance_stream"](spark, sf_dir).limit(1).collect()
     # ...and the trained k-means centroids, the other session-shared
     # artifact (the trained-IVF index): train-once/query-many — without
     # this the alphabetically-first consumer (ann_ivf_trained_topk)

@@ -1241,7 +1241,83 @@ def incremental_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("node_id", "prop_key", "value", "datasources")
 
 
+def graph_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS graph maintenance: a Structured Streaming job watches a
+    dump directory (the reference's operational shape — new datasource
+    dumps land on disk and the pipeline folds them in,
+    nextflow/01_create_subgraph.nf:86-116 runs one ingest per file);
+    each micro-batch is folded into the maintained graph with
+    ``add_datasource`` inside ``foreachBatch``. The job is drained TWICE
+    against one checkpoint: the nations dump lands and is folded, the
+    job stops, the regions dump lands, and the RESTARTED job resumes
+    from the committed offset — folding only the new file. The final
+    maintained merged profile must hash-match the from-scratch oracle
+    over all three sources, proving (a) offset bookkeeping loses and
+    duplicates nothing across restarts and (b) chained incremental folds
+    converge to the batch build.
+
+    Scale: each fold pays only the broadcast-delta verb cost (the
+    no-corpus-shuffle contract the incremental family is plan-gated on),
+    so the steady-state cost per arriving dump is delta-sized — the
+    always-on KG ingestion loop a 100 TB deployment actually runs,
+    rather than a nightly full rebuild."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..incremental import add_datasource, build_graph_stateful
+    from ..sources import pysource
+
+    key = f"maint_stream:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _INC_CACHE:
+        return _INC_CACHE[key]
+
+    pysource.register(spark)
+    customers, nations, regions = _star_graph_long(spark, sf_dir)
+    holder = {"state": build_graph_stateful([customers], PARITY_CONFIG)}
+
+    base = _tempfile.mkdtemp(prefix="grebi_maint_stream_")
+    dumps = _os.path.join(base, "dumps")
+    ckpt = _os.path.join(base, "ckpt")
+    _os.makedirs(dumps)
+
+    def land(df: DataFrame, name: str) -> None:
+        with open(_os.path.join(dumps, f"{name}.jsonl"), "w") as fh:
+            for r in df.collect():
+                fh.write(_json.dumps(r.asDict()) + "\n")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # crash-replay of an already-folded batch
+            return
+        holder["state"] = add_datasource(
+            holder["state"], batch_df.localCheckpoint()
+        )
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("grebi_jsonl")
+            .schema(customers.schema)
+            .option("path", dumps)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(nations, "geo_nations")
+    drain()
+    land(regions, "geo_regions")
+    drain()  # restart: the committed offset skips the nations dump
+
+    out = _merge_profile(holder["state"].graph.merged).localCheckpoint()
+    _INC_CACHE[key] = out
+    return out
+
+
 QUERIES = {
+    "graph_maintenance_stream": graph_maintenance_stream,
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
     "incremental_persist_roundtrip": incremental_persist_roundtrip,
     "incremental_update_merged": incremental_update_merged,
@@ -1269,6 +1345,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "graph_maintenance_stream": ORACLE_MERGE_NODES,
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
     "incremental_persist_roundtrip": ORACLE_INC_FUSE_MERGED,
     "incremental_update_merged": ORACLE_INC_UPDATE_MERGED,

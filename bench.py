@@ -76,6 +76,9 @@ def main() -> None:
     # two incremental adds — the one-time continuous-ingestion artifact;
     # per-fold verb latency is profiled in PERFORMANCE.md's soak)
     queries["graph_maintenance_stream"](spark, sf_dir).limit(1).collect()
+    # ...and the serving-store refresh (pre-verb KV build + delta upsert
+    # — the one-time serving-tier maintenance artifact)
+    queries["kv_refresh_roundtrip"](spark, sf_dir).limit(1).collect()
     # ...and the trained k-means centroids, the other session-shared
     # artifact (the trained-IVF index): train-once/query-many — without
     # this the alphabetically-first consumer (ann_ivf_trained_topk)

@@ -117,6 +117,15 @@ class GraphState:
     config: SubgraphConfig
     counts: IndexCounts | None = None
     delta_stats: dict = field(default_factory=dict)  # diagnostics of the last update
+    # delta frames of the LAST verb (empty for a from-scratch build):
+    # retired/vanished canonicals, re-merged rows + metadata, new edge
+    # rows, removed edge ids. All delta-sized (the pinned frames the verb
+    # already materialised — keeping them costs nothing); downstream
+    # maintenance of SERVING artifacts (sinks.kv.refresh_kv_store) uses
+    # them to upsert only the changed cliques instead of rebuilding.
+    # Not persisted by save_state and dropped by compact_state: refresh
+    # derived stores before either.
+    last_delta: dict = field(default_factory=dict)
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -369,12 +378,31 @@ def _delta_finish(
             "n_vanished_nodes": vanished.count(),
             "n_new_edge_rows": new_edge_rows.count(),
         }
+    # removed edges = exactly what `kept` anti-joined away, as ids. Lazy:
+    # two broadcast semi probes over the old (checkpointed) edge table —
+    # map-side scans, paid only if a serving-store refresh consumes them.
+    removed_edge_ids = (
+        old.edges.join(F.broadcast(Rf), "from_id", "left_semi")
+        .select("edge_id")
+        .unionAll(
+            old.edges.join(F.broadcast(Vt), "to_id", "left_semi").select("edge_id")
+        )
+        .distinct()
+    )
     return GraphState(
         rows=all_rows,
         graph=graph,
         config=config,
         counts=IndexCounts(name_counts=name_counts, id_counts=id_counts),
         delta_stats=stats,
+        last_delta={
+            "retired": R,
+            "vanished": vanished,
+            "merged_delta": merged_delta,
+            "meta_delta": meta_delta,
+            "new_edge_rows": new_edge_rows,
+            "removed_edge_ids": removed_edge_ids,
+        },
     )
 
 

@@ -1316,8 +1316,69 @@ def graph_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def kv_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-tier maintenance, driver-visible: build the EXECUTED
+    sqlite KV store from the PRE-verb state, apply the add verb's
+    retained ``last_delta`` with ``refresh_kv_store`` (delete retired
+    cliques' rows, insert re-merged ones — never a full rebuild), then
+    READ THE REFRESHED STORE BACK and profile the stored node documents.
+    The profile must hash-match the same from-scratch oracle the
+    graph-side verbs match (ORACLE_MERGE_NODES), proving the
+    dump→fold→upsert loop is delta-sized end to end INCLUDING the
+    serving artifact — the reference instead rebuilds its RocksDB per
+    release (07_create_db/rocksdb/grebi_make_rocks/src/main.rs:32-78),
+    a full-corpus write per refreshed dump at 100 TB."""
+    import sqlite3
+    import tempfile
+
+    from ..incremental import build_graph_stateful
+    from ..sinks.kv import build_kv_store, refresh_kv_store
+
+    key = f"kvrefresh:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _INC_CACHE:
+        return _INC_CACHE[key]
+
+    customers, nations, _regions = _star_graph_long(spark, sf_dir)
+    base = build_graph_stateful([customers, nations], PARITY_CONFIG)
+    db = tempfile.mkdtemp(prefix="grebi_kvrefresh_") + "/store.sqlite"
+    build_kv_store(
+        base.graph.merged, base.graph.nodes, db, shards=4, edges=base.graph.edges
+    )
+    refresh_kv_store(_inc_state(spark, sf_dir, "full"), db, shards=4)
+
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT id, json FROM kv").fetchall()
+    con.close()
+    doc_schema = (
+        "node_id string, subgraph string, properties "
+        "map<string, array<struct<value:string, value_props:string, "
+        "datasources:array<string>, source_ids:array<string>>>>"
+    )
+    parsed = spark.createDataFrame(rows, ["id", "json"]).select(
+        F.from_json("json", doc_schema).alias("d")
+    )
+    out = (
+        parsed.select(
+            F.col("d.node_id").alias("node_id"),
+            F.expr(
+                "aggregate(map_values(d.properties), 0, (a, x) -> a + size(x))"
+            ).alias("n_props"),
+            F.expr(
+                "array_join(array_sort(array_distinct(flatten(flatten("
+                "transform(map_values(d.properties), "
+                "vs -> transform(vs, v -> v.datasources)))))), ',')"
+            ).alias("datasources"),
+        )
+        .orderBy("node_id")
+        .localCheckpoint()
+    )
+    _INC_CACHE[key] = out
+    return out
+
+
 QUERIES = {
     "graph_maintenance_stream": graph_maintenance_stream,
+    "kv_refresh_roundtrip": kv_refresh_roundtrip,
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
     "incremental_persist_roundtrip": incremental_persist_roundtrip,
     "incremental_update_merged": incremental_update_merged,
@@ -1346,6 +1407,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_maintenance_stream": ORACLE_MERGE_NODES,
+    "kv_refresh_roundtrip": ORACLE_MERGE_NODES,
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
     "incremental_persist_roundtrip": ORACLE_INC_FUSE_MERGED,
     "incremental_update_merged": ORACLE_INC_UPDATE_MERGED,

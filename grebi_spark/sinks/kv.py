@@ -105,6 +105,39 @@ def resolve(
     return out
 
 
+def _write_shards(stage: str, table: str, cols: str, df: DataFrame) -> None:
+    """Executor-side sqlite shard write (the per-ingest-job SST-file
+    analogue). Each partition streams into its own shard db under an
+    attempt-unique tmp name, atomic-rename on success: a retried or
+    speculative attempt can never collide with (or corrupt) a completed
+    shard, and the merge only ever sees complete files — same protocol
+    as the grebi_jsonl writer. Last completed attempt wins; partition
+    content is deterministic, so any winner is correct."""
+    n_cols = len(cols.split(","))
+    marks = ", ".join(["?"] * n_cols)
+
+    def write(it):
+        import os as _os
+        import sqlite3 as sq
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        tmp = f"{stage}/shard-{table}-{pid:05d}.tmp-{ctx.taskAttemptId()}"
+        con = sq.connect(tmp)
+        con.execute(f"CREATE TABLE {table} ({cols})")
+        con.executemany(
+            f"INSERT INTO {table} VALUES ({marks})", (tuple(r) for r in it)
+        )
+        con.commit()
+        con.close()
+        _os.replace(tmp, f"{stage}/shard-{table}-{pid:05d}.sqlite")
+        return iter(())
+
+    df.rdd.mapPartitions(write).count()
+
+
 def build_kv_store(
     merged: DataFrame,
     node_meta: DataFrame,
@@ -140,32 +173,7 @@ def build_kv_store(
         os.remove(f)
 
     def _write_shard(table: str, cols: str, df: DataFrame) -> None:
-        def write(it):
-            import os as _os
-            import sqlite3 as sq
-
-            from pyspark import TaskContext
-
-            ctx = TaskContext.get()
-            pid = ctx.partitionId()
-            # write under an attempt-unique tmp name, atomic-rename on
-            # success: a retried or speculative attempt can never
-            # collide with (or corrupt) a completed shard, and the merge
-            # only ever sees complete files — same protocol as the
-            # grebi_jsonl writer. Last completed attempt wins; partition
-            # content is deterministic, so any winner is correct.
-            tmp = f"{stage}/shard-{table}-{pid:05d}.tmp-{ctx.taskAttemptId()}"
-            con = sq.connect(tmp)
-            con.execute(f"CREATE TABLE {table} ({cols})")
-            con.executemany(
-                f"INSERT INTO {table} VALUES (?, ?)", (tuple(r) for r in it)
-            )
-            con.commit()
-            con.close()
-            _os.replace(tmp, f"{stage}/shard-{table}-{pid:05d}.sqlite")
-            return iter(())
-
-        df.rdd.mapPartitions(write).count()
+        _write_shards(stage, table, cols, df)
 
     _write_shard(
         "kv",
@@ -208,6 +216,126 @@ def build_kv_store(
     n = con.execute("SELECT count(*) FROM kv").fetchone()[0]
     con.close()
     return n
+
+
+def refresh_kv_store(state, db_path: str, shards: int = 4) -> dict:
+    """Delta-maintain the EXECUTED serving store after an incremental
+    verb: upsert only the cliques the verb touched instead of rebuilding
+    the whole KV file. The reference rebuilds its RocksDB from scratch
+    per release (07_create_db/rocksdb) — at 100 TB that is a full-corpus
+    write per refreshed dump, which the graph-side incremental verbs
+    already avoid; this closes the same gap on the serving tier, so the
+    end-to-end loop (dump lands → graph folds → store upserts) is
+    delta-sized throughout.
+
+    Uses the verb's retained ``last_delta`` frames (all delta-sized,
+    already materialised): retired canonicals' node/alias rows and
+    removed edge ids are DELETEd, the re-merged cliques' node/alias/edge
+    rows INSERTed — a persisting re-merged canonical is in both sets,
+    i.e. an upsert. Delta rows arrive via the same distributed shard
+    protocol as the build; the driver applies deletes + inserts in ONE
+    transaction, so a reader never observes a half-applied refresh.
+    Result is table-for-table identical to ``build_kv_store`` of the
+    new state (asserted by the suite). Returns applied-row counts."""
+    import glob
+    import os
+    import sqlite3
+
+    d = state.last_delta
+    if not d:
+        raise ValueError(
+            "state carries no last_delta (from-scratch build, loaded, or "
+            "compacted state) — build the store with build_kv_store"
+        )
+    stage = f"{db_path}.refresh-shards"
+    os.makedirs(stage, exist_ok=True)
+    for f in glob.glob(f"{stage}/shard-*.sqlite"):
+        os.remove(f)
+
+    retired = d["retired"].select(F.col("node_id").alias("id"))
+    _write_shards(stage, "del_node", "id TEXT", retired.repartition(shards))
+    _write_shards(
+        stage,
+        "del_edge",
+        "id TEXT",
+        d["removed_edge_ids"].repartition(shards),
+    )
+    _write_shards(
+        stage,
+        "kv",
+        "id TEXT, json TEXT",
+        kv_node_table(d["merged_delta"])
+        .repartitionByRange(shards, "id")
+        .sortWithinPartitions("id"),
+    )
+    _write_shards(
+        stage,
+        "alias",
+        "alias TEXT, node_id TEXT",
+        kv_alias_table(d["meta_delta"])
+        .repartitionByRange(shards, "alias")
+        .sortWithinPartitions("alias"),
+    )
+    _write_shards(
+        stage,
+        "edge",
+        "id TEXT, json TEXT",
+        kv_edge_table(d["new_edge_rows"])
+        .repartitionByRange(shards, "id")
+        .sortWithinPartitions("id"),
+    )
+
+    con = sqlite3.connect(db_path, isolation_level=None)  # manual txn
+    counts = {"deleted_nodes": 0, "deleted_edges": 0,
+              "nodes": 0, "aliases": 0, "edges": 0}
+    try:
+        # stage all delta shards into TEMP tables first — sqlite forbids
+        # ATTACH inside a transaction, so attach/copy/detach happens
+        # outside it and the visible apply below stays atomic
+        for table, cols in (
+            ("del_node", "id TEXT"),
+            ("del_edge", "id TEXT"),
+            ("kv", "id TEXT, json TEXT"),
+            ("alias", "alias TEXT, node_id TEXT"),
+            ("edge", "id TEXT, json TEXT"),
+        ):
+            con.execute(f"CREATE TEMP TABLE stage_{table} ({cols})")
+            for f in sorted(glob.glob(f"{stage}/shard-{table}-*.sqlite")):
+                con.execute("ATTACH DATABASE ? AS s", (f,))
+                con.execute(
+                    f"INSERT INTO stage_{table} SELECT * FROM s.{table}"
+                )
+                con.execute("DETACH DATABASE s")
+
+        con.execute("BEGIN")
+        # deletes first: a persisting re-merged canonical is retired AND
+        # re-inserted below (upsert); aliases are keyed back by node_id
+        counts["deleted_nodes"] = con.execute(
+            "DELETE FROM kv WHERE id IN (SELECT id FROM stage_del_node)"
+        ).rowcount
+        con.execute(
+            "DELETE FROM alias WHERE node_id IN (SELECT id FROM stage_del_node)"
+        )
+        counts["deleted_edges"] = con.execute(
+            "DELETE FROM edge WHERE id IN (SELECT id FROM stage_del_edge)"
+        ).rowcount
+        counts["nodes"] = con.execute(
+            "INSERT INTO kv SELECT * FROM stage_kv"
+        ).rowcount
+        counts["aliases"] = con.execute(
+            "INSERT INTO alias SELECT * FROM stage_alias"
+        ).rowcount
+        counts["edges"] = con.execute(
+            "INSERT INTO edge SELECT * FROM stage_edge"
+        ).rowcount
+        con.execute("COMMIT")
+    except Exception:
+        if con.in_transaction:
+            con.execute("ROLLBACK")
+        raise
+    finally:
+        con.close()
+    return counts
 
 
 def kv_store_get(db_path: str, ids: list[str]) -> dict[str, str]:

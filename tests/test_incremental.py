@@ -370,3 +370,49 @@ def test_compact_state_preserves_values_and_flattens_plans(spark, tri):
     assert "Join" not in buf.getvalue()  # flat scan, chain gone
     on_compacted = remove_datasource(compacted, "sssom")
     assert _canon(on_compacted.graph.merged) == _canon(base_graph.merged)
+
+
+def test_refresh_kv_store_equals_rebuild(tri, tmp_path):
+    """Serving-tier maintenance: after an incremental verb, refreshing
+    the EXECUTED sqlite KV store with the verb's last_delta must leave
+    every table (nodes, aliases, edges) content-identical to a
+    from-scratch build_kv_store of the new state — the same
+    value-identity-vs-rebuild contract the graph-side verbs carry,
+    extended to the serving artifact."""
+    import sqlite3
+
+    from grebi_spark.sinks.kv import build_kv_store, refresh_kv_store
+
+    state_base = tri["state_base"]
+    _scratch, inc = tri["add"]  # the post-add maintained state
+
+    db = str(tmp_path / "maint.sqlite")
+    build_kv_store(
+        state_base.graph.merged, state_base.graph.nodes, db,
+        shards=2, edges=state_base.graph.edges,
+    )
+    counts = refresh_kv_store(inc, db, shards=2)
+    assert counts["nodes"] > 0 and counts["deleted_nodes"] > 0
+
+    fresh = str(tmp_path / "fresh.sqlite")
+    build_kv_store(
+        inc.graph.merged, inc.graph.nodes, fresh,
+        shards=2, edges=inc.graph.edges,
+    )
+
+    def dump(path):
+        con = sqlite3.connect(path)
+        out = {
+            t: sorted(con.execute(f"SELECT * FROM {t}").fetchall())
+            for t in ("kv", "alias", "edge")
+        }
+        con.close()
+        return out
+
+    assert dump(db) == dump(fresh)
+
+    # a from-scratch state carries no delta: refresh must refuse loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="last_delta"):
+        refresh_kv_store(state_base, db)

@@ -101,6 +101,85 @@ def solr_schema_fields(prop_keys: list[str]) -> list[dict]:
     return fields
 
 
+def solr_delta_docs(state) -> dict[str, DataFrame]:
+    """Delta Solr import set after an incremental verb — the serving-tier
+    twin of ``sinks.kv.refresh_kv_store`` for the search core. The
+    reference regenerates the whole Solr JSONL per release
+    (06_prepare_db_import/grebi_make_solr, 07_create_db/solr); Solr
+    itself upserts by id and deletes by id, so a maintained core needs
+    only this delta set:
+
+    * ``node_upserts`` — re-rendered docs of (a) the re-merged cliques
+      and (b) every node whose doc EMBEDS a changed clique's names via
+      the ``<prop>_names`` denormalisation (grebi_make_solr/src/
+      main.rs:184-203) — the embed makes doc deltas propagate one step
+      backward along references, so those unchanged-graph nodes still
+      need re-indexing;
+    * ``node_deletions`` — vanished node ids;
+    * ``edge_upserts`` / ``edge_deletions`` — the verb's new edge rows /
+      removed edge ids.
+
+    Everything stays broadcast-delta: the stored merged/meta tables are
+    only semi-probed map-side (same no-corpus-shuffle contract as the
+    verbs); the autocomplete core is NOT in the delta — its name list is
+    already additively maintained (state.counts.name_counts), regenerate
+    it from there. Refresh after EVERY verb: ``last_delta`` describes
+    only the latest one."""
+    d = state.last_delta
+    if not d:
+        raise ValueError(
+            "state carries no last_delta (from-scratch build, loaded, or "
+            "compacted state) — render the full core with write_solr_jsonl"
+        )
+    g = state.graph
+    changed = (
+        d["retired"]
+        .unionByName(d["merged_delta"].select("node_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # nodes whose docs embed a changed node's names: one map-side
+    # broadcast-semi scan of the stored merged table (probe column
+    # aliased — `changed` shares lineage with the stored merged frame,
+    # so a raw node_id reference would be an ambiguous self-join)
+    probe = changed.select(F.col("node_id").alias("__changed_id"))
+    referencing = (
+        g.merged.join(
+            F.broadcast(probe),
+            g.merged.value == F.col("__changed_id"),
+            "left_semi",
+        )
+        .select("node_id")
+        .distinct()
+    )
+    upsert_ids = (
+        d["merged_delta"]
+        .select("node_id")
+        .unionAll(referencing)
+        .distinct()
+        .localCheckpoint()
+    )
+    rows = g.merged.join(F.broadcast(upsert_ids), "node_id", "left_semi")
+    # meta restricted to (doc nodes ∪ their referenced values) — the two
+    # uses solr_node_docs makes of node_meta, both delta-sized probes
+    ref_vals = rows.select(F.col("value").alias("node_id")).distinct()
+    meta_small = g.nodes.join(
+        F.broadcast(upsert_ids.unionAll(ref_vals).distinct()),
+        "node_id",
+        "left_semi",
+    ).localCheckpoint()
+    return {
+        "node_upserts": solr_node_docs(rows, meta_small),
+        "node_deletions": d["vanished"].select(
+            F.col("node_id").alias("grebi__nodeId")
+        ),
+        "edge_upserts": solr_edge_docs(d["new_edge_rows"]),
+        "edge_deletions": d["removed_edge_ids"].select(
+            F.col("edge_id").alias("grebi__edgeId")
+        ),
+    }
+
+
 def write_solr_jsonl(
     merged: DataFrame, node_meta: DataFrame, edges: DataFrame, names: DataFrame, out_dir: str
 ) -> None:

@@ -416,3 +416,60 @@ def test_refresh_kv_store_equals_rebuild(tri, tmp_path):
 
     with _pytest.raises(ValueError, match="last_delta"):
         refresh_kv_store(state_base, db)
+
+
+def test_solr_delta_equals_rebuild(tri):
+    """The search-core twin of the KV refresh: applying solr_delta_docs
+    (delete by id + upsert by id, Solr's native maintenance verbs) to
+    the PRE-verb docs must reproduce the from-scratch docs of the new
+    state exactly — including re-rendered docs of unchanged-graph nodes
+    whose <prop>_names embed a changed clique's names."""
+    import pyspark.sql.functions as SF
+
+    from grebi_spark.sinks.solr_jsonl import (
+        solr_delta_docs,
+        solr_edge_docs,
+        solr_node_docs,
+    )
+
+    state_base = tri["state_base"]
+    _scratch, inc = tri["add"]
+
+    def js(df):
+        return sorted(
+            r[0]
+            for r in df.select(
+                SF.to_json(SF.struct(*sorted(df.columns)))
+            ).collect()
+        )
+
+    delta = solr_delta_docs(inc)
+
+    old_docs = solr_node_docs(state_base.graph.merged, state_base.graph.nodes)
+    up_ids = {
+        r["grebi__nodeId"]
+        for r in delta["node_upserts"].select("grebi__nodeId").collect()
+    }
+    del_ids = {r["grebi__nodeId"] for r in delta["node_deletions"].collect()}
+    kept = old_docs.filter(
+        ~SF.col("grebi__nodeId").isin(list(up_ids | del_ids))
+    )
+    applied = sorted(js(kept) + js(delta["node_upserts"]))
+    assert applied == js(solr_node_docs(inc.graph.merged, inc.graph.nodes))
+    # the backward-propagation case really occurs: some upserted doc's
+    # node is NOT in the re-merged delta (it only embeds changed names)
+    delta_ids = {
+        r["node_id"]
+        for r in inc.last_delta["merged_delta"].select("node_id").distinct().collect()
+    }
+    assert up_ids - delta_ids, "expected a names-embed-only re-render"
+
+    old_edges = solr_edge_docs(state_base.graph.edges)
+    up_e = delta["edge_upserts"]
+    up_e_ids = {r["grebi__edgeId"] for r in up_e.select("grebi__edgeId").collect()}
+    del_e = {r["grebi__edgeId"] for r in delta["edge_deletions"].collect()}
+    kept_e = old_edges.filter(
+        ~SF.col("grebi__edgeId").isin(list(up_e_ids | del_e))
+    )
+    applied_e = sorted(js(kept_e) + js(up_e))
+    assert applied_e == js(solr_edge_docs(inc.graph.edges))

@@ -473,3 +473,81 @@ def test_solr_delta_equals_rebuild(tri):
     )
     applied_e = sorted(js(kept_e) + js(up_e))
     assert applied_e == js(solr_edge_docs(inc.graph.edges))
+
+
+def test_stream_maintenance_refreshes_serving_store_per_fold(spark, sf_dir, tmp_path):
+    """The END-TO-END continuous loop: dump lands → streaming fold grows
+    the graph (add_datasource in foreachBatch) → the SERVING store is
+    refreshed with that fold's delta — per micro-batch. After two dumps
+    land across two availableNow drains of one checkpoint, the sqlite KV
+    must be table-for-table identical to a from-scratch build of the
+    final state: the whole pipeline, graph and serving tier both, is
+    maintained delta-wise."""
+    import json
+    import sqlite3
+
+    from grebi_spark.incremental import build_graph_stateful
+    from grebi_spark.plans.parity import PARITY_CONFIG, _star_graph_long
+    from grebi_spark.sinks.kv import build_kv_store, refresh_kv_store
+    from grebi_spark.sources import pysource
+
+    pysource.register(spark)
+    customers, nations, regions = _star_graph_long(spark, sf_dir)
+    holder = {"state": build_graph_stateful([customers], PARITY_CONFIG)}
+    db = str(tmp_path / "serving.sqlite")
+    build_kv_store(
+        holder["state"].graph.merged, holder["state"].graph.nodes, db,
+        shards=2, edges=holder["state"].graph.edges,
+    )
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(df, name):
+        with open(d / f"{name}.jsonl", "w") as fh:
+            for r in df.collect():
+                fh.write(json.dumps(r.asDict()) + "\n")
+
+    def fold(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        holder["state"] = add_datasource(
+            holder["state"], batch_df.localCheckpoint()
+        )
+        refresh_kv_store(holder["state"], db, shards=2)
+
+    def drain():
+        q = (
+            spark.readStream.format("grebi_jsonl")
+            .schema(customers.schema)
+            .option("path", str(d))
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(nations, "geo_nations")
+    drain()
+    land(regions, "geo_regions")
+    drain()
+
+    fresh = str(tmp_path / "fresh.sqlite")
+    g = holder["state"].graph
+    build_kv_store(g.merged, g.nodes, fresh, shards=2, edges=g.edges)
+
+    def dump(path):
+        con = sqlite3.connect(path)
+        out = {
+            t: sorted(con.execute(f"SELECT * FROM {t}").fetchall())
+            for t in ("kv", "alias", "edge")
+        }
+        con.close()
+        return out
+
+    maintained, rebuilt = dump(db), dump(fresh)
+    assert maintained == rebuilt
+    assert len(maintained["kv"]) > 0 and len(maintained["edge"]) > 0

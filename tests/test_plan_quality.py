@@ -680,3 +680,33 @@ def test_incremental_verbs_never_shuffle_the_corpus(spark, sf_dir):
     for part in ("ids", "names"):
         plan = plan_of(getattr(s2.graph.index, part))
         assert "SortMergeJoin" not in plan, part
+
+
+def test_serving_delta_paths_never_shuffle_the_corpus(spark, sf_dir):
+    """The serving-tier refresh inherits the verbs' no-corpus-shuffle
+    contract: the KV delta tables (node/alias/edge upserts) and the Solr
+    delta doc sets are rendered from delta frames and broadcast-semi
+    probes of the stored tables only — a SortMergeJoin in any of their
+    plans means a serving refresh pays a corpus shuffle per dump."""
+    from grebi_spark.incremental import add_datasource, build_graph_stateful
+    from grebi_spark.plans.parity import PARITY_CONFIG, _star_graph_long
+    from grebi_spark.sinks.kv import kv_alias_table, kv_edge_table, kv_node_table
+    from grebi_spark.sinks.solr_jsonl import solr_delta_docs
+
+    customers, nations, regions = _star_graph_long(spark, sf_dir)
+    state = build_graph_stateful([customers, nations], PARITY_CONFIG)
+    s2 = add_datasource(state, regions)
+    d = s2.last_delta
+
+    kv_frames = {
+        "kv_nodes": kv_node_table(d["merged_delta"]),
+        "kv_aliases": kv_alias_table(d["meta_delta"]),
+        "kv_edges": kv_edge_table(d["new_edge_rows"]),
+        "kv_removed_edges": d["removed_edge_ids"],
+    }
+    for name, df in kv_frames.items():
+        assert "SortMergeJoin" not in plan_of(df), name
+    solr = solr_delta_docs(s2)
+    for name, df in solr.items():
+        plan = plan_of(df)
+        assert "SortMergeJoin" not in plan, name

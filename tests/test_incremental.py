@@ -551,3 +551,42 @@ def test_stream_maintenance_refreshes_serving_store_per_fold(spark, sf_dir, tmp_
     maintained, rebuilt = dump(db), dump(fresh)
     assert maintained == rebuilt
     assert len(maintained["kv"]) > 0 and len(maintained["edge"]) > 0
+
+
+def test_refresh_kv_store_after_remove(tri, tmp_path):
+    """The deletions-dominant refresh: retiring a datasource vanishes
+    its source-only entities and splits fused cliques — the refreshed
+    store must drop the vanished ids and re-render the split cliques,
+    landing table-for-table identical to a from-scratch build of the
+    reduced state."""
+    import sqlite3
+
+    from grebi_spark.sinks.kv import build_kv_store, refresh_kv_store
+
+    plus_graph, _inc = tri["add"]  # the pre-remove (fused) graph
+    _scratch, reduced = tri["remove"]
+
+    db = str(tmp_path / "maint.sqlite")
+    build_kv_store(
+        plus_graph.merged, plus_graph.nodes, db,
+        shards=2, edges=plus_graph.edges,
+    )
+    counts = refresh_kv_store(reduced, db, shards=2)
+    assert counts["deleted_nodes"] > 0
+
+    fresh = str(tmp_path / "fresh.sqlite")
+    build_kv_store(
+        reduced.graph.merged, reduced.graph.nodes, fresh,
+        shards=2, edges=reduced.graph.edges,
+    )
+
+    def dump(path):
+        con = sqlite3.connect(path)
+        out = {
+            t: sorted(con.execute(f"SELECT * FROM {t}").fetchall())
+            for t in ("kv", "alias", "edge")
+        }
+        con.close()
+        return out
+
+    assert dump(db) == dump(fresh)

@@ -949,7 +949,172 @@ ORDER BY ks_stat DESC, source
 """
 
 
+def quality_classifier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering as a CASCADE — the production
+    shape of FineWeb/DCLM-style pipelines: a cheap heuristic gate prunes
+    first (here: ≥5 tokens — at scale a pushdown-able predicate that
+    spares the model the bulk of the crawl), then a TRAINED classifier
+    scores only the survivors. The model is a diagonal-LDA (Gaussian
+    naive-Bayes-flavoured) linear classifier trained IN THE SAME PASS by
+    weak supervision against the corpus's language label (the fastText
+    recipe: 'gold' class vs rest), over five surface features: log-token
+    count, mean word length, stopword/punct/digit ratios.
+
+    Spark-first: training is ONE aggregate job (per-class conditional
+    means and second moments — partial-aggregatable, map-side combined);
+    the fitted weights stay a 1-row frame crossJoined (broadcast) into
+    the whole-stage-codegen scoring projection — no collect, no UDF.
+    The oracle recomputes the identical closed-form fit in SQL, so the
+    hash match verifies the MATH end to end, not just plumbing. A
+    production variant swaps the feature projection for hashed n-grams
+    in a pandas_udf; the cascade, fit, and scoring plan are unchanged.
+
+    Returns per source: total docs, gate survivors, model accepts
+    (score > 0), and the mean score (rounded; scores are engine-exact to
+    ~1e-12, rounding absorbs FP summation-order differences)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    feat = d.select(
+        "doc_id",
+        "source",
+        (F.col("lang") == "en").cast("int").alias("y"),
+        n_tok.alias("n_tok"),
+        F.log1p(n_tok.cast("double")).alias("x1"),
+        F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok)
+        .otherwise(F.lit(0.0))
+        .alias("x2"),
+        stopword_ratio(F.col("text")).alias("x3"),
+        punct_ratio(F.col("text")).alias("x4"),
+        F.when(
+            F.length("text") > 0,
+            F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+            / F.length("text"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("x5"),
+    )
+    s1 = feat.filter(F.col("n_tok") >= 5)  # the cheap gate
+
+    fs = ["x1", "x2", "x3", "x4", "x5"]
+    aggs = []
+    for j in fs:
+        for c in (0, 1):
+            x = F.when(F.col("y") == c, F.col(j))
+            aggs.append(F.avg(x).alias(f"mu{c}_{j}"))
+            aggs.append(F.avg(x * F.col(j)).alias(f"m2{c}_{j}"))
+    stats = s1.groupBy().agg(*aggs)
+    # diagonal LDA: w_j = (mu1-mu0)/(pooled var + eps), threshold at the
+    # class-mean midpoint (var computed as E[x²]-E[x]², same form as the
+    # oracle so both engines run the identical expression tree)
+    w_cols, b = [], F.lit(0.0)
+    for j in fs:
+        var0 = F.col(f"m20_{j}") - F.col(f"mu0_{j}") * F.col(f"mu0_{j}")
+        var1 = F.col(f"m21_{j}") - F.col(f"mu1_{j}") * F.col(f"mu1_{j}")
+        w = (F.col(f"mu1_{j}") - F.col(f"mu0_{j}")) / (
+            (var0 + var1) / 2 + F.lit(1e-6)
+        )
+        w_cols.append(w.alias(f"w_{j}"))
+        b = b - w * (F.col(f"mu1_{j}") + F.col(f"mu0_{j}")) / 2
+    model = stats.select(*w_cols, b.alias("b"))
+
+    score = F.col("b")
+    for j in fs:
+        score = score + F.col(f"w_{j}") * F.col(j)
+    scored = s1.crossJoin(F.broadcast(model)).select(
+        "source", F.round(score, 6).alias("score")
+    )
+    per_scored = scored.groupBy("source").agg(
+        F.count("*").alias("n_scored"),
+        F.sum((F.col("score") > 0).cast("int")).alias("n_accept"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+    totals = feat.groupBy("source").agg(F.count("*").alias("n_docs"))
+    return (
+        totals.join(per_scored, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_scored", F.lit(0)).alias("n_scored"),
+            F.coalesce("n_accept", F.lit(0)).alias("n_accept"),
+            "avg_score",
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_QUALITY_CASCADE = """
+WITH feat AS (
+  SELECT doc_id, source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(regexp_extract_all(lower(text), '\\S+')) AS n_tok,
+         ln(1 + len(regexp_extract_all(lower(text), '\\S+'))) AS x1,
+         CASE WHEN len(regexp_extract_all(lower(text), '\\S+')) > 0
+              THEN length(list_aggregate(regexp_extract_all(lower(text), '\\S+'), 'string_agg', ''))
+                   * 1.0 / len(regexp_extract_all(lower(text), '\\S+'))
+              ELSE 0.0 END AS x2,
+         CASE WHEN len(regexp_extract_all(lower(text), '\\S+')) > 0
+              THEN len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+                                   x -> x IN ('the','a','and','of','to','in','is','it')))
+                   * 1.0 / len(regexp_extract_all(lower(text), '\\S+'))
+              ELSE 0.0 END AS x3,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS x4,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS x5
+  FROM documents
+), s1 AS (
+  SELECT * FROM feat WHERE n_tok >= 5
+), stats AS (
+  SELECT
+    avg(CASE WHEN y=0 THEN x1 END) AS mu0_x1, avg(CASE WHEN y=0 THEN x1*x1 END) AS m20_x1,
+    avg(CASE WHEN y=1 THEN x1 END) AS mu1_x1, avg(CASE WHEN y=1 THEN x1*x1 END) AS m21_x1,
+    avg(CASE WHEN y=0 THEN x2 END) AS mu0_x2, avg(CASE WHEN y=0 THEN x2*x2 END) AS m20_x2,
+    avg(CASE WHEN y=1 THEN x2 END) AS mu1_x2, avg(CASE WHEN y=1 THEN x2*x2 END) AS m21_x2,
+    avg(CASE WHEN y=0 THEN x3 END) AS mu0_x3, avg(CASE WHEN y=0 THEN x3*x3 END) AS m20_x3,
+    avg(CASE WHEN y=1 THEN x3 END) AS mu1_x3, avg(CASE WHEN y=1 THEN x3*x3 END) AS m21_x3,
+    avg(CASE WHEN y=0 THEN x4 END) AS mu0_x4, avg(CASE WHEN y=0 THEN x4*x4 END) AS m20_x4,
+    avg(CASE WHEN y=1 THEN x4 END) AS mu1_x4, avg(CASE WHEN y=1 THEN x4*x4 END) AS m21_x4,
+    avg(CASE WHEN y=0 THEN x5 END) AS mu0_x5, avg(CASE WHEN y=0 THEN x5*x5 END) AS m20_x5,
+    avg(CASE WHEN y=1 THEN x5 END) AS mu1_x5, avg(CASE WHEN y=1 THEN x5*x5 END) AS m21_x5
+  FROM s1
+), model AS (
+  SELECT
+    (mu1_x1-mu0_x1) / (((m20_x1-mu0_x1*mu0_x1)+(m21_x1-mu1_x1*mu1_x1))/2 + 1e-6) AS w_x1,
+    (mu1_x2-mu0_x2) / (((m20_x2-mu0_x2*mu0_x2)+(m21_x2-mu1_x2*mu1_x2))/2 + 1e-6) AS w_x2,
+    (mu1_x3-mu0_x3) / (((m20_x3-mu0_x3*mu0_x3)+(m21_x3-mu1_x3*mu1_x3))/2 + 1e-6) AS w_x3,
+    (mu1_x4-mu0_x4) / (((m20_x4-mu0_x4*mu0_x4)+(m21_x4-mu1_x4*mu1_x4))/2 + 1e-6) AS w_x4,
+    (mu1_x5-mu0_x5) / (((m20_x5-mu0_x5*mu0_x5)+(m21_x5-mu1_x5*mu1_x5))/2 + 1e-6) AS w_x5,
+    0.0 - (mu1_x1-mu0_x1) / (((m20_x1-mu0_x1*mu0_x1)+(m21_x1-mu1_x1*mu1_x1))/2 + 1e-6) * (mu1_x1+mu0_x1)/2
+        - (mu1_x2-mu0_x2) / (((m20_x2-mu0_x2*mu0_x2)+(m21_x2-mu1_x2*mu1_x2))/2 + 1e-6) * (mu1_x2+mu0_x2)/2
+        - (mu1_x3-mu0_x3) / (((m20_x3-mu0_x3*mu0_x3)+(m21_x3-mu1_x3*mu1_x3))/2 + 1e-6) * (mu1_x3+mu0_x3)/2
+        - (mu1_x4-mu0_x4) / (((m20_x4-mu0_x4*mu0_x4)+(m21_x4-mu1_x4*mu1_x4))/2 + 1e-6) * (mu1_x4+mu0_x4)/2
+        - (mu1_x5-mu0_x5) / (((m20_x5-mu0_x5*mu0_x5)+(m21_x5-mu1_x5*mu1_x5))/2 + 1e-6) * (mu1_x5+mu0_x5)/2
+      AS b
+  FROM stats
+), scored AS (
+  SELECT s1.source,
+         round(b + w_x1*x1 + w_x2*x2 + w_x3*x3 + w_x4*x4 + w_x5*x5, 6) AS score
+  FROM s1 CROSS JOIN model
+), per_scored AS (
+  SELECT source, count(*) AS n_scored,
+         CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+         round(avg(score), 4) AS avg_score
+  FROM scored GROUP BY source
+)
+SELECT f.source, count(*) AS n_docs,
+       COALESCE(any_value(p.n_scored), 0) AS n_scored,
+       COALESCE(any_value(p.n_accept), 0) AS n_accept,
+       any_value(p.avg_score) AS avg_score
+FROM feat f LEFT JOIN per_scored p ON f.source = p.source
+GROUP BY f.source ORDER BY f.source
+"""
+
+
 QUERIES = {
+    "quality_classifier_cascade": quality_classifier_cascade,
     "source_similarity_matrix": source_similarity_matrix,
     "source_length_drift": source_length_drift,
     "redact_pii": redact_pii,
@@ -966,6 +1131,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quality_classifier_cascade": ORACLE_QUALITY_CASCADE,
     "source_similarity_matrix": ORACLE_SOURCE_SIMILARITY,
     "source_length_drift": ORACLE_LENGTH_DRIFT,
     "redact_pii": ORACLE_REDACT_PII,

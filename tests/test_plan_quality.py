@@ -710,3 +710,24 @@ def test_serving_delta_paths_never_shuffle_the_corpus(spark, sf_dir):
     for name, df in solr.items():
         plan = plan_of(df)
         assert "SortMergeJoin" not in plan, name
+
+
+def test_quality_cascade_plan_and_separation(spark, sf_dir):
+    """The classifier cascade: (a) the fitted-weights frame enters the
+    scoring projection as a BROADCAST side (1-row crossJoin — a
+    SortMergeJoin or non-broadcast cartesian would shuffle the corpus
+    against a scalar), and (b) the trained model is non-degenerate on
+    real data: the gate prunes something or nothing (≤ totals), and both
+    accepts and rejects exist — a constant scorer would emit all or
+    none."""
+    from grebi_spark.functions.text import quality_classifier_cascade
+
+    df = quality_classifier_cascade(spark, sf_dir)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+    rows = df.collect()
+    assert all(r["n_scored"] <= r["n_docs"] for r in rows)
+    n_accept = sum(r["n_accept"] for r in rows)
+    n_scored = sum(r["n_scored"] for r in rows)
+    assert 0 < n_accept < n_scored

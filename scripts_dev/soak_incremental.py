@@ -124,6 +124,37 @@ def main() -> None:
             f"edges {up_counts[1]})",
             flush=True,
         )
+
+        # serving tier: refresh the executed sqlite KV with the add
+        # verb's delta vs rebuilding the store from the grown state
+        import tempfile
+
+        from grebi_spark.sinks.kv import build_kv_store, refresh_kv_store
+
+        kvdir = tempfile.mkdtemp(prefix=f"soak_kv_{n}x_")
+        t0 = time.time()
+        n_rows = build_kv_store(
+            state.graph.merged, state.graph.nodes, f"{kvdir}/base.sqlite",
+            edges=state.graph.edges,
+        )
+        t_kv_build = time.time() - t0
+        t0 = time.time()
+        ref_counts = refresh_kv_store(s2, f"{kvdir}/base.sqlite")
+        t_kv_refresh = time.time() - t0
+        t0 = time.time()
+        build_kv_store(
+            s2.graph.merged, s2.graph.nodes, f"{kvdir}/rebuild.sqlite",
+            edges=s2.graph.edges,
+        )
+        t_kv_rebuild = time.time() - t0
+        print(
+            f"SOAK-INC {n}x serving: base KV build {t_kv_build:.1f}s "
+            f"({n_rows} rows) | delta refresh {t_kv_refresh:.1f}s "
+            f"(upserts {ref_counts['nodes']}, dels "
+            f"{ref_counts['deleted_nodes']}) | "
+            f"full KV rebuild {t_kv_rebuild:.1f}s",
+            flush=True,
+        )
     spark.stop()
 
 

@@ -978,7 +978,11 @@ def quality_classifier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = d.select(
         "doc_id",
         "source",
-        (F.col("lang") == "en").cast("int").alias("y"),
+        # when/otherwise, not a bare boolean cast: a NULL lang must land
+        # in class 0 exactly like the oracle's CASE WHEN ... ELSE 0 END
+        # (a cast NULL would silently drop the row from both class
+        # aggregates and desynchronise the fitted weights)
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
         n_tok.alias("n_tok"),
         F.log1p(n_tok.cast("double")).alias("x1"),
         F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok)

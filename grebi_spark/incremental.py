@@ -378,12 +378,13 @@ def _delta_finish(
             "n_vanished_nodes": vanished.count(),
             "n_new_edge_rows": new_edge_rows.count(),
         }
-    # removed edges = exactly what `kept` anti-joined away, as ids. Lazy:
-    # two broadcast semi probes over the old (checkpointed) edge table —
-    # map-side scans, paid only if a serving-store refresh consumes them.
+    # removed edges = exactly what `kept` anti-joined away, as ids —
+    # reusing the e_fromR probe the summary delta already built, so the
+    # 'edges leaving a retired canonical' predicate lives in ONE place.
+    # Lazy: broadcast semi probes over the old (checkpointed) edge table,
+    # map-side scans paid only if a serving-store refresh consumes them.
     removed_edge_ids = (
-        old.edges.join(F.broadcast(Rf), "from_id", "left_semi")
-        .select("edge_id")
+        e_fromR.select("edge_id")
         .unionAll(
             old.edges.join(F.broadcast(Vt), "to_id", "left_semi").select("edge_id")
         )

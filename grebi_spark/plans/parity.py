@@ -1007,9 +1007,10 @@ def _inc_state(spark: SparkSession, sf_dir: str, which: str):
     if key in _INC_CACHE:
         return _INC_CACHE[key]
     customers, nations, regions = _star_graph_long(spark, sf_dir)
-    if which == "full":
-        state = build_graph_stateful([customers, nations], PARITY_CONFIG)
-        out = add_datasource(state, regions)
+    if which == "base":
+        out = build_graph_stateful([customers, nations], PARITY_CONFIG)
+    elif which == "full":
+        out = add_datasource(_inc_state(spark, sf_dir, "base"), regions)
     elif which == "geo":
         out = remove_datasource(_inc_state(spark, sf_dir, "full"), "crm")
     elif which == "fused":
@@ -1331,15 +1332,13 @@ def kv_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import sqlite3
     import tempfile
 
-    from ..incremental import build_graph_stateful
     from ..sinks.kv import build_kv_store, refresh_kv_store
 
     key = f"kvrefresh:{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _INC_CACHE:
         return _INC_CACHE[key]
 
-    customers, nations, _regions = _star_graph_long(spark, sf_dir)
-    base = build_graph_stateful([customers, nations], PARITY_CONFIG)
+    base = _inc_state(spark, sf_dir, "base")  # shared with the 'full' verb
     db = tempfile.mkdtemp(prefix="grebi_kvrefresh_") + "/store.sqlite"
     build_kv_store(
         base.graph.merged, base.graph.nodes, db, shards=4, edges=base.graph.edges

@@ -166,21 +166,21 @@ def build_kv_store(
     import os
     import sqlite3
 
+    import shutil
+
     os.makedirs(os.path.dirname(db_path) or ".", exist_ok=True)
     stage = f"{db_path}.shards"
+    shutil.rmtree(stage, ignore_errors=True)  # incl. stale .tmp-* attempts
     os.makedirs(stage, exist_ok=True)
-    for f in glob.glob(f"{stage}/shard-*.sqlite"):
-        os.remove(f)
 
-    def _write_shard(table: str, cols: str, df: DataFrame) -> None:
-        _write_shards(stage, table, cols, df)
-
-    _write_shard(
+    _write_shards(
+        stage,
         "kv",
         "id TEXT, json TEXT",
         kv_node_table(merged).repartitionByRange(shards, "id").sortWithinPartitions("id"),
     )
-    _write_shard(
+    _write_shards(
+        stage,
         "alias",
         "alias TEXT, node_id TEXT",
         kv_alias_table(node_meta)
@@ -189,7 +189,8 @@ def build_kv_store(
     )
     tables = ["kv", "alias"]
     if edges is not None:
-        _write_shard(
+        _write_shards(
+            stage,
             "edge",
             "id TEXT, json TEXT",
             kv_edge_table(edges)
@@ -205,6 +206,15 @@ def build_kv_store(
     con.execute("CREATE TABLE kv (id TEXT PRIMARY KEY, json TEXT)")
     con.execute("CREATE TABLE alias (alias TEXT, node_id TEXT)")
     con.execute("CREATE TABLE edge (id TEXT PRIMARY KEY, json TEXT)")
+    # store-level metadata: whether the edge table is POPULATED by
+    # contract — refresh_kv_store must not upsert delta edges into a
+    # store deliberately built without edges (a half-populated edge
+    # table matches neither rebuild shape)
+    con.execute("CREATE TABLE meta (k TEXT PRIMARY KEY, v TEXT)")
+    con.execute(
+        "INSERT INTO meta VALUES ('with_edges', ?)",
+        ("1" if edges is not None else "0",),
+    )
     for table in tables:
         for f in sorted(glob.glob(f"{stage}/shard-{table}-*.sqlite")):
             con.execute("ATTACH DATABASE ? AS s", (f,))
@@ -215,6 +225,7 @@ def build_kv_store(
     con.execute("VACUUM")  # the compact_range step
     n = con.execute("SELECT count(*) FROM kv").fetchone()[0]
     con.close()
+    shutil.rmtree(stage, ignore_errors=True)  # shards merged; drop them
     return n
 
 
@@ -239,6 +250,7 @@ def refresh_kv_store(state, db_path: str, shards: int = 4) -> dict:
     new state (asserted by the suite). Returns applied-row counts."""
     import glob
     import os
+    import shutil
     import sqlite3
 
     d = state.last_delta
@@ -247,10 +259,25 @@ def refresh_kv_store(state, db_path: str, shards: int = 4) -> dict:
             "state carries no last_delta (from-scratch build, loaded, or "
             "compacted state) — build the store with build_kv_store"
         )
+    # honor the store's edge contract: a store deliberately built
+    # without edges must not gain a half-populated edge table from
+    # delta upserts (it would then match neither rebuild shape)
+    con0 = sqlite3.connect(db_path)
+    try:
+        row = con0.execute("SELECT v FROM meta WHERE k='with_edges'").fetchone()
+    except sqlite3.OperationalError as exc:
+        raise ValueError(
+            f"{db_path} has no meta table — built by a pre-refresh "
+            "version of build_kv_store; rebuild it once to make it "
+            "refreshable"
+        ) from exc
+    finally:
+        con0.close()
+    with_edges = row is not None and row[0] == "1"
+
     stage = f"{db_path}.refresh-shards"
+    shutil.rmtree(stage, ignore_errors=True)  # incl. stale .tmp-* attempts
     os.makedirs(stage, exist_ok=True)
-    for f in glob.glob(f"{stage}/shard-*.sqlite"):
-        os.remove(f)
 
     retired = d["retired"].select(F.col("node_id").alias("id"))
     _write_shards(stage, "del_node", "id TEXT", retired.repartition(shards))
@@ -276,14 +303,15 @@ def refresh_kv_store(state, db_path: str, shards: int = 4) -> dict:
         .repartitionByRange(shards, "alias")
         .sortWithinPartitions("alias"),
     )
-    _write_shards(
-        stage,
-        "edge",
-        "id TEXT, json TEXT",
-        kv_edge_table(d["new_edge_rows"])
-        .repartitionByRange(shards, "id")
-        .sortWithinPartitions("id"),
-    )
+    if with_edges:
+        _write_shards(
+            stage,
+            "edge",
+            "id TEXT, json TEXT",
+            kv_edge_table(d["new_edge_rows"])
+            .repartitionByRange(shards, "id")
+            .sortWithinPartitions("id"),
+        )
 
     con = sqlite3.connect(db_path, isolation_level=None)  # manual txn
     counts = {"deleted_nodes": 0, "deleted_edges": 0,
@@ -335,6 +363,7 @@ def refresh_kv_store(state, db_path: str, shards: int = 4) -> dict:
         raise
     finally:
         con.close()
+    shutil.rmtree(stage, ignore_errors=True)  # applied; drop the shards
     return counts
 
 

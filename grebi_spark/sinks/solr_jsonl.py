@@ -117,7 +117,11 @@ def solr_delta_docs(state) -> dict[str, DataFrame]:
       need re-indexing;
     * ``node_deletions`` — vanished node ids;
     * ``edge_upserts`` / ``edge_deletions`` — the verb's new edge rows /
-      removed edge ids.
+      removed edge ids. The two sets are DISJOINT by construction: an
+      unchanged edge of a re-merged clique keeps its content-hashed id
+      and appears in both the verb's removed and new rows, so deletions
+      are anti-joined against the upsert ids — apply the four sets in
+      ANY order (Solr add-by-id already replaces).
 
     Everything stays broadcast-delta: the stored merged/meta tables are
     only semi-probed map-side (same no-corpus-shuffle contract as the
@@ -174,9 +178,13 @@ def solr_delta_docs(state) -> dict[str, DataFrame]:
             F.col("node_id").alias("grebi__nodeId")
         ),
         "edge_upserts": solr_edge_docs(d["new_edge_rows"]),
-        "edge_deletions": d["removed_edge_ids"].select(
-            F.col("edge_id").alias("grebi__edgeId")
-        ),
+        "edge_deletions": d["removed_edge_ids"]
+        .join(
+            F.broadcast(d["new_edge_rows"].select("edge_id")),
+            "edge_id",
+            "left_anti",
+        )
+        .select(F.col("edge_id").alias("grebi__edgeId")),
     }
 
 

@@ -468,6 +468,9 @@ def test_solr_delta_equals_rebuild(tri):
     up_e = delta["edge_upserts"]
     up_e_ids = {r["grebi__edgeId"] for r in up_e.select("grebi__edgeId").collect()}
     del_e = {r["grebi__edgeId"] for r in delta["edge_deletions"].collect()}
+    # order-independence contract: the sets are disjoint, so a consumer
+    # may delete after (or concurrently with) upserting
+    assert up_e_ids.isdisjoint(del_e)
     kept_e = old_edges.filter(
         ~SF.col("grebi__edgeId").isin(list(up_e_ids | del_e))
     )

@@ -332,3 +332,57 @@ def test_assign_vectorized_matches_expression(spark, sf_dir):
         tr._ASSIGN_VEC_MIN_K = old
         tr._CENT_CACHE.clear()
     assert a == b
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef0123456789-", min_size=1, max_size=8),
+            st.integers(min_value=0, max_value=3),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_stream_offsets_exactly_once_any_arrival_order(tmp_path_factory, files):
+    """grebi_jsonl stream bookkeeping: for ANY file-arrival schedule and
+    ANY drain points, every file is consumed exactly once — regardless
+    of how its name sorts relative to already-consumed files — and
+    readBetweenOffsets replays exactly the recorded delta."""
+    import json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from grebi_spark.sources.pysource import GrebiJsonlStreamReader
+
+    d = tmp_path_factory.mktemp("prop_stream")
+    rdr = GrebiJsonlStreamReader(
+        StructType([StructField("doc_id", LongType())]), {"path": str(d)}
+    )
+    # arrival schedule: files[i] lands in wave (i % (waves)); drain after
+    # each wave
+    waves: dict[int, list[tuple[str, int]]] = {}
+    for i, (name, wave) in enumerate(files):
+        waves.setdefault(wave, []).append((f"{name}.jsonl", i))
+
+    offset = rdr.initialOffset()
+    seen: list[int] = []
+    checkpoints = [offset]
+    for w in sorted(waves):
+        for fname, i in waves[w]:
+            with open(os.path.join(str(d), fname), "w") as fh:
+                fh.write(json.dumps({"doc_id": i}) + "\n")
+        rows, offset = rdr.read(offset)
+        seen.extend(r[0] for r in rows)
+        checkpoints.append(offset)
+    # exactly-once: every landed file consumed once, none twice
+    assert sorted(seen) == list(range(len(files)))
+    # replay parity: each recorded inter-checkpoint delta reproduces the
+    # exact rows of its batch
+    replayed: list[int] = []
+    for a, b in zip(checkpoints, checkpoints[1:]):
+        replayed.extend(r[0] for r in rdr.readBetweenOffsets(a, b))
+    assert sorted(replayed) == sorted(seen)

@@ -593,3 +593,39 @@ def test_refresh_kv_store_after_remove(tri, tmp_path):
         return out
 
     assert dump(db) == dump(fresh)
+
+
+def test_refresh_kv_store_after_update(tri, tmp_path):
+    """update = remove∘add fused in ONE _delta_finish pass — its single
+    last_delta must carry the complete serving delta: the refreshed
+    store equals a from-scratch build of the replaced-source state."""
+    import sqlite3
+
+    from grebi_spark.sinks.kv import build_kv_store, refresh_kv_store
+
+    plus_graph, _inc = tri["add"]  # the pre-update graph (base + sssom)
+    _scratch_v2, upd = tri["update"]
+
+    db = str(tmp_path / "maint.sqlite")
+    build_kv_store(
+        plus_graph.merged, plus_graph.nodes, db,
+        shards=2, edges=plus_graph.edges,
+    )
+    refresh_kv_store(upd, db, shards=2)
+
+    fresh = str(tmp_path / "fresh.sqlite")
+    build_kv_store(
+        upd.graph.merged, upd.graph.nodes, fresh,
+        shards=2, edges=upd.graph.edges,
+    )
+
+    def dump(path):
+        con = sqlite3.connect(path)
+        out = {
+            t: sorted(con.execute(f"SELECT * FROM {t}").fetchall())
+            for t in ("kv", "alias", "edge")
+        }
+        con.close()
+        return out
+
+    assert dump(db) == dump(fresh)

@@ -629,3 +629,79 @@ def test_refresh_kv_store_after_update(tri, tmp_path):
         return out
 
     assert dump(db) == dump(fresh)
+
+
+def test_stream_maintenance_survives_driver_restart(spark, sf_dir, tmp_path):
+    """The DURABILITY half of the continuous loop: the stream checkpoint
+    resumes file offsets, but the maintained GraphState lives in driver
+    memory — a restarted maintenance job must reload it with load_state
+    and keep folding. Simulated restart: fold dump 1 → save_state →
+    'new driver' load_state → drain the SAME checkpoint (only dump 2 is
+    fresh) → the resumed state's merged profile equals a from-scratch
+    build over all sources."""
+    import json
+
+    from grebi_spark.incremental import (
+        add_datasource,
+        build_graph_stateful,
+        load_state,
+        save_state,
+    )
+    from grebi_spark.pipeline import build_graph
+    from grebi_spark.plans.parity import PARITY_CONFIG, _star_graph_long
+    from grebi_spark.sources import pysource
+
+    pysource.register(spark)
+    customers, nations, regions = _star_graph_long(spark, sf_dir)
+    d = tmp_path / "dumps"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    statedir = str(tmp_path / "state")
+
+    def land(df, name):
+        with open(d / f"{name}.jsonl", "w") as fh:
+            for r in df.collect():
+                fh.write(json.dumps(r.asDict()) + "\n")
+
+    def drain(holder):
+        def fold(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                holder["state"] = add_datasource(
+                    holder["state"], batch_df.localCheckpoint()
+                )
+
+        q = (
+            spark.readStream.format("grebi_jsonl")
+            .schema(customers.schema)
+            .option("path", str(d))
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # driver #1: initial build, fold the first dump, persist, "crash"
+    h1 = {"state": build_graph_stateful([customers], PARITY_CONFIG)}
+    land(nations, "geo_nations")
+    drain(h1)
+    save_state(h1["state"], statedir)
+
+    # driver #2: reload the durable state, resume the SAME checkpoint
+    h2 = {"state": load_state(spark, statedir)}
+    land(regions, "geo_regions")
+    drain(h2)
+
+    def profile(merged):
+        import pyspark.sql.functions as SF
+
+        return sorted(
+            tuple(r)
+            for r in merged.groupBy("node_id")
+            .agg(SF.count("*").alias("n"))
+            .collect()
+        )
+
+    scratch = build_graph([customers, nations, regions], PARITY_CONFIG)
+    assert profile(h2["state"].graph.merged) == profile(scratch.merged)

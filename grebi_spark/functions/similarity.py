@@ -430,6 +430,23 @@ ORDER BY query_id
 IVF_NPROBE_TRAINED = 3
 
 
+def _probe_cells(cents, qv, nprobe: int) -> list[int]:
+    """Driver-side probe selection: K rounded query→centroid distances,
+    same sequential float fold as both engines → identical cell choice.
+    HALF_UP to match F.round and DuckDB round (Python's built-in round
+    is banker's half-even — a different tie rule)."""
+    from .num import half_up
+
+    def dist(c):
+        s = 0.0
+        for x, y in zip(qv, c):
+            s += (x - y) * (x - y)
+        return half_up(s**0.5)
+
+    probe = sorted(cents, key=lambda kc: (dist(kc[1]), kc[0]))[:nprobe]
+    return [k for k, _ in probe]
+
+
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with LEARNED centroids: the cells are the k-means centroids
     from ``training.kmeans_embeddings`` (2 Lloyd iterations,
@@ -452,21 +469,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_embeddings(spark, sf_dir)  # trains + caches the centroids
     cents = _KM_CACHE[ckey]
     qv = _query_vector(e, sf_dir)
-
-    def dist(c):
-        from .num import half_up
-
-        s = 0.0
-        for x, y in zip(qv, c):
-            s += (x - y) * (x - y)
-        # HALF_UP to match F.round and DuckDB round (Python's built-in
-        # round is banker's half-even — a different tie rule)
-        return half_up(s**0.5)
-
-    # probe selection driver-side: K rounded distances, same sequential
-    # float fold as both engines → identical cell choice
-    probe = sorted(cents, key=lambda kc: (dist(kc[1]), kc[0]))[:IVF_NPROBE_TRAINED]
-    probe_ids = [k for k, _ in probe]
+    probe_ids = _probe_cells(cents, qv, IVF_NPROBE_TRAINED)
 
     v = as_double(F.col("embedding"))
     q = F.array(*[F.lit(x) for x in qv])
@@ -507,6 +510,81 @@ WHERE a.cluster IN (SELECT cluster FROM probe) AND a.vec_id != 0
 ORDER BY dist, a.vec_id
 LIMIT 5
 """
+    )
+
+
+_ANN_INDEX_CACHE: dict[str, str] = {}
+
+
+def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Persist the trained IVF index as a SERVING artifact: the centroid
+    table plus the inverted lists — (vec_id, vector) written PARTITIONED
+    BY CELL. This materialises the scale layout the in-session variant
+    only documents: a query that probes nprobe cells reads nprobe/K of
+    the files via partition pruning, no index structure in memory —
+    the Parquet-native analogue of an IVF index's posting lists."""
+    from .training import _CENT_CACHE as _KM_CACHE
+    from .training import _cache_key, assign_routed, kmeans_embeddings
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ckey = _cache_key(spark, sf_dir)
+    if ckey not in _KM_CACHE:
+        kmeans_embeddings(spark, sf_dir)  # trains + caches the centroids
+    cents = _KM_CACHE[ckey]
+    spark.createDataFrame(
+        [(int(k), [float(x) for x in c]) for k, c in cents],
+        "cluster int, c array<double>",
+    ).write.mode("overwrite").parquet(f"{root}/centroids")
+    v = as_double(F.col("embedding"))
+    best = assign_routed(spark, sf_dir, e, v)
+    (
+        e.withColumn("cell", best.getField("cluster"))
+        .select("vec_id", v.alias("v"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{root}/lists")
+    )
+
+
+def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURABLE IVF serving: save the trained index (once per session),
+    then answer the query from the RELOADED artifact alone — reloaded
+    centroids pick the probe cells, and the ranking scans ONLY the
+    probed cells' partition directories (PartitionFilters, plan-gated in
+    the suite). Same result contract and oracle as the in-session
+    ``ann_ivf_trained_topk``: the round-trip must not change a single
+    neighbour. This is the train-once / persist / serve-many lifecycle a
+    production vector index runs — at 100 TB the lists live on object
+    storage and each query touches nprobe/K of them."""
+    import tempfile
+
+    from .training import _cache_key, _euclid_dist
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    key = f"annidx:{_cache_key(spark, sf_dir)}"
+    if key not in _ANN_INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="grebi_ann_index_")
+        save_ann_index(spark, sf_dir, root)
+        _ANN_INDEX_CACHE[key] = root
+    root = _ANN_INDEX_CACHE[key]
+
+    cents = [
+        (r["cluster"], r["c"])
+        for r in spark.read.parquet(f"{root}/centroids").collect()
+    ]
+    qv = _query_vector(e, sf_dir)
+    probe_ids = _probe_cells(cents, qv, IVF_NPROBE_TRAINED)
+    q = F.array(*[F.lit(x) for x in qv])
+    lists = spark.read.parquet(f"{root}/lists")
+    return (
+        lists.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(_euclid_dist(F.col("v"), q), 6).alias("dist"),
+        )
+        .orderBy("dist", "vec_id")
+        .limit(5)
     )
 
 
@@ -1368,6 +1446,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "ann_index_persist_topk": ann_index_persist_topk,
     "knn_label_purity": knn_label_purity,
     "knn_classify": knn_classify,
 }
@@ -1383,6 +1462,7 @@ ORACLES = {
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),
+    "ann_index_persist_topk": _oracle_ann_ivf_trained(),
     "knn_label_purity": ORACLE_LABEL_PURITY,
     "knn_classify": ORACLE_KNN_CLASSIFY,
 }

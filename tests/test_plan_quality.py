@@ -731,3 +731,19 @@ def test_quality_cascade_plan_and_separation(spark, sf_dir):
     n_accept = sum(r["n_accept"] for r in rows)
     n_scored = sum(r["n_scored"] for r in rows)
     assert 0 < n_accept < n_scored
+
+
+def test_ann_persisted_index_scan_is_partition_pruned(spark, sf_dir):
+    """The durable IVF index's whole point: the probed query must scan
+    ONLY the probed cells' partition directories. The physical plan's
+    parquet scan must carry PartitionFilters on `cell` — a scan without
+    them reads all K inverted lists and the index layout bought
+    nothing."""
+    from grebi_spark.functions.similarity import ann_index_persist_topk
+
+    df = ann_index_persist_topk(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan
+    # the filter actually references the partition column, non-empty
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "cell" in seg and seg.strip()

@@ -546,6 +546,33 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     )
 
 
+def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> None:
+    """Incremental index maintenance: fold NEW vectors into a persisted
+    IVF index WITHOUT retraining — each is assigned to its nearest
+    STORED centroid (exact argmin against the reloaded centroid table)
+    and appended to that cell's inverted list. A partition append only
+    adds files under the touched cell directories; untouched cells'
+    files are never rewritten — the standard production pattern (append
+    until centroid drift forces a retrain). Identity contract (suite):
+    with centroids fixed, append-then-query ≡ index-everything-then-
+    query, byte-for-byte."""
+    from .training import _assign
+
+    cents = [
+        (r["cluster"], r["c"])
+        for r in spark.read.parquet(f"{root}/centroids").collect()
+    ]
+    v = as_double(F.col("embedding"))
+    best = _assign(v, cents)
+    (
+        new_vectors.withColumn("cell", best.getField("cluster"))
+        .select("vec_id", v.alias("v"), "cell")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{root}/lists")
+    )
+
+
 def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DURABLE IVF serving: save the trained index (once per session),
     then answer the query from the RELOADED artifact alone — reloaded

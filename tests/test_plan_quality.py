@@ -747,3 +747,68 @@ def test_ann_persisted_index_scan_is_partition_pruned(spark, sf_dir):
     # the filter actually references the partition column, non-empty
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "cell" in seg and seg.strip()
+
+
+def test_ann_index_append_equals_full_index(spark, sf_dir, tmp_path):
+    """Incremental IVF maintenance: appending the second half of the
+    corpus to an index persisted over the first half (same centroids)
+    must yield exactly the lists a full index over everything has — and
+    the served top-k from the appended index equals the full one's."""
+    from pyspark.sql import functions as SF
+
+    from grebi_spark.functions.similarity import (
+        _probe_cells,
+        append_ann_index,
+        as_double,
+    )
+    from grebi_spark.functions.training import _assign
+    from grebi_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    mid = e.selectExpr("percentile(vec_id, 0.5) p").collect()[0]["p"]
+    first, rest = e.filter(e.vec_id <= mid), e.filter(e.vec_id > mid)
+
+    # persist centroids trained elsewhere (reuse the session k-means) and
+    # the FIRST half's lists, then append the rest
+    from grebi_spark.functions.similarity import save_ann_index
+
+    root = str(tmp_path / "half")
+    save_ann_index(spark, sf_dir, root)  # full index (shares the train)
+    cents = [
+        (r["cluster"], r["c"])
+        for r in spark.read.parquet(f"{root}/centroids").collect()
+    ]
+    root2 = str(tmp_path / "inc")
+    spark.read.parquet(f"{root}/centroids").write.parquet(f"{root2}/centroids")
+    v = as_double(SF.col("embedding"))
+    (
+        first.withColumn("cell", _assign(v, cents).getField("cluster"))
+        .select("vec_id", v.alias("v"), "cell")
+        .write.partitionBy("cell")
+        .parquet(f"{root2}/lists")
+    )
+    append_ann_index(spark, root2, rest)
+
+    def lists(r):
+        return sorted(
+            (x["vec_id"], x["cell"], tuple(x["v"]))
+            for x in spark.read.parquet(f"{r}/lists").collect()
+        )
+
+    assert lists(root2) == lists(root)
+    # and the serving read agrees end to end
+    qv = [r for r in e.filter(e.vec_id == 0).collect()][0]["embedding"]
+    probe = _probe_cells(cents, [float(x) for x in qv], 3)
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{root2}/lists")
+        .filter(SF.col("cell").isin(probe))
+        .collect()
+    }
+    want = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{root}/lists")
+        .filter(SF.col("cell").isin(probe))
+        .collect()
+    }
+    assert got == want and got

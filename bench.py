@@ -84,9 +84,10 @@ def main() -> None:
     # this the alphabetically-first consumer (ann_ivf_trained_topk)
     # absorbs the training pass into its per-query number
     queries["kmeans_embeddings"](spark, sf_dir).collect()
-    # ...and the persisted IVF index (train is shared with the line
-    # above; the save is the one-time serving-artifact write)
+    # ...and the persisted IVF + PQ indexes (train/encode shared with
+    # the line above; the saves are one-time serving-artifact writes)
     queries["ann_index_persist_topk"](spark, sf_dir).limit(1).collect()
+    queries["ann_pq_index_persist_topk"](spark, sf_dir).limit(1).collect()
 
     total = 0.0
     errors: dict[str, str] = {}

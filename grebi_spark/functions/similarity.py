@@ -742,6 +742,44 @@ PQ_K = 16       # codes per subspace codebook
 _PQ_TOPK = 5
 
 
+def _pq_tables(spark: SparkSession, sf_dir: str):
+    """(codebooks, query-distance tables) shared by the in-session PQ
+    scan and the persisted-code serving path: cb[m][k] = subvector m of
+    seed vec k+1 (deterministic init); qd[m][k] = the query's rounded
+    distance to that codeword, computed driver-side with the SAME
+    sequential fold + HALF_UP 1e-6 round the oracle's SQL performs
+    (K·M scalars, scale-free)."""
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    seed_key = f"pq:{spark.sparkContext.applicationId}:{sf_dir}"
+    byid = _IVF_SEED_CACHE.get(seed_key)
+    if byid is None:
+        rows = (
+            e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= PQ_K))
+            .select("vec_id", "embedding")
+            .collect()
+        )
+        byid = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
+        _IVF_SEED_CACHE[seed_key] = byid
+    qv = byid[0]
+    cb = [
+        [byid[k + 1][m * PQ_SUB:(m + 1) * PQ_SUB] for k in range(PQ_K)]
+        for m in range(PQ_M)
+    ]
+    from .num import half_up as _r6
+
+    qd = []
+    for m in range(PQ_M):
+        qsub = qv[m * PQ_SUB:(m + 1) * PQ_SUB]
+        row = []
+        for k in range(PQ_K):
+            s = 0.0
+            for x, y in zip(qsub, cb[m][k]):
+                s += (x - y) * (x - y)
+            row.append(_r6(s))
+        qd.append(row)
+    return cb, qd
+
+
 def _pq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN — the memory-compression half of the
     IVF-PQ index every billion-vector deployment runs: each vector is
@@ -764,38 +802,7 @@ def _pq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. At 100 TB the code table is 64× smaller than the
     vectors — the point of PQ."""
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    seed_key = f"pq:{spark.sparkContext.applicationId}:{sf_dir}"
-    byid = _IVF_SEED_CACHE.get(seed_key)
-    if byid is None:
-        rows = (
-            e.filter((F.col("vec_id") >= 0) & (F.col("vec_id") <= PQ_K))
-            .select("vec_id", "embedding")
-            .collect()
-        )
-        byid = {int(r["vec_id"]): [float(x) for x in r["embedding"]] for r in rows}
-        _IVF_SEED_CACHE[seed_key] = byid
-    qv = byid[0]
-    # cb[m][k] = subvector m of seed vec k+1
-    cb = [
-        [byid[k + 1][m * PQ_SUB:(m + 1) * PQ_SUB] for k in range(PQ_K)]
-        for m in range(PQ_M)
-    ]
-
-    # qd[m][k]: the query's distance table, computed driver-side in
-    # plain Python with the SAME sequential fold + HALF_UP 1e-6 round
-    # the oracle's SQL performs (K·M scalars, scale-free).
-    from .num import half_up as _r6
-
-    qd = []
-    for m in range(PQ_M):
-        qsub = qv[m * PQ_SUB:(m + 1) * PQ_SUB]
-        row = []
-        for k in range(PQ_K):
-            s = 0.0
-            for x, y in zip(qsub, cb[m][k]):
-                s += (x - y) * (x - y)
-            row.append(_r6(s))
-        qd.append(row)
+    cb, qd = _pq_tables(spark, sf_dir)
 
     # Encode + ADC in ONE Arrow-batched pandas_udf: per batch, each
     # subspace's 16 code distances accumulate dimension-by-dimension
@@ -856,6 +863,59 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ``ann_pq_recall``."""
     return _pq_estimates(spark, sf_dir).orderBy("dist_est", "vec_id").limit(
         _PQ_TOPK
+    )
+
+
+_PQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def save_pq_index(spark: SparkSession, sf_dir: str, root: str) -> None:
+    """Persist the COMPRESSED serving index: the PQ code table
+    (vec_id, c0..c3) — 4 small ints standing in for 64 floats, the 64×
+    smaller artifact a billion-vector deployment actually ships. Codes
+    are query-independent; every future query re-ranks them with its
+    own distance table."""
+    (
+        _pq_estimates(spark, sf_dir)
+        .select("vec_id", *[f"c{m}" for m in range(PQ_M)])
+        .write.mode("overwrite")
+        .parquet(f"{root}/codes")
+    )
+
+
+def ann_pq_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve PQ top-5 from the PERSISTED code table alone — no vectors
+    touched at query time: the query's distance table (K·M scalars,
+    driver-side) becomes LITERAL arrays, and the ADC estimate is four
+    ``element_at`` lookups + three adds per stored code row, pure
+    whole-stage-codegen expressions over the reloaded Parquet scan.
+    This is the compressed-index serving lifecycle (encode once,
+    persist, many queries re-rank the codes); the round-trip must
+    reproduce the in-session ``ann_pq_topk`` result exactly — same
+    oracle."""
+    import tempfile
+
+    key = f"pqidx:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _PQ_INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="grebi_pq_index_")
+        save_pq_index(spark, sf_dir, root)
+        _PQ_INDEX_CACHE[key] = root
+    root = _PQ_INDEX_CACHE[key]
+
+    _cb, qd = _pq_tables(spark, sf_dir)
+    codes = spark.read.parquet(f"{root}/codes")
+    est = F.lit(0.0)
+    for m in range(PQ_M):
+        table = F.array(*[F.lit(x) for x in qd[m]])
+        est = est + F.element_at(table, F.col(f"c{m}") + 1)
+    return (
+        codes.select(
+            "vec_id",
+            *[f"c{m}" for m in range(PQ_M)],
+            F.round(est, 6).alias("dist_est"),
+        )
+        .orderBy("dist_est", "vec_id")
+        .limit(_PQ_TOPK)
     )
 
 
@@ -1468,6 +1528,7 @@ QUERIES = {
     "semantic_dedup_cells": semantic_dedup_cells,
     "ann_recall_check": ann_recall_check,
     "ann_pq_topk": ann_pq_topk,
+    "ann_pq_index_persist_topk": ann_pq_index_persist_topk,
     "ann_pq_recall": ann_pq_recall,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -1485,6 +1546,7 @@ ORACLES = {
     "ann_recall_check": _oracle_ann_recall(),
     "ann_cosine_topk": ORACLE_ANN_BRUTE,
     "ann_pq_topk": _oracle_ann_pq(),
+    "ann_pq_index_persist_topk": _oracle_ann_pq(),
     "ann_pq_recall": _oracle_ann_pq_recall(),
     "ann_lsh_topk": _oracle_ann_lsh(),
     "ann_ivf_topk": ORACLE_ANN_IVF,

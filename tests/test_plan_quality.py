@@ -812,3 +812,15 @@ def test_ann_index_append_equals_full_index(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_pq_persisted_serving_never_reads_vectors(spark, sf_dir):
+    """The compressed index's point: the persisted-PQ serving plan must
+    scan only the 4-int code table — an `embedding` column anywhere in
+    the physical plan means the 64× compression bought nothing at query
+    time."""
+    from grebi_spark.functions.similarity import ann_pq_index_persist_topk
+
+    plan = plan_of(ann_pq_index_persist_topk(spark, sf_dir))
+    assert "embedding" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -866,6 +866,76 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DRIFT_RETRAIN_T = 1.2
+
+
+def ann_index_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRAIN SIGNAL for an append-only index (``append_ann_index``
+    folds new vectors in against FROZEN centroids — valid until the
+    incoming distribution drifts): compare the mean assigned distance of
+    an incoming batch against the index's own corpus mean. Ratio above
+    the threshold ⇒ the frozen centroids no longer describe the data —
+    retrain. The incoming batch is a deterministic drifted copy (every
+    7th vector shifted +0.1 per dimension) so the check is reproducible
+    and the oracle recomputes the identical decision: corpus mean from
+    the gated routed assignment (the same ``sel`` CTE every k-means
+    consumer hash-checks), batch mean from the flat exact assignment the
+    append path uses. One aggregate over each side — scale-free."""
+    from .training import _CENT_CACHE as _KM_CACHE
+    from .training import _assign, _cache_key, assign_routed, kmeans_embeddings
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    ckey = _cache_key(spark, sf_dir)
+    if ckey not in _KM_CACHE:
+        kmeans_embeddings(spark, sf_dir)
+    cents = _KM_CACHE[ckey]
+
+    v = as_double(F.col("embedding"))
+    corpus_d = assign_routed(spark, sf_dir, e, v).getField("d")
+    corpus = e.select(F.avg(corpus_d).alias("md"))
+
+    shifted = F.transform(v, lambda x: x + F.lit(0.1))
+    batch = e.filter(F.col("vec_id") % 7 == 3).select(
+        _assign(shifted, cents).getField("d").alias("d")
+    )
+    bm = batch.agg(F.count("*").alias("n_batch"), F.avg("d").alias("md"))
+    return bm.crossJoin(corpus.withColumnRenamed("md", "cmd")).select(
+        "n_batch",
+        F.round(F.col("cmd"), 4).alias("corpus_mean_d"),
+        F.round(F.col("md"), 4).alias("batch_mean_d"),
+        F.round(F.col("md") / F.col("cmd"), 4).alias("drift_ratio"),
+        (F.col("md") / F.col("cmd") > _DRIFT_RETRAIN_T)
+        .cast("int")
+        .alias("retrain"),
+    )
+
+
+def _oracle_drift_check() -> str:
+    from .training import ORACLE_KMEANS_CTES
+
+    return (
+        ORACLE_KMEANS_CTES
+        + f""",
+corpus AS (SELECT avg(d) AS cmd FROM sel),
+batch AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x + 0.1) AS v
+  FROM embeddings WHERE vec_id % 7 = 3
+),
+bd AS (
+  SELECT b.vec_id, min(round(list_distance(b.v, c2.c), 6)) AS d
+  FROM batch b, cent2 c2 GROUP BY b.vec_id
+),
+bm AS (SELECT count(*) AS n_batch, avg(d) AS md FROM bd)
+SELECT bm.n_batch,
+       round(corpus.cmd, 4) AS corpus_mean_d,
+       round(bm.md, 4) AS batch_mean_d,
+       round(bm.md / corpus.cmd, 4) AS drift_ratio,
+       CAST(bm.md / corpus.cmd > {_DRIFT_RETRAIN_T} AS INT) AS retrain
+FROM bm, corpus
+"""
+    )
+
+
 _PQ_INDEX_CACHE: dict[str, str] = {}
 
 
@@ -1535,6 +1605,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_index_persist_topk": ann_index_persist_topk,
+    "ann_index_drift_check": ann_index_drift_check,
     "knn_label_purity": knn_label_purity,
     "knn_classify": knn_classify,
 }
@@ -1552,6 +1623,7 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),
     "ann_index_persist_topk": _oracle_ann_ivf_trained(),
+    "ann_index_drift_check": _oracle_drift_check(),
     "knn_label_purity": ORACLE_LABEL_PURITY,
     "knn_classify": ORACLE_KNN_CLASSIFY,
 }

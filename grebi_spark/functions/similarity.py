@@ -522,21 +522,35 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     BY CELL. This materialises the scale layout the in-session variant
     only documents: a query that probes nprobe cells reads nprobe/K of
     the files via partition pruning, no index structure in memory —
-    the Parquet-native analogue of an IVF index's posting lists."""
+    the Parquet-native analogue of an IVF index's posting lists.
+
+    The ASSIGNMENT RULE is part of the index: the gate decision (routed
+    two-level vs exact flat) and K are persisted alongside the
+    centroids, so appends replay the exact rule the lists were built
+    with — two rules in one index would place the same vector in
+    different cells depending on when it arrived."""
     from .training import _CENT_CACHE as _KM_CACHE
-    from .training import _cache_key, assign_routed, kmeans_embeddings
+    from .training import _K_CACHE, _cache_key, kmeans_embeddings, kmeans_k, route_gate
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     ckey = _cache_key(spark, sf_dir)
     if ckey not in _KM_CACHE:
         kmeans_embeddings(spark, sf_dir)  # trains + caches the centroids
     cents = _KM_CACHE[ckey]
+    k_int = _K_CACHE.get(ckey)
+    if k_int is None:
+        k_int = kmeans_k(e.count())
+        _K_CACHE[ckey] = k_int
+    routed = route_gate(spark, e, cents, k_int, ckey)
     spark.createDataFrame(
         [(int(k), [float(x) for x in c]) for k, c in cents],
         "cluster int, c array<double>",
     ).write.mode("overwrite").parquet(f"{root}/centroids")
+    spark.createDataFrame(
+        [(int(routed), int(k_int))], "routed int, k int"
+    ).write.mode("overwrite").parquet(f"{root}/mode")
     v = as_double(F.col("embedding"))
-    best = assign_routed(spark, sf_dir, e, v)
+    best = _index_assign(v, cents, bool(routed), k_int)
     (
         e.withColumn("cell", best.getField("cluster"))
         .select("vec_id", v.alias("v"), "cell")
@@ -546,6 +560,14 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     )
 
 
+def _index_assign(vec, cents, routed: bool, k_int: int):
+    """The index's recorded assignment rule, replayed exactly — routed
+    two-level when the save-time gate accepted, exact flat otherwise."""
+    from .training import _assign, _assign_twolevel
+
+    return _assign_twolevel(vec, cents, k_int) if routed else _assign(vec, cents)
+
+
 def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> None:
     """Incremental index maintenance: fold NEW vectors into a persisted
     IVF index WITHOUT retraining — each is assigned to its nearest
@@ -553,17 +575,17 @@ def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
     and appended to that cell's inverted list. A partition append only
     adds files under the touched cell directories; untouched cells'
     files are never rewritten — the standard production pattern (append
-    until centroid drift forces a retrain). Identity contract (suite):
-    with centroids fixed, append-then-query ≡ index-everything-then-
-    query, byte-for-byte."""
-    from .training import _assign
-
+    until centroid drift forces a retrain). The assignment replays the
+    index's PERSISTED rule (routed vs flat, see ``save_ann_index``), so
+    the identity contract holds (suite): with centroids fixed,
+    append-then-query ≡ index-everything-then-query, byte-for-byte."""
     cents = [
         (r["cluster"], r["c"])
         for r in spark.read.parquet(f"{root}/centroids").collect()
     ]
+    mode = spark.read.parquet(f"{root}/mode").collect()[0]
     v = as_double(F.col("embedding"))
-    best = _assign(v, cents)
+    best = _index_assign(v, cents, bool(mode["routed"]), int(mode["k"]))
     (
         new_vectors.withColumn("cell", best.getField("cluster"))
         .select("vec_id", v.alias("v"), "cell")
@@ -890,15 +912,29 @@ def ann_index_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_embeddings(spark, sf_dir)
     cents = _KM_CACHE[ckey]
 
+    # means via the repo's integer-micron convention (d is rounded to
+    # 1e-6, so sum(round(d*1e6)::long)/n/1e6 is EXACT and summation-
+    # order independent — plain FP avg would leave a task-order window
+    # inside the 4-dp round)
+    def _mean_micron(dcol):
+        return (
+            F.sum(F.round(dcol * 1e6).cast("long")) / F.count(F.lit(1)) / 1e6
+        )
+
     v = as_double(F.col("embedding"))
     corpus_d = assign_routed(spark, sf_dir, e, v).getField("d")
-    corpus = e.select(F.avg(corpus_d).alias("md"))
+    corpus = e.select(corpus_d.alias("d")).agg(
+        _mean_micron(F.col("d")).alias("md")
+    )
 
     shifted = F.transform(v, lambda x: x + F.lit(0.1))
     batch = e.filter(F.col("vec_id") % 7 == 3).select(
         _assign(shifted, cents).getField("d").alias("d")
     )
-    bm = batch.agg(F.count("*").alias("n_batch"), F.avg("d").alias("md"))
+    bm = batch.agg(
+        F.count("*").alias("n_batch"),
+        _mean_micron(F.col("d")).alias("md"),
+    )
     return bm.crossJoin(corpus.withColumnRenamed("md", "cmd")).select(
         "n_batch",
         F.round(F.col("cmd"), 4).alias("corpus_mean_d"),
@@ -916,7 +952,9 @@ def _oracle_drift_check() -> str:
     return (
         ORACLE_KMEANS_CTES
         + f""",
-corpus AS (SELECT avg(d) AS cmd FROM sel),
+corpus AS (
+  SELECT sum(CAST(round(d * 1e6) AS BIGINT)) / count(*) / 1e6 AS cmd FROM sel
+),
 batch AS (
   SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x + 0.1) AS v
   FROM embeddings WHERE vec_id % 7 = 3
@@ -925,7 +963,11 @@ bd AS (
   SELECT b.vec_id, min(round(list_distance(b.v, c2.c), 6)) AS d
   FROM batch b, cent2 c2 GROUP BY b.vec_id
 ),
-bm AS (SELECT count(*) AS n_batch, avg(d) AS md FROM bd)
+bm AS (
+  SELECT count(*) AS n_batch,
+         sum(CAST(round(d * 1e6) AS BIGINT)) / count(*) / 1e6 AS md
+  FROM bd
+)
 SELECT bm.n_batch,
        round(corpus.cmd, 4) AS corpus_mean_d,
        round(bm.md, 4) AS batch_mean_d,

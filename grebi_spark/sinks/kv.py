@@ -259,6 +259,12 @@ def refresh_kv_store(state, db_path: str, shards: int = 4) -> dict:
             "state carries no last_delta (from-scratch build, loaded, or "
             "compacted state) — build the store with build_kv_store"
         )
+    if not os.path.exists(db_path):
+        raise ValueError(
+            f"no store at {db_path} — refresh maintains an EXISTING "
+            "build_kv_store file (sqlite3.connect would silently create "
+            "an empty one)"
+        )
     # honor the store's edge contract: a store deliberately built
     # without edges must not gain a half-populated edge table from
     # delta upserts (it would then match neither rebuild shape)

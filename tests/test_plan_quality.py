@@ -759,31 +759,28 @@ def test_ann_index_append_equals_full_index(spark, sf_dir, tmp_path):
     from grebi_spark.functions.similarity import (
         _probe_cells,
         append_ann_index,
-        as_double,
+        save_ann_index,
     )
-    from grebi_spark.functions.training import _assign
     from grebi_spark.session import load_tables
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     mid = e.selectExpr("percentile(vec_id, 0.5) p").collect()[0]["p"]
-    first, rest = e.filter(e.vec_id <= mid), e.filter(e.vec_id > mid)
+    rest = e.filter(e.vec_id > mid)
 
-    # persist centroids trained elsewhere (reuse the session k-means) and
-    # the FIRST half's lists, then append the rest
-    from grebi_spark.functions.similarity import save_ann_index
-
-    root = str(tmp_path / "half")
+    root = str(tmp_path / "full")
     save_ann_index(spark, sf_dir, root)  # full index (shares the train)
     cents = [
         (r["cluster"], r["c"])
         for r in spark.read.parquet(f"{root}/centroids").collect()
     ]
+    # the incremental twin: same centroids + recorded assignment mode,
+    # lists carved down to the FIRST half — then append the rest
     root2 = str(tmp_path / "inc")
     spark.read.parquet(f"{root}/centroids").write.parquet(f"{root2}/centroids")
-    v = as_double(SF.col("embedding"))
+    spark.read.parquet(f"{root}/mode").write.parquet(f"{root2}/mode")
     (
-        first.withColumn("cell", _assign(v, cents).getField("cluster"))
-        .select("vec_id", v.alias("v"), "cell")
+        spark.read.parquet(f"{root}/lists")
+        .filter(SF.col("vec_id") <= mid)
         .write.partitionBy("cell")
         .parquet(f"{root2}/lists")
     )

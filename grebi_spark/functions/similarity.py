@@ -530,17 +530,19 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     with — two rules in one index would place the same vector in
     different cells depending on when it arrived."""
     from .training import _CENT_CACHE as _KM_CACHE
-    from .training import _K_CACHE, _cache_key, kmeans_embeddings, kmeans_k, route_gate
+    from .training import (
+        _cache_key,
+        kmeans_embeddings,
+        route_gate,
+        trained_k,
+    )
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     ckey = _cache_key(spark, sf_dir)
     if ckey not in _KM_CACHE:
         kmeans_embeddings(spark, sf_dir)  # trains + caches the centroids
     cents = _KM_CACHE[ckey]
-    k_int = _K_CACHE.get(ckey)
-    if k_int is None:
-        k_int = kmeans_k(e.count())
-        _K_CACHE[ckey] = k_int
+    k_int = trained_k(spark, sf_dir, e)
     routed = route_gate(spark, e, cents, k_int, ckey)
     spark.createDataFrame(
         [(int(k), [float(x) for x in c]) for k, c in cents],
@@ -557,7 +559,7 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
         # cluster rows by cell BEFORE the partitioned write: without
         # this every task writes a file into every cell directory
         # (tasks × K files — measured 449 s at 64×/K=2000); clustered,
-        # each cell's rows land in one task → ~K files total (26 s)
+        # each cell's rows land in one task → ~K files total (22.2 s)
         .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
@@ -566,29 +568,35 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
 
 
 def _index_assign(vec, cents, routed: bool, k_int: int):
-    """The index's recorded assignment rule, replayed exactly — routed
-    two-level when the save-time gate accepted, exact flat otherwise."""
-    from .training import _assign, _assign_twolevel
+    """The index's recorded assignment rule, replayed exactly — same
+    dispatch as the in-session gate path (training.assign_by_rule)."""
+    from .training import assign_by_rule
 
-    return _assign_twolevel(vec, cents, k_int) if routed else _assign(vec, cents)
+    return assign_by_rule(vec, cents, routed, k_int)
 
 
 def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> None:
     """Incremental index maintenance: fold NEW vectors into a persisted
-    IVF index WITHOUT retraining — each is assigned to its nearest
-    STORED centroid (exact argmin against the reloaded centroid table)
-    and appended to that cell's inverted list. A partition append only
-    adds files under the touched cell directories; untouched cells'
-    files are never rewritten — the standard production pattern (append
-    until centroid drift forces a retrain). The assignment replays the
-    index's PERSISTED rule (routed vs flat, see ``save_ann_index``), so
-    the identity contract holds (suite): with centroids fixed,
+    IVF index WITHOUT retraining — each is assigned against the
+    reloaded centroid table under the index's PERSISTED rule (routed
+    two-level or exact flat, whichever the save-time gate recorded —
+    see ``save_ann_index``) and appended to that cell's inverted list.
+    A partition append only adds files under the touched cell
+    directories; untouched cells' files are never rewritten — the
+    standard production pattern (append until centroid drift forces a
+    retrain). Identity contract (suite): with centroids fixed,
     append-then-query ≡ index-everything-then-query, byte-for-byte."""
     cents = [
         (r["cluster"], r["c"])
         for r in spark.read.parquet(f"{root}/centroids").collect()
     ]
-    mode = spark.read.parquet(f"{root}/mode").collect()[0]
+    try:
+        mode = spark.read.parquet(f"{root}/mode").collect()[0]
+    except Exception as exc:
+        raise ValueError(
+            f"{root} has no mode/ table — saved by a pre-rule-recording "
+            "save_ann_index; re-save the index once to make it appendable"
+        ) from exc
     v = as_double(F.col("embedding"))
     best = _index_assign(v, cents, bool(mode["routed"]), int(mode["k"]))
     (
@@ -907,16 +915,26 @@ def ann_index_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     7th vector shifted +0.1 per dimension) so the check is reproducible
     and the oracle recomputes the identical decision: corpus mean from
     the gated routed assignment (the same ``sel`` CTE every k-means
-    consumer hash-checks), batch mean from the flat exact assignment the
-    append path uses. One aggregate over each side — scale-free."""
+    consumer hash-checks), batch mean under the SAME gate decision —
+    exactly the rule ``append_ann_index`` replays from the persisted
+    index. One aggregate over each side — scale-free."""
     from .training import _CENT_CACHE as _KM_CACHE
-    from .training import _assign, _cache_key, assign_routed, kmeans_embeddings
+    from .training import (
+        _cache_key,
+        assign_by_rule,
+        assign_routed,
+        kmeans_embeddings,
+        route_gate,
+        trained_k,
+    )
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     ckey = _cache_key(spark, sf_dir)
     if ckey not in _KM_CACHE:
         kmeans_embeddings(spark, sf_dir)
     cents = _KM_CACHE[ckey]
+    k_int = trained_k(spark, sf_dir, e)
+    gate_ok = route_gate(spark, e, cents, k_int, ckey)
 
     # means via the repo's integer-micron convention (d is rounded to
     # 1e-6, so sum(round(d*1e6)::long)/n/1e6 is EXACT and summation-
@@ -935,7 +953,7 @@ def ann_index_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shifted = F.transform(v, lambda x: x + F.lit(0.1))
     batch = e.filter(F.col("vec_id") % 7 == 3).select(
-        _assign(shifted, cents).getField("d").alias("d")
+        assign_by_rule(shifted, cents, gate_ok, k_int).getField("d").alias("d")
     )
     bm = batch.agg(
         F.count("*").alias("n_batch"),
@@ -953,11 +971,11 @@ def ann_index_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_drift_check() -> str:
-    from .training import ORACLE_KMEANS_CTES
+    from .training import ORACLE_KMEANS_CTES, _twolevel_ctes
 
     return (
         ORACLE_KMEANS_CTES
-        + f""",
+        + """,
 corpus AS (
   SELECT sum(CAST(round(d * 1e6) AS BIGINT)) / count(*) / 1e6 AS cmd FROM sel
 ),
@@ -965,9 +983,15 @@ batch AS (
   SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x + 0.1) AS v
   FROM embeddings WHERE vec_id % 7 = 3
 ),
-bd AS (
+bflat AS (
   SELECT b.vec_id, min(round(list_distance(b.v, c2.c), 6)) AS d
   FROM batch b, cent2 c2 GROUP BY b.vec_id
+)"""
+        + _twolevel_ctes("batch", "b")
+        + f""",
+bd AS (
+  SELECT f.vec_id, CASE WHEN g.ok THEN t.d ELSE f.d END AS d
+  FROM bflat f JOIN btwo t ON f.vec_id = t.vec_id CROSS JOIN gate g
 ),
 bm AS (
   SELECT count(*) AS n_batch,

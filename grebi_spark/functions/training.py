@@ -453,6 +453,27 @@ def route_gate(spark: SparkSession, e: DataFrame, cents: list[tuple[int, list[fl
     return accept
 
 
+def trained_k(spark: SparkSession, sf_dir: str, e: DataFrame) -> int:
+    """K as derived (and cached) at train time for this (session, sf) —
+    the single source of the K-recovery logic every consumer shares."""
+    ckey = _cache_key(spark, sf_dir)
+    k_int = _K_CACHE.get(ckey)
+    if k_int is None:
+        k_int = kmeans_k(e.count())
+        _K_CACHE[ckey] = k_int
+    return k_int
+
+
+def assign_by_rule(
+    vec: Column, cents: list[tuple[int, list[float]]], routed: bool, k_int: int
+) -> Column:
+    """Dispatch a FIXED assignment rule — routed two-level or exact flat
+    (GEMM+refine). The one implementation of the dispatch, shared by
+    the in-session gate path (assign_routed) and the persisted-index
+    save/append paths, which record and replay the decision."""
+    return _assign_twolevel(vec, cents, k_int) if routed else _assign(vec, cents)
+
+
 def assign_routed(spark: SparkSession, sf_dir: str, e: DataFrame, vec: Column) -> Column:
     """THE production assignment entry point: two-level routed when the
     sampled-agreement gate accepts, exact flat (GEMM+refine) when it
@@ -461,13 +482,10 @@ def assign_routed(spark: SparkSession, sf_dir: str, e: DataFrame, vec: Column) -
     if ckey not in _CENT_CACHE:
         kmeans_embeddings(spark, sf_dir)
     cents = _CENT_CACHE[ckey]
-    k_int = _K_CACHE.get(ckey)
-    if k_int is None:
-        k_int = kmeans_k(e.count())
-        _K_CACHE[ckey] = k_int
-    if route_gate(spark, e, cents, k_int, ckey):
-        return _assign_twolevel(vec, cents, k_int)
-    return _assign(vec, cents)
+    k_int = trained_k(spark, sf_dir, e)
+    return assign_by_rule(
+        vec, cents, route_gate(spark, e, cents, k_int, ckey), k_int
+    )
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

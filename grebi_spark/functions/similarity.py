@@ -609,6 +609,45 @@ def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
     )
 
 
+def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int:
+    """The maintenance sweep that keeps an append-only index healthy:
+    every ``append_ann_index`` adds a file per touched cell, so a
+    long-lived index accumulates small files exactly where appends
+    concentrate. Compaction rewrites ONLY the cells holding more than
+    ``max_files`` files — read back via partition pruning, rewritten in
+    one file each under dynamic partition overwrite, so untouched
+    cells' files are never touched (the LSM minor-compaction shape,
+    same contract as the graph-side ``compact_state``). Returns the
+    number of cells compacted; list CONTENT is unchanged (suite)."""
+    import glob
+    import os
+
+    crowded = []
+    for d in glob.glob(os.path.join(root, "lists", "cell=*")):
+        if len(glob.glob(os.path.join(d, "*.parquet"))) > max_files:
+            crowded.append(int(d.rsplit("=", 1)[1]))
+    if not crowded:
+        return 0
+    rows = (
+        spark.read.parquet(f"{root}/lists")
+        .filter(F.col("cell").isin(crowded))
+        .select("vec_id", "v", F.col("cell").cast("int").alias("cell"))
+        .localCheckpoint()  # materialise BEFORE overwriting the source
+    )
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            rows.repartition(F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(f"{root}/lists")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    return len(crowded)
+
+
 def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DURABLE IVF serving: save the trained index (once per session),
     then answer the query from the RELOADED artifact alone — reloaded

@@ -821,3 +821,58 @@ def test_pq_persisted_serving_never_reads_vectors(spark, sf_dir):
     plan = plan_of(ann_pq_index_persist_topk(spark, sf_dir))
     assert "embedding" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_index_compaction_preserves_content(spark, sf_dir, tmp_path):
+    """compact_ann_index merges only the crowded cells' append files and
+    changes NOTHING about the list content; cells under the threshold
+    keep their original files untouched."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from grebi_spark.functions.similarity import (
+        append_ann_index,
+        compact_ann_index,
+        save_ann_index,
+    )
+    from grebi_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    root = str(tmp_path / "idx")
+    save_ann_index(spark, sf_dir, root)
+    # three appends pile small files onto the touched cells
+    for i in range(3):
+        append_ann_index(
+            spark, root,
+            e.limit(20).withColumn("vec_id", e.vec_id + (i + 1) * 10_000_000),
+        )
+
+    def snapshot():
+        return sorted(
+            (r["vec_id"], r["cell"], tuple(r["v"]))
+            for r in spark.read.parquet(f"{root}/lists")
+            .select("vec_id", SF.col("cell").cast("int").alias("cell"), "v")
+            .collect()
+        )
+
+    def file_counts():
+        return {
+            int(d.rsplit("=", 1)[1]): len(glob.glob(os.path.join(d, "*.parquet")))
+            for d in glob.glob(os.path.join(root, "lists", "cell=*"))
+        }
+
+    before_rows, before_files = snapshot(), file_counts()
+    assert any(n > 2 for n in before_files.values())  # appends piled up
+    n = compact_ann_index(spark, root, max_files=2)
+    after_rows, after_files = snapshot(), file_counts()
+    assert n > 0
+    assert after_rows == before_rows  # content identical
+    assert all(v == 1 for k, v in after_files.items() if before_files[k] > 2)
+    # untouched cells keep their file layout
+    assert all(
+        after_files[k] == v for k, v in before_files.items() if v <= 2
+    )
+    # idempotent: nothing left to compact
+    assert compact_ann_index(spark, root, max_files=2) == 0

@@ -618,14 +618,24 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
     one file each under dynamic partition overwrite, so untouched
     cells' files are never touched (the LSM minor-compaction shape,
     same contract as the graph-side ``compact_state``). Returns the
-    number of cells compacted; list CONTENT is unchanged (suite)."""
-    import glob
-    import os
+    number of cells compacted; list CONTENT is unchanged (suite).
 
+    Cell discovery goes through the Hadoop FileSystem API (not
+    driver-local glob), so the sweep sees hdfs:// and s3a:// roots the
+    same way the Spark reader does — a local-only glob would silently
+    find nothing on a remote index root."""
     crowded = []
-    for d in glob.glob(os.path.join(root, "lists", "cell=*")):
-        if len(glob.glob(os.path.join(d, "*.parquet"))) > max_files:
-            crowded.append(int(d.rsplit("=", 1)[1]))
+    for cell_dir in _hadoop_ls(spark, f"{root}/lists", dirs_only=True):
+        name = cell_dir.getPath().getName()
+        if not name.startswith("cell="):
+            continue
+        nfiles = sum(
+            1
+            for f in _hadoop_ls(spark, cell_dir.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if nfiles > max_files:
+            crowded.append(int(name.split("=", 1)[1]))
     if not crowded:
         return 0
     rows = (
@@ -634,18 +644,31 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
         .select("vec_id", "v", F.col("cell").cast("int").alias("cell"))
         .localCheckpoint()  # materialise BEFORE overwriting the source
     )
-    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    try:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        (
-            rows.repartition(F.col("cell"))
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(f"{root}/lists")
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    (
+        rows.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        # per-write scope: a session-conf flip would leak dynamic
+        # overwrite into concurrent writers during the window
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(f"{root}/lists")
+    )
     return len(crowded)
+
+
+def _hadoop_ls(spark: SparkSession, path, dirs_only: bool = False):
+    """listStatus through the JVM Hadoop FileSystem — scheme-aware
+    (file://, hdfs://, s3a://), unlike os/glob which only sees the
+    driver's local disk. ``path`` is a string or a jvm Path."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path) if isinstance(path, str) else path
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return []
+    statuses = list(fs.listStatus(jpath))
+    if dirs_only:
+        statuses = [s for s in statuses if s.isDirectory()]
+    return statuses
 
 
 def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

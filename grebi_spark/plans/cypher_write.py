@@ -213,7 +213,17 @@ def run_cypher_mutation(
                 for t in targets
                 if not re.search(r"\[\s*" + re.escape(t) + r"[\s:\]]", text)
             ]
-            stripped = f"{stripped} DELETE {(node_targets or targets)[0]}"
+            chosen = node_targets or targets
+            if len(set(chosen)) > 1:
+                # two non-subsumed targets (DELETE r1 ... DELETE r2)
+                # cannot be folded into one statement — planning only
+                # the first would silently drop the rest
+                raise ValueError(
+                    "multiple distinct DELETE targets in CALL-IN-TRANSACTIONS "
+                    f"wrappers: {sorted(set(chosen))}; run each DELETE as its "
+                    "own statement"
+                )
+            stripped = f"{stripped} DELETE {chosen[0]}"
         return _plan_delete(graph, stripped)
 
     # extract from the REAL text — the detection pass blanked string

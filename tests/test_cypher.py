@@ -500,3 +500,51 @@ def test_string_param_injection_rejected(graph):  # noqa: F811
             "MATCH (n:`ols:Class`) SET n.note = $v",
             params={"v": 'evil" RETURN 1 //'},
         )
+
+def test_multi_edge_delete_targets_raise(graph):  # noqa: F811
+    """Two CALL-IN-TRANSACTIONS wrappers deleting DIFFERENT edge
+    variables in one statement cannot be folded into a single planned
+    DELETE — the translator must refuse rather than silently dropping
+    every deletion after the first (ADVICE r5)."""
+    import pytest
+
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    stmt = """
+MATCH (mg:`impc:MouseGene`)-[r1:`impc:humanGeneOrthologues`]->(hg:`hgnc:Gene`),
+      (t:`otar:Target`)-[r2:`otar:targetId`]->(hg)
+CALL {
+WITH r1
+DELETE r1
+} IN TRANSACTIONS
+CALL {
+WITH r2
+DELETE r2
+} IN TRANSACTIONS
+"""
+    with pytest.raises(ValueError, match="multiple distinct DELETE targets"):
+        run_cypher_mutation(graph, stmt)
+
+
+def test_repeated_same_delete_target_still_plans(graph):  # noqa: F811
+    """Multiple wrappers over the SAME variable (the notebook's batching
+    shape) stay legal — dedup happens on the variable name."""
+    from grebi_spark.plans.cypher_write import run_cypher_mutation
+
+    stmt = """
+MATCH (mg:`impc:MouseGene`)-[r:`impc:humanGeneOrthologues`]->(hg:`hgnc:Gene`)
+CALL {
+WITH r
+DELETE r
+} IN TRANSACTIONS
+CALL {
+WITH r
+DELETE r
+} IN TRANSACTIONS
+"""
+    g2 = run_cypher_mutation(graph, stmt).graph
+    assert (
+        g2.edges.filter(F.col("edge_type") == "impc:humanGeneOrthologues").count()
+        == 0
+    )
+    assert g2.nodes.count() == graph.nodes.count()

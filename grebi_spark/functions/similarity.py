@@ -1368,7 +1368,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell assignment goes through the PRODUCTION router (training.
     # assign_routed): two-level coarse→fine when the sampled-agreement
     # gate accepts, exact flat (GEMM+refine) when it rejects — the gate
-    # is evaluated on the base corpus and mirrored in the oracle's
+    # is evaluated on the base corpus's training sample and mirrored in the oracle's
     # ``gate`` CTE, so the routing decision is hash-checked here too
     assigned = planted_vectors(e).select(
         "vec_id",

@@ -297,24 +297,88 @@ def _assign_vectorized(vec: Column, cents: list[tuple[int, list[float]]]) -> Col
 # (kmeans_k), so the classify pass is super-linear. The IVF/IMI answer
 # is two-level routing (coarse argmin over G=⌈√K⌉ group means, then
 # fine argmin within the winning group: n·2√K·d), but routing is
-# APPROXIMATE, so it is gated: on a deterministic 10% sample
-# (vec_id % 10 == 0) the routed and exact assignments are compared,
-# and the fast path is accepted only when they agree on ≥ 99% of the
-# sample — else the assignment falls back to the exact flat pass
-# (which _exact_micro_argmin keeps BLAS-speed). The gate decision is
-# itself part of the query semantics: the oracle SQL computes the SAME
-# sampled agreement and selects the SAME leg, so the routing logic —
-# not just its output — is hash-checked on every run. On this
-# harness's near-uniform synthetic embeddings the gate measurably
-# rejects (sampled agreement 0.84/0.76/0.52 at sf0.001/0.01/0.1);
-# tests/test_properties.py proves the accept branch on a separable
-# corpus where it routes and still hash-matches DuckDB.
+# APPROXIMATE, so it is gated: on the deterministic TRAINING SAMPLE
+# (md5-bucket membership, expected 16·K vectors — see train_sample) the
+# routed and exact assignments are compared, and the fast path is
+# accepted only when they agree on ≥ 99% of the sample — else the
+# assignment falls back to the exact flat pass (which
+# _exact_micro_argmin keeps BLAS-speed), PERMITTED ONLY BELOW
+# KMEANS_FLAT_MAX_K: above that ceiling a corpus-wide exact pass is
+# infeasible by definition (K grows with the corpus, so n·K is
+# super-linear), so the router is forced on and the sub-threshold
+# agreement becomes a drift/QA signal instead of a fallback trigger.
+# The gate decision is itself part of the query semantics: the oracle
+# SQL computes the SAME sampled agreement and selects the SAME leg, so
+# the routing logic — not just its output — is hash-checked on every
+# run. On this harness's near-uniform synthetic embeddings the gate
+# measurably rejects; tests/test_routing_gate.py proves the accept
+# branch on a separable corpus where it routes and still hash-matches
+# DuckDB.
 KMEANS_ROUTE_MIN_K = 8
 KMEANS_ROUTE_MIN_AGREE = 0.99
+# flat exact assignment (and the gate-reject fallback choosing it) is
+# allowed only while K is small enough that an n·K GEMM pass is sane
+# (K=4096 ⇒ n≈256k vectors at the 64-per-cell target, ~7e10 flops);
+# beyond this, assignment is routed unconditionally and a sub-threshold
+# gate agreement is a drift signal, not a fallback trigger
+KMEANS_FLAT_MAX_K = 4096
 
-# gate decision per (application, sf_dir); K at train time per same key
+# --- sample-bounded training --------------------------------------------------
+#
+# EVERY full-corpus O(n·K) leg of k-means is bounded by a deterministic
+# hash sample: Lloyd fits on the sample, the agreement gate evaluates on
+# the sample, and the corpus only ever pays the assignment pass (routed
+# n·2√K above the flat ceiling). Membership is ROW-LOCAL — an md5 bucket
+# of the vec_id against a threshold derived from n and K — so any
+# operator (or the DuckDB oracle) can recompute it without a global
+# sort or a broadcast id set; expected sample size is
+# KMEANS_SAMPLE_PER_CELL·K vectors (the per-centroid statistics Lloyd
+# actually needs), capped at n. This is the standard production shape:
+# FAISS trains IVF coarse quantizers on a bounded sample
+# (max_points_per_centroid), never the corpus.
+KMEANS_SAMPLE_PER_CELL = 16
+_SAMP_MOD = 1 << 20
+_SAMP_SALT = "ksamp:"
+
+
+def _samp_thr(n: int, k_int: int) -> int:
+    """Bucket threshold selecting an expected 16·K-vector sample."""
+    import math
+
+    if n <= 0:
+        return _SAMP_MOD
+    return min(_SAMP_MOD, math.ceil(_SAMP_MOD * KMEANS_SAMPLE_PER_CELL * k_int / n))
+
+
+def sample_member(idcol: Column, thr: int) -> Column:
+    """Row-local training-sample membership (Spark side): md5 bucket of
+    the salted vec_id below ``thr``. Mirrored verbatim by the oracle's
+    ``samp`` CTE — same salt, same hex slice, same modulus."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SAMP_SALT), idcol.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SAMP_MOD
+    )
+    return bucket < F.lit(thr)
+
+
+def train_sample(e: DataFrame, n: int, k_int: int) -> DataFrame:
+    """The deterministic training sample: a codegen'd filter, no sort,
+    no shuffle — the ONLY rows Lloyd and the gate ever pay K-way
+    distance work for."""
+    return e.filter(sample_member(F.col("vec_id"), _samp_thr(n, k_int)))
+
+
+# gate decision per (application, sf_dir); K and corpus count at train
+# time per same key
 _GATE_CACHE: dict[str, bool] = {}
 _K_CACHE: dict[str, int] = {}
+_N_CACHE: dict[str, int] = {}
 
 
 def _twolevel_parts(cents: list[tuple[int, list[float]]], k_int: int):
@@ -408,16 +472,19 @@ def _assign_twolevel(vec: Column, cents: list[tuple[int, list[float]]], k_int: i
 
 def route_gate(spark: SparkSession, e: DataFrame, cents: list[tuple[int, list[float]]],
                k_int: int, ckey: str) -> bool:
-    """Evaluate (once per session+corpus) the sampled-agreement gate:
-    on vec_id % 10 == 0, compare routed vs exact assignment; accept
-    the routed path only when K ≥ KMEANS_ROUTE_MIN_K and agreement ≥
-    KMEANS_ROUTE_MIN_AGREE. Cost is n·K/10 (GEMM-batched) — sampled
-    QA, the production shape. The oracle's ``gate`` CTE computes the
-    identical decision in SQL."""
+    """Evaluate (once per session+corpus) the sampled-agreement gate on
+    the TRAINING SAMPLE (expected 16·K vectors — the same md5-bucket
+    sample Lloyd fits on): compare routed vs exact assignment; accept
+    the routed path when K ≥ KMEANS_ROUTE_MIN_K and agreement ≥
+    KMEANS_ROUTE_MIN_AGREE — and UNCONDITIONALLY once K exceeds
+    KMEANS_FLAT_MAX_K, where the flat fallback the gate would pick is
+    itself infeasible. Cost is sample·K (GEMM-batched), bounded by the
+    sample — never a corpus-wide exact pass. The oracle's ``gate`` CTE
+    computes the identical decision in SQL."""
     if ckey in _GATE_CACHE:
         return _GATE_CACHE[ckey]
-    accept = False
-    if k_int >= KMEANS_ROUTE_MIN_K:
+    accept = k_int > KMEANS_FLAT_MAX_K
+    if not accept and k_int >= KMEANS_ROUTE_MIN_K:
         import numpy as np
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
@@ -436,8 +503,12 @@ def route_gate(spark: SparkSession, e: DataFrame, cents: list[tuple[int, list[fl
             [T.StructField("two", T.LongType()), T.StructField("exact", T.LongType())]
         )
         udf = pandas_udf(_both, schema)
+        n = _N_CACHE.get(ckey)
+        if n is None:
+            n = e.count()
+            _N_CACHE[ckey] = n
         row = (
-            e.filter(F.col("vec_id") % 10 == 0)
+            train_sample(e, n, k_int)
             .select(udf(_as_double(F.col("embedding"))).alias("z"))
             .agg(
                 F.count("*").alias("n_eval"),
@@ -459,7 +530,9 @@ def trained_k(spark: SparkSession, sf_dir: str, e: DataFrame) -> int:
     ckey = _cache_key(spark, sf_dir)
     k_int = _K_CACHE.get(ckey)
     if k_int is None:
-        k_int = kmeans_k(e.count())
+        n = e.count()
+        _N_CACHE[ckey] = n
+        k_int = kmeans_k(n)
         _K_CACHE[ckey] = k_int
     return k_int
 
@@ -470,7 +543,19 @@ def assign_by_rule(
     """Dispatch a FIXED assignment rule — routed two-level or exact flat
     (GEMM+refine). The one implementation of the dispatch, shared by
     the in-session gate path (assign_routed) and the persisted-index
-    save/append paths, which record and replay the decision."""
+    save/append paths, which record and replay the decision.
+
+    Corpus-wide exact assignment is FORBIDDEN above KMEANS_FLAT_MAX_K —
+    a flat n·K pass at derived K is the one shape that cannot survive a
+    100× corpus, so a stale persisted rule that asks for it fails loudly
+    instead of melting the cluster."""
+    if not routed and k_int > KMEANS_FLAT_MAX_K:
+        raise ValueError(
+            f"flat exact assignment requested at K={k_int} > "
+            f"KMEANS_FLAT_MAX_K={KMEANS_FLAT_MAX_K}; corpus-wide O(n*K) "
+            "passes are forbidden above the ceiling - retrain/re-save the "
+            "index (the gate now forces the routed rule at this K)"
+        )
     return _assign_twolevel(vec, cents, k_int) if routed else _assign(vec, cents)
 
 
@@ -489,13 +574,17 @@ def assign_routed(spark: SparkSession, sf_dir: str, e: DataFrame, vec: Column) -
 
 
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd iterations over the embedding table: init from the
-    first K vectors by vec_id, assign, recompute centroids, reassign;
-    output per-cluster sizes and exact mean distance.
+    """Two Lloyd iterations fit on the SAMPLE (expected 16·K vectors by
+    md5-bucket membership — train_sample), init from the first K corpus
+    vectors by vec_id; the corpus then pays only the gated assignment
+    pass. Output: per-cluster sizes and exact mean distance over the
+    WHOLE corpus.
 
-    Per iteration: the assignment is a map-only pass against K broadcast
-    literal centroids; the centroid update is one posexplode (n·d rows)
-    + two-key agg — the canonical distributed k-means step.  The K×d
+    Per Lloyd iteration: the assignment is a map-only pass of SAMPLE
+    rows against K broadcast literal centroids (sample·K, bounded by
+    the sample — never n·K); the centroid update is one posexplode
+    (sample·d rows) + two-key agg — the canonical distributed k-means
+    step at the FAISS max_points_per_centroid scale discipline. The K×d
     centroid table is collected driver-side between iterations exactly
     as MLlib does; at 100 TB that collect is still K·d floats.
     Distances and centroids round to 1e-6 on both engines so argmin and
@@ -507,7 +596,9 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ckey in _CENT_CACHE:
         cent2 = _CENT_CACHE[ckey]
     else:
-        k = kmeans_k(e.count())
+        n = e.count()
+        _N_CACHE[ckey] = n
+        k = kmeans_k(n)
         _K_CACHE[ckey] = k
         init = [
             (int(r["vec_id"]), [float(x) for x in r["embedding"]])
@@ -516,7 +607,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         init.sort()
-        a1 = e.select(
+        a1 = train_sample(e, n, k).select(
             "vec_id",
             "embedding",
             _assign(v, init).getField("cluster").alias("cluster"),
@@ -559,9 +650,21 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # probe/rank SELECT
 ORACLE_KMEANS_CTES = f"""
 WITH kk AS (
-  SELECT greatest({KMEANS_K_MIN},
-                  CAST(ceil(count(*) / {KMEANS_TARGET_CELL}.0) AS BIGINT)) AS k
-  FROM embeddings
+  SELECT n, k,
+         least({_SAMP_MOD},
+               CAST(ceil({_SAMP_MOD}.0 * {KMEANS_SAMPLE_PER_CELL} * k / n)
+                    AS BIGINT)) AS thr
+  FROM (
+    SELECT count(*) AS n,
+           greatest({KMEANS_K_MIN},
+                    CAST(ceil(count(*) / {KMEANS_TARGET_CELL}.0) AS BIGINT)) AS k
+    FROM embeddings
+  )
+),
+samp AS (
+  SELECT vec_id, embedding FROM embeddings, kk
+  WHERE ('0x' || substr(md5('{_SAMP_SALT}' || CAST(vec_id AS VARCHAR)), 1, 8))
+          ::BIGINT % {_SAMP_MOD} < kk.thr
 ),
 init AS (
   SELECT vec_id AS cluster, embedding::DOUBLE[] AS c
@@ -569,7 +672,7 @@ init AS (
 ),
 d1 AS (
   SELECT vec_id, round(list_distance(embedding::DOUBLE[], c), 6) AS d, cluster
-  FROM embeddings, init
+  FROM samp, init
 ),
 m1 AS (SELECT vec_id, min(d) AS md FROM d1 GROUP BY vec_id),
 assign1 AS (
@@ -637,12 +740,13 @@ def _twolevel_ctes(src_rel: str, p: str) -> str:
 
 
 # coarse structure + the corpus's own two-level assignment + the
-# sampled-agreement GATE (the router's accept/reject decision, computed
-# in SQL exactly as route_gate computes it in Spark) + the gated
-# per-vector selection ``sel`` — appended to the shared chain so every
-# consumer of the routed assignment (kmeans_embeddings, semdedup) hash-
-# checks the routing decision itself. Unreferenced CTEs are pruned by
-# DuckDB, so the flat-only consumers (trained IVF) pay nothing.
+# sampled-agreement GATE (the router's accept/reject decision over the
+# TRAINING SAMPLE, computed in SQL exactly as route_gate computes it in
+# Spark, with the KMEANS_FLAT_MAX_K override) + the gated per-vector
+# selection ``sel`` — appended to the shared chain so every consumer of
+# the routed assignment (kmeans_embeddings, semdedup) hash-checks the
+# routing decision itself. Unreferenced CTEs are pruned by DuckDB, so
+# the flat-only consumers (trained IVF) pay nothing.
 ORACLE_KMEANS_CTES = (
     ORACLE_KMEANS_CTES
     + """,
@@ -662,11 +766,12 @@ ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
     + _twolevel_ctes("ev", "")
     + f""",
 gate AS (
-  SELECT (SELECT k FROM kk) >= {KMEANS_ROUTE_MIN_K}
-         AND sum(CASE WHEN t.two = a2.cluster THEN 1 ELSE 0 END)
-             >= {KMEANS_ROUTE_MIN_AGREE} * count(*) AS ok
+  SELECT ((SELECT k FROM kk) >= {KMEANS_ROUTE_MIN_K}
+          AND sum(CASE WHEN t.two = a2.cluster THEN 1 ELSE 0 END)
+              >= {KMEANS_ROUTE_MIN_AGREE} * count(*))
+         OR (SELECT k FROM kk) > {KMEANS_FLAT_MAX_K} AS ok
   FROM two t JOIN assign2 a2 ON t.vec_id = a2.vec_id
-  WHERE t.vec_id % 10 = 0
+  JOIN samp s ON t.vec_id = s.vec_id
 ),
 sel AS (
   SELECT a2.vec_id,
@@ -724,15 +829,16 @@ def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, kid, C, _, CO, fine_idx = _twolevel_parts(cents, k_int)
 
     # the exact-argmin reference costs the very n·K the two-level path
-    # avoids, so the agreement EVAL runs on a deterministic 10% sample
-    # (vec_id % 10 == 0) — sampled QA, the production shape: routing is
-    # n·2√K, the gate pays n·K/10 (GEMM-batched via _exact_micro_argmin)
-    def _route(s: "pd.Series", vid: "pd.Series") -> "pd.DataFrame":
+    # avoids, so the agreement EVAL runs on the deterministic TRAINING
+    # SAMPLE (md5-bucket membership, expected 16·K vectors — the same
+    # rows Lloyd fit on) — sampled QA, the production shape: routing is
+    # n·2√K, the eval pays sample·K (GEMM-batched via
+    # _exact_micro_argmin), bounded by the sample at any corpus size
+    def _route(s: "pd.Series", insamp: "pd.Series") -> "pd.DataFrame":
         V = np.array([np.asarray(x, dtype=np.float64) for x in s])
-        ids = vid.to_numpy()
         _, two = _route_np(V, kid, C, CO, fine_idx)
         exact = np.full(len(V), -1, dtype=np.int64)
-        samp = np.nonzero(ids % 10 == 0)[0]
+        samp = np.nonzero(insamp.to_numpy())[0]
         if len(samp):
             _, exact[samp] = _exact_micro_argmin(V[samp], C, kid)
         return pd.DataFrame(
@@ -740,15 +846,20 @@ def kmeans_assign_twolevel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     _route.__annotations__ = {
-        "s": pd.Series, "vid": pd.Series, "return": pd.DataFrame
+        "s": pd.Series, "insamp": pd.Series, "return": pd.DataFrame
     }
     schema = T.StructType(
         [T.StructField("two", T.LongType()), T.StructField("exact", T.LongType())]
     )
     udf = pandas_udf(_route, schema)
-    a = e.select("vec_id", udf(_as_double(F.col("embedding")), "vec_id").alias("z")).select(
-        F.col("z.two").alias("two"), F.col("z.exact").alias("exact")
-    )
+    n_corpus = _N_CACHE.get(ckey)
+    if n_corpus is None:
+        n_corpus = e.count()
+        _N_CACHE[ckey] = n_corpus
+    member = sample_member(F.col("vec_id"), _samp_thr(n_corpus, k_int))
+    a = e.select(
+        "vec_id", udf(_as_double(F.col("embedding")), member).alias("z")
+    ).select(F.col("z.two").alias("two"), F.col("z.exact").alias("exact"))
     return (
         a.groupBy(F.col("two").alias("cluster"))
         .agg(
@@ -768,10 +879,11 @@ def _oracle_kmeans_twolevel() -> str:
         ORACLE_KMEANS_CTES
         + """
 SELECT two.two AS cluster, count(*) AS n_vecs,
-       sum(CASE WHEN two.vec_id % 10 = 0 THEN 1 ELSE 0 END) AS n_eval,
-       sum(CASE WHEN two.vec_id % 10 = 0 AND two.two = a2.cluster
+       sum(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_eval,
+       sum(CASE WHEN s.vec_id IS NOT NULL AND two.two = a2.cluster
                 THEN 1 ELSE 0 END) AS n_agree
 FROM two JOIN assign2 a2 ON two.vec_id = a2.vec_id
+LEFT JOIN samp s ON two.vec_id = s.vec_id
 GROUP BY two.two
 ORDER BY cluster
 """

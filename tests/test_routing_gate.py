@@ -2,7 +2,8 @@
 
 The production default for centroid assignment is: two-level coarse→fine
 routing when the sampled-agreement gate accepts (≥99% agreement with the
-exact argmin on the vec_id%10 sample), exact flat GEMM+refine otherwise.
+exact argmin on the md5-bucket training sample), exact flat GEMM+refine
+otherwise (permitted only below KMEANS_FLAT_MAX_K).
 Both legs AND the gate decision are mirrored in the oracle SQL, so the
 router is hash-checked whichever way it falls:
 

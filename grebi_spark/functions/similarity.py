@@ -657,18 +657,9 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
 
 
 def _hadoop_ls(spark: SparkSession, path, dirs_only: bool = False):
-    """listStatus through the JVM Hadoop FileSystem — scheme-aware
-    (file://, hdfs://, s3a://), unlike os/glob which only sees the
-    driver's local disk. ``path`` is a string or a jvm Path."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path) if isinstance(path, str) else path
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(jpath):
-        return []
-    statuses = list(fs.listStatus(jpath))
-    if dirs_only:
-        statuses = [s for s in statuses if s.isDirectory()]
-    return statuses
+    from ..fsutil import hadoop_ls
+
+    return hadoop_ls(spark, path, dirs_only)
 
 
 def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,6 +188,149 @@ def solr_delta_docs(state) -> dict[str, DataFrame]:
     }
 
 
+# --- the EXECUTED search core: segment/tombstone maintenance ----------------
+#
+# The reference's Solr tier is rebuilt from scratch per release
+# (07_create_db/solr/solr_import.dockerpy). The executable analogue of
+# a MAINTAINED core — without a Solr binary in the container — is the
+# storage model Solr itself (Lucene) uses: immutable SEGMENTS plus
+# per-refresh TOMBSTONES. A refresh appends one segment holding the
+# upserted docs and one tombstone set covering (deleted ∪ replaced)
+# ids; old segments are NEVER rewritten, so the refresh write is
+# delta-sized. A doc is live iff no tombstone with a HIGHER segment
+# number covers its id — exactly Lucene's deleted-docs semantics, and
+# the same LSM shape as compact_ann_index / compact_state.
+
+_CORE_KINDS = ("nodes", "edges")
+
+
+def _core_segments(spark, root: str, kind: str) -> list[int]:
+    from ..fsutil import hadoop_ls
+
+    segs = []
+    for st in hadoop_ls(spark, f"{root}/{kind}/segments", dirs_only=True):
+        name = st.getPath().getName()
+        if name.startswith("seg="):
+            segs.append(int(name.split("=", 1)[1]))
+    return sorted(segs)
+
+
+def build_solr_core(merged, node_meta, edges, root: str) -> None:
+    """Materialise the executed search core from scratch: node and edge
+    docs as segment 0, no tombstones. Same doc rendering as the JSONL
+    export (solr_node_docs / solr_edge_docs)."""
+    solr_node_docs(merged, node_meta).write.mode("overwrite").parquet(
+        f"{root}/nodes/segments/seg=0"
+    )
+    solr_edge_docs(edges).write.mode("overwrite").parquet(
+        f"{root}/edges/segments/seg=0"
+    )
+
+
+def refresh_solr_core(spark, state, root: str) -> dict[str, int]:
+    """Delta-maintain the EXECUTED core after an incremental verb: write
+    ``solr_delta_docs``' upsert sets as a NEW segment and its
+    (deletions ∪ replaced ids) as that segment's tombstones. Old
+    segments are untouched — the refresh I/O is delta-sized, the
+    no-corpus-shuffle contract the graph verbs carry extends through
+    the serving tier (the stored corpus is only broadcast-semi-probed
+    inside solr_delta_docs). Returns per-set applied counts; the suite
+    asserts read-back ≡ a from-scratch core of the new state."""
+    d = solr_delta_docs(state)
+    segs = _core_segments(spark, root, "nodes")
+    if not segs:
+        raise ValueError(
+            f"no core at {root} — refresh maintains an existing "
+            "build_solr_core artifact"
+        )
+    new_seg = max(segs) + 1
+    counts: dict[str, int] = {}
+
+    for kind, idcol, ups, dels in (
+        ("nodes", "grebi__nodeId", d["node_upserts"], d["node_deletions"]),
+        ("edges", "grebi__edgeId", d["edge_upserts"], d["edge_deletions"]),
+    ):
+        ups = ups.localCheckpoint()  # materialise before any same-root read
+        ups.write.mode("overwrite").parquet(
+            f"{root}/{kind}/segments/seg={new_seg}"
+        )
+        tomb = dels.select(F.col(idcol).alias("id")).unionByName(
+            ups.select(F.col(idcol).alias("id"))
+        )
+        tomb.write.mode("overwrite").parquet(
+            f"{root}/{kind}/tombstones/seg={new_seg}"
+        )
+        counts[f"{kind[:-1]}_upserts"] = ups.count()
+        counts[f"{kind[:-1]}_deletions"] = dels.count()
+    return counts
+
+
+def read_solr_core(spark, root: str, kind: str = "nodes"):
+    """The live documents of the maintained core: union every segment
+    (with its ordinal) and drop docs covered by a HIGHER-segment
+    tombstone — Lucene's visibility rule. One anti-join against the
+    (delta-sized) tombstone union; segment files are read as written,
+    no shuffle beyond the join."""
+    from functools import reduce
+
+    segs = _core_segments(spark, root, kind)
+    if not segs:
+        raise ValueError(f"no {kind} segments under {root}")
+    docs = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(f"{root}/{kind}/segments/seg={s}").withColumn(
+                "__seg", F.lit(s)
+            )
+            for s in segs
+        ],
+    )
+    idcol = "grebi__nodeId" if kind == "nodes" else "grebi__edgeId"
+    tombs = [
+        spark.read.parquet(f"{root}/{kind}/tombstones/seg={s}").withColumn(
+            "__tseg", F.lit(s)
+        )
+        for s in segs
+        if s > 0
+    ]
+    if not tombs:
+        return docs.drop("__seg")
+    tomb = reduce(lambda a, b: a.unionByName(b), tombs)
+    live = docs.join(
+        F.broadcast(tomb),
+        (docs[idcol] == tomb["id"]) & (tomb["__tseg"] > docs["__seg"]),
+        "left_anti",
+    )
+    return live.drop("__seg")
+
+
+def compact_solr_core(spark, root: str) -> int:
+    """Segment merge (Lucene's background compaction): fold every
+    segment's live docs into a fresh segment 0 and drop the tombstones.
+    Returns the number of segments merged away. Content-identity
+    (read_solr_core before == after) is asserted by the suite."""
+    merged_away = 0
+    for kind in _CORE_KINDS:
+        segs = _core_segments(spark, root, kind)
+        if len(segs) <= 1:
+            continue
+        live = read_solr_core(spark, root, kind).localCheckpoint()
+        live.write.mode("overwrite").parquet(f"{root}/{kind}/_compact")
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{kind}/segments"), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/{kind}/tombstones"), True)
+        fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{root}/{kind}/segments"))
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(f"{root}/{kind}/_compact"),
+            jvm.org.apache.hadoop.fs.Path(f"{root}/{kind}/segments/seg=0"),
+        )
+        merged_away += len(segs) - 1
+    return merged_away
+
+
 def write_solr_jsonl(
     merged: DataFrame, node_meta: DataFrame, edges: DataFrame, names: DataFrame, out_dir: str
 ) -> None:

@@ -705,3 +705,91 @@ def test_stream_maintenance_survives_driver_restart(spark, sf_dir, tmp_path):
 
     scratch = build_graph([customers, nations, regions], PARITY_CONFIG)
     assert profile(h2["state"].graph.merged) == profile(scratch.merged)
+
+def test_executed_solr_core_refresh_equals_rebuild(spark, tri, tmp_path):
+    """The EXECUTED search core (segment/tombstone layout): build from
+    the pre-verb state, refresh with the verb's delta, and the live
+    read-back must equal a from-scratch core of the new state exactly —
+    nodes and edges both. The refresh writes ONLY a new segment +
+    tombstones: every pre-existing segment file is bit-untouched (the
+    delta-sized-write contract, Lucene's immutable-segment shape)."""
+    import os
+
+    import pyspark.sql.functions as SF
+
+    from grebi_spark.sinks.solr_jsonl import (
+        build_solr_core,
+        compact_solr_core,
+        read_solr_core,
+        refresh_solr_core,
+    )
+
+    state_base = tri["state_base"]
+    _scratch, inc = tri["add"]
+
+    root = str(tmp_path / "core")
+    build_solr_core(
+        state_base.graph.merged, state_base.graph.nodes, state_base.graph.edges, root
+    )
+    before = {}
+    for dirpath, _dirs, files in os.walk(f"{root}/nodes/segments"):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            before[p] = (os.path.getmtime(p), os.path.getsize(p))
+
+    counts = refresh_solr_core(spark, inc, root)
+    assert counts["node_upserts"] > 0
+
+    # old segment files bit-untouched
+    for p, sig in before.items():
+        assert os.path.exists(p) and (
+            os.path.getmtime(p),
+            os.path.getsize(p),
+        ) == sig, f"refresh rewrote a sealed segment file: {p}"
+
+    def js(df):
+        return sorted(
+            r[0]
+            for r in df.select(SF.to_json(SF.struct(*sorted(df.columns)))).collect()
+        )
+
+    scratch_root = str(tmp_path / "scratch_core")
+    build_solr_core(inc.graph.merged, inc.graph.nodes, inc.graph.edges, scratch_root)
+    for kind in ("nodes", "edges"):
+        assert js(read_solr_core(spark, root, kind)) == js(
+            read_solr_core(spark, scratch_root, kind)
+        ), f"refreshed {kind} core != from-scratch core"
+
+    # a search served from the refreshed core equals one from scratch:
+    # name-match filter + type facet, the search_nodes shape
+    def serve(r):
+        docs = read_solr_core(spark, r, "nodes")
+        hits = docs.filter(
+            SF.exists("grebi__name", lambda n: SF.lower(n).contains("o"))
+        )
+        return sorted(
+            (row["t"], row["n"])
+            for row in hits.select(SF.explode("grebi__type").alias("t"))
+            .groupBy("t")
+            .agg(SF.count("*").alias("n"))
+            .collect()
+        )
+
+    assert serve(root) == serve(scratch_root)
+
+    # compaction folds segments and preserves content exactly
+    live_before = js(read_solr_core(spark, root, "nodes"))
+    merged_away = compact_solr_core(spark, root)
+    assert merged_away >= 1
+    assert js(read_solr_core(spark, root, "nodes")) == live_before
+    # refresh still works on a compacted core (next seg = 1)
+    with __import__("pytest").raises(ValueError, match="last_delta"):
+        refresh_solr_core(spark, tri["state_base"], root)
+
+
+def test_solr_refresh_requires_existing_core(spark, tri, tmp_path):
+    from grebi_spark.sinks.solr_jsonl import refresh_solr_core
+
+    _scratch, inc = tri["add"]
+    with __import__("pytest").raises(ValueError, match="no core"):
+        refresh_solr_core(spark, inc, str(tmp_path / "nowhere"))

@@ -711,6 +711,25 @@ def test_serving_delta_paths_never_shuffle_the_corpus(spark, sf_dir):
         plan = plan_of(df)
         assert "SortMergeJoin" not in plan, name
 
+    # the EXECUTED core refresh writes exactly these delta frames (one
+    # new segment + tombstones); the live reader's only join is an
+    # anti-join against the delta-sized tombstone union, and it must be
+    # a broadcast, never a corpus shuffle
+    import tempfile
+
+    from grebi_spark.sinks.solr_jsonl import (
+        build_solr_core,
+        read_solr_core,
+        refresh_solr_core,
+    )
+
+    root = tempfile.mkdtemp(prefix="grebi_solr_gate_")
+    build_solr_core(state.graph.merged, state.graph.nodes, state.graph.edges, root)
+    refresh_solr_core(spark, s2, root)
+    live_plan = plan_of(read_solr_core(spark, root, "nodes"))
+    assert "SortMergeJoin" not in live_plan
+    assert "BroadcastHashJoin" in live_plan and "LeftAnti" in live_plan
+
 
 def test_quality_cascade_plan_and_separation(spark, sf_dir):
     """The classifier cascade: (a) the fitted-weights frame enters the

@@ -528,7 +528,15 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     two-level vs exact flat) and K are persisted alongside the
     centroids, so appends replay the exact rule the lists were built
     with — two rules in one index would place the same vector in
-    different cells depending on when it arrived."""
+    different cells depending on when it arrived.
+
+    DURABILITY: the index is published ATOMICALLY — the three tables
+    are written into a fresh VERSION directory (v1, v2, …) that only
+    becomes visible when its _COMMITTED marker and the root's CURRENT
+    pointer land (the Iceberg version-hint shape). A failure mid-save
+    leaves the previous version serving; a mixed new-centroids/stale-
+    lists state is impossible (ADVICE r5). ``retrain_ann_index`` swaps
+    versions blue/green through the same pointer."""
     from .training import _CENT_CACHE as _KM_CACHE
     from .training import (
         _cache_key,
@@ -544,17 +552,38 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     cents = _KM_CACHE[ckey]
     k_int = trained_k(spark, sf_dir, e)
     routed = route_gate(spark, e, cents, k_int, ckey)
+    vname = _next_index_version(spark, root)
+    _write_index_version(
+        spark, f"{root}/{vname}", e, cents, bool(routed), k_int
+    )
+    _publish_index_version(spark, root, vname)
+
+
+def _write_index_version(
+    spark: SparkSession,
+    vdir: str,
+    vectors: DataFrame,
+    cents,
+    routed: bool,
+    k_int: int,
+) -> None:
+    """Write one complete, self-contained index version: centroid
+    table, recorded assignment rule, and the cell-partitioned lists."""
     spark.createDataFrame(
         [(int(k), [float(x) for x in c]) for k, c in cents],
         "cluster int, c array<double>",
-    ).write.mode("overwrite").parquet(f"{root}/centroids")
+    ).write.mode("overwrite").parquet(f"{vdir}/centroids")
     spark.createDataFrame(
         [(int(routed), int(k_int))], "routed int, k int"
-    ).write.mode("overwrite").parquet(f"{root}/mode")
-    v = as_double(F.col("embedding"))
-    best = _index_assign(v, cents, bool(routed), k_int)
+    ).write.mode("overwrite").parquet(f"{vdir}/mode")
+    v = (
+        as_double(F.col("embedding"))
+        if "embedding" in vectors.columns
+        else F.col("v")
+    )
+    best = _index_assign(v, cents, routed, k_int)
     (
-        e.withColumn("cell", best.getField("cluster"))
+        vectors.withColumn("cell", best.getField("cluster"))
         .select("vec_id", v.alias("v"), "cell")
         # cluster rows by cell BEFORE the partitioned write: without
         # this every task writes a file into every cell directory
@@ -563,8 +592,126 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
         .repartition(F.col("cell"))
         .write.mode("overwrite")
         .partitionBy("cell")
-        .parquet(f"{root}/lists")
+        .parquet(f"{vdir}/lists")
     )
+
+
+# --- versioned index roots (blue/green publication) --------------------------
+
+
+def _fs_of(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _next_index_version(spark: SparkSession, root: str) -> str:
+    from ..fsutil import hadoop_ls
+
+    vs = [
+        int(s.getPath().getName()[1:])
+        for s in hadoop_ls(spark, root, dirs_only=True)
+        if s.getPath().getName().startswith("v")
+        and s.getPath().getName()[1:].isdigit()
+    ]
+    return f"v{max(vs) + 1 if vs else 1}"
+
+
+def _publish_index_version(spark: SparkSession, root: str, vname: str) -> None:
+    """Make ``vname`` the served version: land its _COMMITTED marker,
+    then swing the CURRENT pointer (tmp-write + rename). Readers that
+    resolved the OLD version keep their directory — nothing under it is
+    deleted — so an in-flight query completes against the index it
+    opened (blue/green isolation, asserted by the suite)."""
+    jvm, fs = _fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(P(f"{root}/{vname}/_COMMITTED"), True)
+    out.close()
+    tmp = P(f"{root}/CURRENT.tmp")
+    o = fs.create(tmp, True)
+    o.write(bytearray(vname.encode()))
+    o.close()
+    cur = P(f"{root}/CURRENT")
+    fs.delete(cur, False)
+    if not fs.rename(tmp, cur):
+        raise IOError(f"could not publish {vname} at {root}")
+
+
+def _resolve_index_dir(spark: SparkSession, root: str) -> str:
+    """The directory actually holding the served index: CURRENT's
+    version if published; else the highest _COMMITTED version (covers
+    the instant between pointer delete and rename); else the root
+    itself (the pre-versioning flat layout, still readable)."""
+    from ..fsutil import hadoop_ls
+
+    jvm, fs = _fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    cur = P(f"{root}/CURRENT")
+    if fs.exists(cur):
+        stream = fs.open(cur)
+        try:
+            name = bytes(stream.readAllBytes()).decode().strip()
+        finally:
+            stream.close()
+        return f"{root}/{name}"
+    committed = [
+        int(s.getPath().getName()[1:])
+        for s in hadoop_ls(spark, root, dirs_only=True)
+        if s.getPath().getName().startswith("v")
+        and s.getPath().getName()[1:].isdigit()
+        and fs.exists(P(f"{root}/{s.getPath().getName()}/_COMMITTED"))
+    ]
+    if committed:
+        return f"{root}/v{max(committed)}"
+    return root
+
+
+def retrain_ann_index(spark: SparkSession, root: str) -> str:
+    """CONSUME the drift signal (``ann_index_drift_check`` emits it;
+    this closes the loop): re-fit centroids on the index's CURRENT
+    vector population — which includes every ``append_ann_index`` batch
+    since the last train — and publish the rebuilt index as a new
+    version behind the same root, swapped in atomically via the CURRENT
+    pointer. Training is sample-bounded (training.train_sample, the
+    same md5-bucket discipline as first-time training); the gate is
+    re-evaluated on the new sample, so the recorded assignment rule can
+    legitimately change across a retrain. The OLD version's files are
+    left in place for in-flight readers (blue/green); prune them once
+    drained with ``prune_ann_index_versions``. Returns the new version
+    name."""
+    from .training import fit_centroids, kmeans_k, route_gate
+
+    vdir = _resolve_index_dir(spark, root)
+    vecs = spark.read.parquet(f"{vdir}/lists").select(
+        "vec_id", F.col("v").alias("embedding")
+    )
+    n = vecs.count()
+    k_int = kmeans_k(n)
+    cents = fit_centroids(spark, vecs, n, k_int)
+    routed = route_gate(
+        spark, vecs, cents, k_int, f"retrain:{root}:{vdir}:{n}"
+    )
+    vname = _next_index_version(spark, root)
+    _write_index_version(spark, f"{root}/{vname}", vecs, cents, routed, k_int)
+    _publish_index_version(spark, root, vname)
+    return vname
+
+
+def prune_ann_index_versions(spark: SparkSession, root: str) -> int:
+    """Delete every version directory except CURRENT's — run once old
+    readers are drained. Returns the number of versions removed."""
+    from ..fsutil import hadoop_ls
+
+    jvm, fs = _fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    keep = _resolve_index_dir(spark, root).rsplit("/", 1)[-1]
+    removed = 0
+    for s in hadoop_ls(spark, root, dirs_only=True):
+        name = s.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit() and name != keep:
+            fs.delete(P(f"{root}/{name}"), True)
+            removed += 1
+    return removed
 
 
 def _index_assign(vec, cents, routed: bool, k_int: int):
@@ -586,15 +733,16 @@ def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
     standard production pattern (append until centroid drift forces a
     retrain). Identity contract (suite): with centroids fixed,
     append-then-query ≡ index-everything-then-query, byte-for-byte."""
+    vdir = _resolve_index_dir(spark, root)
     cents = [
         (r["cluster"], r["c"])
-        for r in spark.read.parquet(f"{root}/centroids").collect()
+        for r in spark.read.parquet(f"{vdir}/centroids").collect()
     ]
     try:
-        mode = spark.read.parquet(f"{root}/mode").collect()[0]
+        mode = spark.read.parquet(f"{vdir}/mode").collect()[0]
     except Exception as exc:
         raise ValueError(
-            f"{root} has no mode/ table — saved by a pre-rule-recording "
+            f"{vdir} has no mode/ table — saved by a pre-rule-recording "
             "save_ann_index; re-save the index once to make it appendable"
         ) from exc
     v = as_double(F.col("embedding"))
@@ -605,7 +753,7 @@ def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
         .repartition(F.col("cell"))  # one file per touched cell, not per task
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(f"{root}/lists")
+        .parquet(f"{vdir}/lists")
     )
 
 
@@ -624,6 +772,7 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
     driver-local glob), so the sweep sees hdfs:// and s3a:// roots the
     same way the Spark reader does — a local-only glob would silently
     find nothing on a remote index root."""
+    root = _resolve_index_dir(spark, root)
     crowded = []
     for cell_dir in _hadoop_ls(spark, f"{root}/lists", dirs_only=True):
         name = cell_dir.getPath().getName()
@@ -682,16 +831,26 @@ def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = tempfile.mkdtemp(prefix="grebi_ann_index_")
         save_ann_index(spark, sf_dir, root)
         _ANN_INDEX_CACHE[key] = root
-    root = _ANN_INDEX_CACHE[key]
+    return _serve_ivf_topk(spark, _ANN_INDEX_CACHE[key], e, sf_dir)
 
+
+def _serve_ivf_topk(
+    spark: SparkSession, root: str, e: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Serve the standard top-5 probe query from a persisted index root:
+    reloaded centroids pick the probe cells, the ranking scans only the
+    probed cells' partition directories."""
+    from .training import _euclid_dist
+
+    vdir = _resolve_index_dir(spark, root)
     cents = [
         (r["cluster"], r["c"])
-        for r in spark.read.parquet(f"{root}/centroids").collect()
+        for r in spark.read.parquet(f"{vdir}/centroids").collect()
     ]
     qv = _query_vector(e, sf_dir)
     probe_ids = _probe_cells(cents, qv, IVF_NPROBE_TRAINED)
     q = F.array(*[F.lit(x) for x in qv])
-    lists = spark.read.parquet(f"{root}/lists")
+    lists = spark.read.parquet(f"{vdir}/lists")
     return (
         lists.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
         .select(
@@ -702,6 +861,32 @@ def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist", "vec_id")
         .limit(5)
     )
+
+
+def ann_retrain_swap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLOSED drift loop, driver-visible: save the index (v1),
+    RETRAIN it from its own current vector population
+    (``retrain_ann_index`` — sample-bounded fit, gate re-evaluated),
+    blue/green-swap the CURRENT pointer to v2, and serve the standard
+    top-5 probe query through the swapped pointer. With an undrifted
+    population the re-fit is deterministic (same md5-bucket sample,
+    same first-K init), so v2's answer must hash-match the same oracle
+    as ``ann_index_persist_topk`` — proving the retrain→swap machinery
+    changes the VERSION, not the semantics. Drift-DRIVEN retrains (an
+    appended drifted batch actually moving centroids, plus old-reader
+    isolation across the swap) are exercised in the suite."""
+    import tempfile
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    from .training import _cache_key
+
+    key = f"annretrain:{_cache_key(spark, sf_dir)}"
+    if key not in _ANN_INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="grebi_ann_bluegreen_")
+        save_ann_index(spark, sf_dir, root)
+        retrain_ann_index(spark, root)
+        _ANN_INDEX_CACHE[key] = root
+    return _serve_ivf_topk(spark, _ANN_INDEX_CACHE[key], e, sf_dir)
 
 
 _RECALL_N_QUERIES = 20
@@ -1730,6 +1915,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_index_persist_topk": ann_index_persist_topk,
+    "ann_retrain_swap_topk": ann_retrain_swap_topk,
     "ann_index_drift_check": ann_index_drift_check,
     "knn_label_purity": knn_label_purity,
     "knn_classify": knn_classify,
@@ -1748,6 +1934,7 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),
     "ann_index_persist_topk": _oracle_ann_ivf_trained(),
+    "ann_retrain_swap_topk": _oracle_ann_ivf_trained(),
     "ann_index_drift_check": _oracle_drift_check(),
     "knn_label_purity": ORACLE_LABEL_PURITY,
     "knn_classify": ORACLE_KNN_CLASSIFY,

@@ -573,6 +573,45 @@ def assign_routed(spark: SparkSession, sf_dir: str, e: DataFrame, vec: Column) -
     )
 
 
+def fit_centroids(
+    spark: SparkSession, e: DataFrame, n: int, k: int
+) -> list[tuple[int, list[float]]]:
+    """The sample-bounded Lloyd fit, standalone: init from the first K
+    vectors by vec_id, one assignment pass of the SAMPLE against init,
+    one centroid update — the training block kmeans_embeddings caches
+    and ``retrain_ann_index`` reruns over a drifted index population.
+    ``e`` carries (vec_id, embedding)."""
+    v = _as_double(F.col("embedding"))
+    init = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < k)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    init.sort()
+    a1 = train_sample(e, n, k).select(
+        "vec_id",
+        "embedding",
+        _assign(v, init).getField("cluster").alias("cluster"),
+    )
+    dims = (
+        a1.select("cluster", F.posexplode(v).alias("pos", "x"))
+        .groupBy("cluster", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("val"))
+    )
+    cent_rows = (
+        dims.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s.getField("val"),
+            ).alias("c")
+        )
+        .collect()
+    )
+    return sorted((int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows)
+
+
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations fit on the SAMPLE (expected 16·K vectors by
     md5-bucket membership — train_sample), init from the first K corpus
@@ -600,34 +639,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         _N_CACHE[ckey] = n
         k = kmeans_k(n)
         _K_CACHE[ckey] = k
-        init = [
-            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-            for r in e.filter(F.col("vec_id") < k)
-            .select("vec_id", "embedding")
-            .collect()
-        ]
-        init.sort()
-        a1 = train_sample(e, n, k).select(
-            "vec_id",
-            "embedding",
-            _assign(v, init).getField("cluster").alias("cluster"),
-        )
-        dims = (
-            a1.select("cluster", F.posexplode(v).alias("pos", "x"))
-            .groupBy("cluster", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("val"))
-        )
-        cent_rows = (
-            dims.groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                    lambda s: s.getField("val"),
-                ).alias("c")
-            )
-            .collect()
-        )
-        cent2 = sorted((int(r["cluster"]), [float(x) for x in r["c"]]) for r in cent_rows)
+        cent2 = fit_centroids(spark, e, n, k)
         _CENT_CACHE[ckey] = cent2
 
     best = assign_routed(spark, sf_dir, e, v)

@@ -777,6 +777,7 @@ def test_ann_index_append_equals_full_index(spark, sf_dir, tmp_path):
 
     from grebi_spark.functions.similarity import (
         _probe_cells,
+        _resolve_index_dir,
         append_ann_index,
         save_ann_index,
     )
@@ -788,17 +789,20 @@ def test_ann_index_append_equals_full_index(spark, sf_dir, tmp_path):
 
     root = str(tmp_path / "full")
     save_ann_index(spark, sf_dir, root)  # full index (shares the train)
+    vfull = _resolve_index_dir(spark, root)
     cents = [
         (r["cluster"], r["c"])
-        for r in spark.read.parquet(f"{root}/centroids").collect()
+        for r in spark.read.parquet(f"{vfull}/centroids").collect()
     ]
     # the incremental twin: same centroids + recorded assignment mode,
-    # lists carved down to the FIRST half — then append the rest
+    # lists carved down to the FIRST half — then append the rest.
+    # Built FLAT (no version dirs): the pre-versioning layout must stay
+    # readable and appendable (the resolver's legacy fallback).
     root2 = str(tmp_path / "inc")
-    spark.read.parquet(f"{root}/centroids").write.parquet(f"{root2}/centroids")
-    spark.read.parquet(f"{root}/mode").write.parquet(f"{root2}/mode")
+    spark.read.parquet(f"{vfull}/centroids").write.parquet(f"{root2}/centroids")
+    spark.read.parquet(f"{vfull}/mode").write.parquet(f"{root2}/mode")
     (
-        spark.read.parquet(f"{root}/lists")
+        spark.read.parquet(f"{vfull}/lists")
         .filter(SF.col("vec_id") <= mid)
         .write.partitionBy("cell")
         .parquet(f"{root2}/lists")
@@ -806,9 +810,10 @@ def test_ann_index_append_equals_full_index(spark, sf_dir, tmp_path):
     append_ann_index(spark, root2, rest)
 
     def lists(r):
+        d = _resolve_index_dir(spark, r)
         return sorted(
             (x["vec_id"], x["cell"], tuple(x["v"]))
-            for x in spark.read.parquet(f"{r}/lists").collect()
+            for x in spark.read.parquet(f"{d}/lists").collect()
         )
 
     assert lists(root2) == lists(root)
@@ -823,7 +828,7 @@ def test_ann_index_append_equals_full_index(spark, sf_dir, tmp_path):
     }
     want = {
         r["vec_id"]
-        for r in spark.read.parquet(f"{root}/lists")
+        for r in spark.read.parquet(f"{vfull}/lists")
         .filter(SF.col("cell").isin(probe))
         .collect()
     }
@@ -852,6 +857,7 @@ def test_ann_index_compaction_preserves_content(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as SF
 
     from grebi_spark.functions.similarity import (
+        _resolve_index_dir,
         append_ann_index,
         compact_ann_index,
         save_ann_index,
@@ -861,6 +867,7 @@ def test_ann_index_compaction_preserves_content(spark, sf_dir, tmp_path):
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     root = str(tmp_path / "idx")
     save_ann_index(spark, sf_dir, root)
+    vroot = _resolve_index_dir(spark, root)
     # three appends pile small files onto the touched cells
     for i in range(3):
         append_ann_index(
@@ -871,7 +878,7 @@ def test_ann_index_compaction_preserves_content(spark, sf_dir, tmp_path):
     def snapshot():
         return sorted(
             (r["vec_id"], r["cell"], tuple(r["v"]))
-            for r in spark.read.parquet(f"{root}/lists")
+            for r in spark.read.parquet(f"{vroot}/lists")
             .select("vec_id", SF.col("cell").cast("int").alias("cell"), "v")
             .collect()
         )
@@ -879,7 +886,7 @@ def test_ann_index_compaction_preserves_content(spark, sf_dir, tmp_path):
     def file_counts():
         return {
             int(d.rsplit("=", 1)[1]): len(glob.glob(os.path.join(d, "*.parquet")))
-            for d in glob.glob(os.path.join(root, "lists", "cell=*"))
+            for d in glob.glob(os.path.join(vroot, "lists", "cell=*"))
         }
 
     before_rows, before_files = snapshot(), file_counts()
@@ -895,3 +902,64 @@ def test_ann_index_compaction_preserves_content(spark, sf_dir, tmp_path):
     )
     # idempotent: nothing left to compact
     assert compact_ann_index(spark, root, max_files=2) == 0
+
+
+def test_retrain_blue_green_swap_and_reader_isolation(spark, sf_dir, tmp_path):
+    """The closed drift loop: append a DRIFTED batch (the drift-check's
+    own +0.1 shift — enough history to move centroids), retrain, and the
+    CURRENT pointer swings v1 → v2. Blue/green contracts: (a) a reader
+    that resolved v1 BEFORE the swap still completes afterwards (its
+    files are never deleted), (b) new resolutions serve v2, (c) the
+    retrained centroids reflect the appended population (they differ
+    from v1's), and (d) pruning drops v1 only after the swap."""
+    from pyspark.sql import functions as SF
+
+    from grebi_spark.functions.similarity import (
+        _resolve_index_dir,
+        append_ann_index,
+        prune_ann_index_versions,
+        retrain_ann_index,
+        save_ann_index,
+    )
+    from grebi_spark.session import load_tables
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    root = str(tmp_path / "bg")
+    save_ann_index(spark, sf_dir, root)
+    v1 = _resolve_index_dir(spark, root)
+    assert v1.endswith("/v1")
+
+    drifted = e.filter(SF.col("vec_id") % 7 == 3).select(
+        (SF.col("vec_id") + 10_000_000).alias("vec_id"),
+        SF.transform("embedding", lambda x: x + SF.lit(0.1)).alias("embedding"),
+    )
+    append_ann_index(spark, root, drifted)
+
+    # reader opened against v1 BEFORE the swap
+    old_reader = spark.read.parquet(f"{v1}/lists").select("vec_id")
+    cents_v1 = sorted(
+        (r["cluster"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{v1}/centroids").collect()
+    )
+
+    vname = retrain_ann_index(spark, root)
+    assert vname == "v2"
+    v2 = _resolve_index_dir(spark, root)
+    assert v2.endswith("/v2")
+
+    # (a) the pre-swap reader still completes — v1 files intact
+    n_old = old_reader.count()
+    assert n_old > 0
+    # (b) the new version holds the WHOLE population (base + appended)
+    n_new = spark.read.parquet(f"{v2}/lists").count()
+    assert n_new == n_old
+    # (c) retraining on the drifted population moved the centroids
+    cents_v2 = sorted(
+        (r["cluster"], tuple(r["c"]))
+        for r in spark.read.parquet(f"{v2}/centroids").collect()
+    )
+    assert cents_v2 != cents_v1
+    # (d) prune drops exactly the superseded version
+    assert prune_ann_index_versions(spark, root) == 1
+    assert _resolve_index_dir(spark, root) == v2
+    assert spark.read.parquet(f"{v2}/lists").count() == n_new

@@ -1317,6 +1317,127 @@ def graph_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _parse_verb_file(name: str) -> tuple[str, str | None]:
+    """`<seq>_<verb>[__<datasource>].jsonl` → (verb, datasource).
+    Sequence prefixes order the schedule (the fold dispatches files in
+    sorted-name order within a batch); add carries its datasource in
+    the rows, update/remove name the target in the filename."""
+    stem = name.rsplit(".jsonl", 1)[0]
+    body = stem.split("_", 1)[1] if "_" in stem and stem.split("_", 1)[0].isdigit() else stem
+    parts = body.split("__")
+    verb = parts[0]
+    if verb not in ("add", "update", "remove"):
+        raise ValueError(f"unknown maintenance verb in dump name {name!r}")
+    return verb, (parts[1] if len(parts) > 1 else None)
+
+
+def graph_maintenance_stream_verbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-VERB continuous maintenance: a real refresh directory
+    carries replaced and retired dumps, not only new ones, so the
+    streaming fold dispatches add / update / remove PER ARRIVING FILE —
+    the verb (and for update/remove the target datasource) is encoded
+    in the dump's filename, read through the source's ``__file`` column
+    (the input_file_name() analogue the grebi_jsonl plugin fills).
+
+    Schedule (restart-resume across one checkpoint, two drains):
+    fused-base graph; the zones dump lands (ADD — clique fusion with a
+    canonical flip), drained; the job stops; the even-only zones dump
+    lands (UPDATE of datasource 'map' — odd cliques must split back),
+    and the restarted job folds only the new file. The final merged
+    profile hash-matches ORACLE_INC_UPDATE_MERGED — the SAME oracle the
+    batch `update` verb matches, proving the streamed mixed-verb chain
+    converges to the batch verbs in sequence. The remove verb's
+    streamed dispatch is covered by the suite's three-verb schedule."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..incremental import (
+        add_datasource,
+        build_graph_stateful,
+        remove_datasource,
+        update_datasource,
+    )
+    from ..sources import pysource
+
+    key = f"maint_stream_verbs:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _INC_CACHE:
+        return _INC_CACHE[key]
+
+    pysource.register(spark)
+    customers, nations, regions = _star_graph_long(spark, sf_dir)
+    holder = {
+        "state": build_graph_stateful(
+            [customers, nations, regions], INC_CONFIG
+        )
+    }
+
+    base = _tempfile.mkdtemp(prefix="grebi_maint_verbs_")
+    dumps = _os.path.join(base, "dumps")
+    ckpt = _os.path.join(base, "ckpt")
+    _os.makedirs(dumps)
+
+    def land(df: DataFrame, name: str) -> None:
+        with open(_os.path.join(dumps, name), "w") as fh:
+            for r in df.collect():
+                fh.write(_json.dumps(r.asDict()) + "\n")
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():  # crash-replay of an already-folded batch
+            return
+        names = sorted(
+            r["__file"]
+            for r in batch_df.select("__file").distinct().collect()
+        )
+        for fname in names:
+            verb, ds = _parse_verb_file(fname)
+            rows = (
+                batch_df.filter(F.col("__file") == fname)
+                .drop("__file")
+                .localCheckpoint()
+            )
+            if verb == "add":
+                holder["state"] = add_datasource(holder["state"], rows)
+            elif verb == "update":
+                holder["state"] = update_datasource(holder["state"], ds, rows)
+            else:
+                holder["state"] = remove_datasource(holder["state"], ds)
+
+    schema = customers.schema.add("__file", "string")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("grebi_jsonl")
+            .schema(schema)
+            .option("path", dumps)
+            .load()
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    land(_zone_source(spark, sf_dir), "001_add.jsonl")
+    drain()
+    land(_zone_source(spark, sf_dir, even_only=True), "002_update__map.jsonl")
+    drain()  # restart: the committed offset skips the first dump
+
+    out = (
+        holder["state"]
+        .graph.merged.select(
+            "node_id",
+            "prop_key",
+            "value",
+            F.array_join("datasources", ",").alias("datasources"),
+        )
+        .orderBy("node_id", "prop_key", "value", "datasources")
+        .localCheckpoint()
+    )
+    _INC_CACHE[key] = out
+    return out
+
+
 def kv_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving-tier maintenance, driver-visible: build the EXECUTED
     sqlite KV store from the PRE-verb state, apply the add verb's
@@ -1466,6 +1587,7 @@ ORDER BY nf.node_id
 
 QUERIES = {
     "graph_maintenance_stream": graph_maintenance_stream,
+    "graph_maintenance_stream_verbs": graph_maintenance_stream_verbs,
     "kv_refresh_roundtrip": kv_refresh_roundtrip,
     "solr_refresh_roundtrip": solr_refresh_roundtrip,
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
@@ -1496,6 +1618,7 @@ QUERIES = {
 
 ORACLES = {
     "graph_maintenance_stream": ORACLE_MERGE_NODES,
+    "graph_maintenance_stream_verbs": ORACLE_INC_UPDATE_MERGED,
     "kv_refresh_roundtrip": ORACLE_MERGE_NODES,
     "solr_refresh_roundtrip": ORACLE_SOLR_REFRESH,
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,

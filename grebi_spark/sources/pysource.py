@@ -72,7 +72,15 @@ class GrebiJsonlReader(DataSourceReader):
 
         arrow_schema = to_arrow_schema(self._schema)
         fields = [f.name for f in self._schema.fields]
+        # a `__file` schema field is filled with the source file's name
+        # (the input_file_name() analogue) — verb-dispatching consumers
+        # (mixed-verb maintenance streams) key on it
+        fname = os.path.basename(partition.path)
         rows: list[dict] = []
+
+        def _cell(r: dict, f: str):
+            return fname if f == "__file" else r.get(f)
+
         with open(partition.path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
@@ -80,13 +88,13 @@ class GrebiJsonlReader(DataSourceReader):
                     rows.append(json.loads(line))
                 if len(rows) >= 10_000:
                     yield pa.RecordBatch.from_pylist(
-                        [{f: r.get(f) for f in fields} for r in rows],
+                        [{f: _cell(r, f) for f in fields} for r in rows],
                         schema=arrow_schema,
                     )
                     rows = []
         if rows:
             yield pa.RecordBatch.from_pylist(
-                [{f: r.get(f) for f in fields} for r in rows],
+                [{f: _cell(r, f) for f in fields} for r in rows],
                 schema=arrow_schema,
             )
 
@@ -211,7 +219,12 @@ class GrebiJsonlStreamReader:
                     line = line.strip()
                     if line:
                         obj = json.loads(line)
-                        rows.append(tuple(obj.get(f) for f in fields))
+                        rows.append(
+                            tuple(
+                                name if f == "__file" else obj.get(f)
+                                for f in fields
+                            )
+                        )
         return rows
 
     def initialOffset(self) -> dict:

@@ -14,6 +14,8 @@ Route parity (reference file:line):
 ``GET /api/v1/subgraphs/{s}/search?q=&page=&size=&facet`` GrebiApi:185
 ``GET /api/v1/subgraphs/{s}/suggest?q=``                  GrebiApi:228
 ``GET /api/v1/subgraphs/{s}/resolve/{id}``                grebi_resolver_service
+``GET /api/v1/summaries``                                 GrebiSummarySvc:34
+``GET /api/v1/subgraphs/{s}/summary``                     GrebiSummarySvc:23-38
 ========================================================  =============
 
 Scope note: the reference serves these from Solr/Neo4j/RocksDB builds;
@@ -140,6 +142,32 @@ def resolve_documents(graph: BuiltGraph, alias_id: str) -> list[dict]:
     return docs
 
 
+def summary_document(subgraph: str, graph: BuiltGraph) -> dict:
+    """The per-subgraph summary JSON the reference's summary service
+    loads and serves (GrebiSummarySvc.java:23-38; written by
+    04_index/grebi_index/src/main.rs:214-232): subgraph name plus
+    {prop → {count}} maps for entity props, edge (reified) props, and
+    types — exactly J4's index aggregates, so it is served straight
+    from ``graph.index`` (bounded collects: one row per distinct
+    prop/type)."""
+    idx = graph.index
+    return {
+        "subgraph_name": subgraph,
+        "entity_props": {
+            r["prop_key"]: {"count": r["n_values"]}
+            for r in idx.prop_counts.collect()
+        },
+        "edge_props": {
+            r["prop_key"]: {"count": r["n_values"]}
+            for r in idx.edge_prop_counts.collect()
+        },
+        "types": {
+            r["type"]: {"count": r["n_nodes"]}
+            for r in idx.type_counts.collect()
+        },
+    }
+
+
 def _rows(df) -> list[dict]:
     return [r.asDict(recursive=True) for r in df.collect()]
 
@@ -189,6 +217,12 @@ class GrebiApiServer:
             }
         if rest == ["subgraphs"]:
             return 200, sorted(self.graphs)
+        if rest == ["summaries"]:
+            # the summary service's `/` shape: every subgraph's summary
+            # document keyed by name (GrebiSummarySvc.java:34-38)
+            return 200, {
+                s: summary_document(s, g) for s, g in self.graphs.items()
+            }
         if rest == ["collections"]:
             # reference: configured collections of datasources; serve the
             # datasource universe per subgraph
@@ -210,6 +244,8 @@ class GrebiApiServer:
             tail = rest[2:]
             if not tail:
                 return 200, {r["entity"]: r["n"] for r in _rows(graph_stats(g))}
+            if tail == ["summary"]:
+                return 200, summary_document(rest[1], g)
             if tail == ["search"]:
                 page, size = int(g1("page", "0")), int(g1("size", "10"))
                 # every non-reserved query param is a WHOLE_FIELD filter

@@ -205,3 +205,37 @@ def test_kv_backed_edge_page_hydration(kv_server):
         assert e["edge"]["edge_type"] == e["edge_type"]
         assert e["edge"]["from_id"] == e["from_id"]
         assert e["edge"]["to_id"] == "mondo:0005044"
+
+
+def test_summary_routes_match_index_aggregates(server, graph):  # noqa: F811
+    """The /summary document (GrebiSummarySvc.java:23-38) must carry
+    EXACTLY J4's index aggregates — recomputed here independently from
+    the merged frame via the index helpers."""
+    from grebi_spark.operators.index import (
+        edge_prop_counts_of,
+        prop_counts_of,
+        type_counts_of,
+    )
+
+    st, doc = _get(server, "/api/v1/subgraphs/main/summary")
+    assert st == 200
+    assert doc["subgraph_name"] == "main"
+    want_props = {
+        r["prop_key"]: r["n_values"] for r in prop_counts_of(graph.merged).collect()
+    }
+    assert {k: v["count"] for k, v in doc["entity_props"].items()} == want_props
+    want_types = {
+        r["type"]: r["n_nodes"] for r in type_counts_of(graph.merged).collect()
+    }
+    assert {k: v["count"] for k, v in doc["types"].items()} == want_types
+    want_edge = {
+        r["prop_key"]: r["n_values"]
+        for r in edge_prop_counts_of(graph.merged).collect()
+    }
+    assert {k: v["count"] for k, v in doc["edge_props"].items()} == want_edge
+    assert want_props and want_types  # non-degenerate fixture
+
+    # the summary service's root shape: every subgraph keyed by name
+    st, all_docs = _get(server, "/api/v1/summaries")
+    assert st == 200 and set(all_docs) == {"main"}
+    assert all_docs["main"] == doc

@@ -191,10 +191,23 @@ class GrebiJsonlStreamReader:
     Exactly-once: offsets are committed by the engine after the batch
     is durable; ``readBetweenOffsets`` replays the exact name delta
     end − start without consulting the (possibly changed) live listing.
-    The set grows with the directory — at the scale this source targets
-    (datasource dump directories, thousands of files) that is a few
-    hundred KB of offset state, the price of order-independence.
+    OFFSET RETENTION: the consumed-name set would otherwise grow with
+    the directory forever, so each ``read`` drops names that no longer
+    appear in the live listing — a consumed file that was archived or
+    deleted can never be re-consumed, so remembering it buys nothing.
+    With ``cleanSource=archive`` (or ``delete``) the source itself
+    retires consumed files at COMMIT time (the engine's durability
+    point), moving them into ``<path>/_archive/`` — Spark's own
+    FileStreamSource cleanSource semantics — which keeps BOTH the
+    offset and the directory listing bounded by the in-flight file
+    count under continuous arrival. ``archive`` keeps crash-replay
+    intact (``readBetweenOffsets`` falls back to the archive dir);
+    ``delete`` trades replayability for space, exactly like Spark's.
+    A retired name that REAPPEARS in the directory is new data and is
+    ingested again (same contract as FileStreamSource after cleanup).
     """
+
+    _ARCHIVE_DIR = "_archive"
 
     def __init__(self, schema: StructType, options: dict) -> None:
         self._schema = schema
@@ -204,6 +217,11 @@ class GrebiJsonlStreamReader:
         # rejects ambiguous offsets; "first_n" opts into the best-effort
         # count→first-N-sorted-names mapping (see _offset_files).
         self._legacy_policy = options.get("legacyOffsetPolicy", "error")
+        self._clean = options.get("cleanSource", "off")
+        if self._clean not in ("off", "archive", "delete"):
+            raise ValueError(
+                f"cleanSource must be off/archive/delete, got {self._clean!r}"
+            )
         if not self._path:
             raise ValueError("grebi_jsonl requires a path")
 
@@ -214,7 +232,11 @@ class GrebiJsonlStreamReader:
         fields = [f.name for f in self._schema.fields]
         rows: list[tuple] = []
         for name in sorted(names):
-            with open(os.path.join(self._path, name), encoding="utf-8") as fh:
+            p = os.path.join(self._path, name)
+            if not os.path.exists(p):
+                # crash-replay after cleanSource=archive retired the file
+                p = os.path.join(self._path, self._ARCHIVE_DIR, name)
+            with open(p, encoding="utf-8") as fh:
                 for line in fh:
                     line = line.strip()
                     if line:
@@ -263,17 +285,32 @@ class GrebiJsonlStreamReader:
 
     def read(self, start: dict):
         seen = self._offset_files(start)
-        fresh = [n for n in self._names() if n not in seen]
-        return iter(self._read_names(fresh)), {
-            "files": sorted(seen | set(fresh))
-        }
+        listing = self._names()
+        fresh = [n for n in listing if n not in seen]
+        # retention: remember only names still visible in the directory
+        # (plus this batch's); retired files can never be re-consumed
+        kept = (seen & set(listing)) | set(fresh)
+        return iter(self._read_names(fresh)), {"files": sorted(kept)}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         delta = sorted(self._offset_files(end) - self._offset_files(start))
         return iter(self._read_names(delta))
 
     def commit(self, end: dict) -> None:
-        pass
+        """Batch ≤ end is durable: under cleanSource, retire every
+        consumed file still sitting in the watched directory."""
+        if self._clean == "off":
+            return
+        arch = os.path.join(self._path, self._ARCHIVE_DIR)
+        for name in self._offset_files(end):
+            p = os.path.join(self._path, name)
+            if not os.path.exists(p):
+                continue
+            if self._clean == "archive":
+                os.makedirs(arch, exist_ok=True)
+                os.replace(p, os.path.join(arch, name))
+            else:
+                os.remove(p)
 
 
 class GrebiJsonlDataSource(DataSource):

@@ -591,3 +591,157 @@ def test_half_up_negative_matches_oracle():
     assert list(arr) == [3.0, -3.0, 1.0, -1.0]
     arr6 = half_up_np(np.array([-0.0000005, 0.0000005]))
     assert list(arr6) == [-0.000001, 0.000001]
+
+
+def test_stream_offset_retention_property(tmp_path):
+    """Offset retention under ARBITRARY arrival schedules (reader-level,
+    hypothesis): land batches of files, read+commit each under
+    cleanSource=archive; every row must be ingested exactly once, and
+    after every commit the offset must shrink back to the still-visible
+    names (bounded by the in-flight batch, never the history)."""
+    import json as _json
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from grebi_spark.sources.pysource import GrebiJsonlStreamReader
+
+    schema = StructType([StructField("doc_id", LongType())])
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 5), min_size=0, max_size=4),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(schedule):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="offret_")
+        rdr = GrebiJsonlStreamReader(
+            schema, {"path": d, "cleanSource": "archive"}
+        )
+        offset = rdr.initialOffset()
+        seen_rows = []
+        uid = 0
+        for batch in schedule:
+            for _ in batch:
+                with open(os.path.join(d, f"f{uid:04d}.jsonl"), "w") as fh:
+                    fh.write(_json.dumps({"doc_id": uid}) + "\n")
+                uid += 1
+            rows, offset = rdr.read(offset)
+            seen_rows.extend(r[0] for r in rows)
+            rdr.commit(offset)
+            # after commit+next-read retention, the offset is bounded by
+            # what is still visible, not by history
+            _, next_offset = rdr.read(offset)
+            live = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+            assert len(next_offset["files"]) <= len(live) + len(batch)
+        assert sorted(seen_rows) == list(range(uid))  # exactly once
+
+    run()
+
+
+def test_stream_clean_source_bounds_offset_under_soak(tmp_path):
+    """The 1,000-file soak: land 1,000 dumps across 10 read+commit
+    rounds under cleanSource=archive. Every row folds exactly once, the
+    offset never exceeds one round's file count (vs 1,000 names without
+    retention), and the watched directory stays bounded — the listing
+    cost, the real 100 TB killer for file-tailing sources, stays flat."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from grebi_spark.sources.pysource import GrebiJsonlStreamReader
+
+    schema = StructType([StructField("doc_id", LongType())])
+    d = tmp_path / "soak"
+    d.mkdir()
+    rdr = GrebiJsonlStreamReader(
+        schema, {"path": str(d), "cleanSource": "archive"}
+    )
+    offset = rdr.initialOffset()
+    total = []
+    max_offset = 0
+    for r in range(10):
+        for i in range(100):
+            uid = r * 100 + i
+            (d / f"f{uid:05d}.jsonl").write_text(
+                _json.dumps({"doc_id": uid}) + "\n"
+            )
+        rows, offset = rdr.read(offset)
+        total.extend(x[0] for x in rows)
+        rdr.commit(offset)
+        _, compacted = rdr.read(offset)
+        max_offset = max(max_offset, len(compacted["files"]))
+    assert sorted(total) == list(range(1000))
+    assert max_offset <= 100  # bounded by a round, not the history
+    live = [f for f in os.listdir(d) if f.endswith(".jsonl")]
+    assert len(live) == 0  # everything retired into _archive
+    assert len(os.listdir(d / "_archive")) == 1000
+    # replay across the archive still works (crash-recovery path)
+    replay = list(
+        rdr.readBetweenOffsets({"files": []}, {"files": ["f00000.jsonl"]})
+    )
+    assert [r[0] for r in replay] == [0]
+
+
+def test_stream_clean_source_end_to_end(spark, tmp_path):
+    """cleanSource plumbs through a real Structured Streaming job: the
+    engine confirms batch durability at the NEXT run's planning for a
+    simple stream reader, so each dump is archived by the run after the
+    one that folded it; every dump folds exactly once and every
+    consumed dump eventually leaves the watched directory."""
+    import json as _json
+    import os
+
+    from grebi_spark.sources import pysource
+
+    pysource.register(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+    def land(name, ids):
+        with open(src / name, "w") as fh:
+            for i in ids:
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": i, "text": "t", "lang": "en",
+                         "source": "s", "n_chars": 1}
+                    )
+                    + "\n"
+                )
+
+    def drain():
+        q = (
+            spark.readStream.format("grebi_jsonl")
+            .schema(schema)
+            .option("path", str(src))
+            .option("cleanSource", "archive")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+
+    land("a.jsonl", [1, 2])
+    assert drain() == [1, 2]
+    land("b.jsonl", [3])
+    assert drain() == [1, 2, 3]
+    # run 2 confirmed run 1's durability → a.jsonl retired by now
+    assert sorted(os.listdir(src / "_archive")) == ["a.jsonl"]
+    assert drain() == [1, 2, 3]  # nothing new; confirms run 2 → retires b
+    assert not any(f.endswith(".jsonl") for f in os.listdir(src))
+    assert sorted(os.listdir(src / "_archive")) == ["a.jsonl", "b.jsonl"]

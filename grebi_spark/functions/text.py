@@ -949,6 +949,114 @@ ORDER BY ks_stat DESC, source
 """
 
 
+CASCADE_FEATS = ("x1", "x2", "x3", "x4", "x5")
+CASCADE_GATE_MIN_TOK = 5
+
+
+def cascade_feature_exprs(text_col: Column) -> dict[str, Column]:
+    """The cascade classifier's five surface features (log-token count,
+    mean word length, stopword/punct/digit ratios) as named Column
+    expressions — shared by the standalone cascade and the corpus
+    funnel's model-gate stage so both score with the same featurizer."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    return {
+        "x1": F.log1p(n_tok.cast("double")),
+        "x2": F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok)
+        .otherwise(F.lit(0.0)),
+        "x3": stopword_ratio(text_col),
+        "x4": punct_ratio(text_col),
+        "x5": F.when(
+            F.length(text_col) > 0,
+            F.length(F.regexp_replace(text_col, r"[^0-9]", ""))
+            / F.length(text_col),
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def fit_cascade_model(gated: DataFrame) -> DataFrame:
+    """Closed-form diagonal-LDA fit over a gated feature frame carrying
+    ``y`` and x1..x5: ONE aggregate (per-class conditional means and
+    second moments, partial-aggregatable) → a 1-row (w_x1..w_x5, b)
+    frame meant to be broadcast into the scoring projection."""
+    aggs = []
+    for j in CASCADE_FEATS:
+        for c in (0, 1):
+            x = F.when(F.col("y") == c, F.col(j))
+            aggs.append(F.avg(x).alias(f"mu{c}_{j}"))
+            aggs.append(F.avg(x * F.col(j)).alias(f"m2{c}_{j}"))
+    stats = gated.groupBy().agg(*aggs)
+    w_cols, b = [], F.lit(0.0)
+    for j in CASCADE_FEATS:
+        var0 = F.col(f"m20_{j}") - F.col(f"mu0_{j}") * F.col(f"mu0_{j}")
+        var1 = F.col(f"m21_{j}") - F.col(f"mu1_{j}") * F.col(f"mu1_{j}")
+        w = (F.col(f"mu1_{j}") - F.col(f"mu0_{j}")) / (
+            (var0 + var1) / 2 + F.lit(1e-6)
+        )
+        w_cols.append(w.alias(f"w_{j}"))
+        b = b - w * (F.col(f"mu1_{j}") + F.col(f"mu0_{j}")) / 2
+    return stats.select(*w_cols, b.alias("b"))
+
+
+def cascade_score_expr() -> Column:
+    """score = b + Σ w_j·x_j over the crossJoined model columns."""
+    score = F.col("b")
+    for j in CASCADE_FEATS:
+        score = score + F.col(f"w_{j}") * F.col(j)
+    return score
+
+
+# SQL fragments of the same model, over a relation exposing (text, t)
+# where t is the lowercased whitespace token array — used by the funnel
+# oracle; the standalone cascade oracle spells the identical expressions
+# inline (ORACLE_QUALITY_CASCADE)
+CASCADE_FEAT_SQL = """
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         ln(1 + len(t)) AS x1,
+         CASE WHEN len(t) > 0
+              THEN length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t)
+              ELSE 0.0 END AS x2,
+         CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it')))
+                   * 1.0 / len(t)
+              ELSE 0.0 END AS x3,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS x4,
+         CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+              ELSE 0.0 END AS x5"""
+
+
+def cascade_model_sql(gate_rel: str) -> str:
+    """stats/model CTE bodies over ``gate_rel`` (y + x1..x5) — the SQL
+    twin of fit_cascade_model, emitted per-feature so both oracles run
+    the identical expression tree."""
+    stat_cols, w_exprs, b_terms = [], [], []
+    for j in CASCADE_FEATS:
+        stat_cols.append(
+            f"avg(CASE WHEN y=0 THEN {j} END) AS mu0_{j}, "
+            f"avg(CASE WHEN y=0 THEN {j}*{j} END) AS m20_{j},\n    "
+            f"avg(CASE WHEN y=1 THEN {j} END) AS mu1_{j}, "
+            f"avg(CASE WHEN y=1 THEN {j}*{j} END) AS m21_{j}"
+        )
+        w = (
+            f"(mu1_{j}-mu0_{j}) / (((m20_{j}-mu0_{j}*mu0_{j})"
+            f"+(m21_{j}-mu1_{j}*mu1_{j}))/2 + 1e-6)"
+        )
+        w_exprs.append(f"{w} AS w_{j}")
+        b_terms.append(f"- {w} * (mu1_{j}+mu0_{j})/2")
+    return (
+        f"cstats AS (\n  SELECT\n    "
+        + ",\n    ".join(stat_cols)
+        + f"\n  FROM {gate_rel}\n), cmodel AS (\n  SELECT\n    "
+        + ",\n    ".join(w_exprs)
+        + ",\n    0.0 "
+        + " ".join(b_terms)
+        + " AS b\n  FROM cstats\n)"
+    )
+
+
 def quality_classifier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering as a CASCADE — the production
     shape of FineWeb/DCLM-style pipelines: a cheap heuristic gate prunes
@@ -973,8 +1081,7 @@ def quality_classifier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     (score > 0), and the mean score (rounded; scores are engine-exact to
     ~1e-12, rounding absorbs FP summation-order differences)."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    toks = tokens(F.col("text"))
-    n_tok = F.size(toks)
+    fx = cascade_feature_exprs(F.col("text"))
     feat = d.select(
         "doc_id",
         "source",
@@ -983,50 +1090,18 @@ def quality_classifier_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (a cast NULL would silently drop the row from both class
         # aggregates and desynchronise the fitted weights)
         F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
-        n_tok.alias("n_tok"),
-        F.log1p(n_tok.cast("double")).alias("x1"),
-        F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok)
-        .otherwise(F.lit(0.0))
-        .alias("x2"),
-        stopword_ratio(F.col("text")).alias("x3"),
-        punct_ratio(F.col("text")).alias("x4"),
-        F.when(
-            F.length("text") > 0,
-            F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
-            / F.length("text"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("x5"),
+        token_count(F.col("text")).alias("n_tok"),
+        *(expr.alias(name) for name, expr in fx.items()),
     )
-    s1 = feat.filter(F.col("n_tok") >= 5)  # the cheap gate
+    s1 = feat.filter(F.col("n_tok") >= CASCADE_GATE_MIN_TOK)  # the cheap gate
 
-    fs = ["x1", "x2", "x3", "x4", "x5"]
-    aggs = []
-    for j in fs:
-        for c in (0, 1):
-            x = F.when(F.col("y") == c, F.col(j))
-            aggs.append(F.avg(x).alias(f"mu{c}_{j}"))
-            aggs.append(F.avg(x * F.col(j)).alias(f"m2{c}_{j}"))
-    stats = s1.groupBy().agg(*aggs)
     # diagonal LDA: w_j = (mu1-mu0)/(pooled var + eps), threshold at the
     # class-mean midpoint (var computed as E[x²]-E[x]², same form as the
     # oracle so both engines run the identical expression tree)
-    w_cols, b = [], F.lit(0.0)
-    for j in fs:
-        var0 = F.col(f"m20_{j}") - F.col(f"mu0_{j}") * F.col(f"mu0_{j}")
-        var1 = F.col(f"m21_{j}") - F.col(f"mu1_{j}") * F.col(f"mu1_{j}")
-        w = (F.col(f"mu1_{j}") - F.col(f"mu0_{j}")) / (
-            (var0 + var1) / 2 + F.lit(1e-6)
-        )
-        w_cols.append(w.alias(f"w_{j}"))
-        b = b - w * (F.col(f"mu1_{j}") + F.col(f"mu0_{j}")) / 2
-    model = stats.select(*w_cols, b.alias("b"))
+    model = fit_cascade_model(s1)
 
-    score = F.col("b")
-    for j in fs:
-        score = score + F.col(f"w_{j}") * F.col(j)
     scored = s1.crossJoin(F.broadcast(model)).select(
-        "source", F.round(score, 6).alias("score")
+        "source", F.round(cascade_score_expr(), 6).alias("score")
     )
     per_scored = scored.groupBy("source").agg(
         F.count("*").alias("n_scored"),

@@ -1117,22 +1117,36 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting the yield funnel — docs and tokens surviving each stage:
 
       0 ingest → 1 language filter (en) → 2 quality gate (>= 0.75)
-      → 3 exact dedup (canonical fingerprint copy) → 4 decontaminate
+      → 3 model gate (the TRAINED cascade classifier's score > 0 —
+      text.fit_cascade_model, fit on this corpus's own n_tok ≥ 5
+      population exactly like the standalone cascade)
+      → 4 exact dedup (canonical fingerprint copy) → 5 decontaminate
       (drop the held-out eval docs and anything sharing a word 8-gram
-      with them) → 5 mixture sampling → 6 train split.
+      with them) → 6 mixture sampling → 7 train split.
 
     This is the report every corpus build publishes; each stage reuses
-    the SAME definitions as its standalone operator (quality_score,
-    fingerprint, DECON 8-grams, mixture thresholds, split buckets), so
-    the funnel is consistent with the per-stage queries by construction.
+    the SAME definitions as its standalone operator (quality_score, the
+    cascade model, fingerprint, DECON 8-grams, mixture thresholds,
+    split buckets), so the funnel is consistent with the per-stage
+    queries by construction.
 
     Scale shape: one scan computes every per-doc feature as codegen'd
-    expressions; the only shuffles are the fingerprint canonical
-    election (one aggregate), the contamination broadcast-join rollup,
-    and the final 7-row stage aggregate. Stage flags are cumulative
-    booleans on one row — no per-stage re-scan of the corpus."""
+    expressions; the model fit is one extra aggregate whose 1-row
+    result broadcasts back into the same projection; the only other
+    shuffles are the fingerprint canonical election (one aggregate),
+    the contamination broadcast-join rollup, and the final 8-row stage
+    aggregate. Stage flags are cumulative booleans on one row — no
+    per-stage re-scan of the corpus."""
     from .dedup import DECON_EVAL_MOD, DECON_NGRAM, word_shingles
-    from .text import fingerprint, quality_score, token_count
+    from .text import (
+        CASCADE_GATE_MIN_TOK,
+        cascade_feature_exprs,
+        cascade_score_expr,
+        fingerprint,
+        fit_cascade_model,
+        quality_score,
+        token_count,
+    )
 
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     split_bucket = F.conv(
@@ -1142,6 +1156,7 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long") % 100
+    fx = cascade_feature_exprs(F.col("text"))
     feat = d.select(
         "doc_id",
         "source",
@@ -1151,6 +1166,14 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint(F.col("text")).alias("fp"),
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8).alias("mixhex"),
         split_bucket.alias("bucket"),
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        *(expr.alias(name) for name, expr in fx.items()),
+    )
+    model = fit_cascade_model(
+        feat.filter(F.col("n_tok") >= CASCADE_GATE_MIN_TOK)
+    )
+    feat = feat.crossJoin(F.broadcast(model)).withColumn(
+        "cscore", F.round(cascade_score_expr(), 6)
     )
 
     sh = d.select(
@@ -1170,8 +1193,9 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = F.col("lang") == "en"
     s2 = s1 & (F.col("q") >= 0.75)
+    s2m = s2 & (F.col("cscore") > 0)
     canon = (
-        feat.filter(s2)
+        feat.filter(s2m)
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"))
     )
@@ -1179,7 +1203,7 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per distinct fingerprint), so this must stay a shuffle join on fp
     # at scale; AQE still broadcasts it at harness scale on its own
     feat = feat.join(canon, "fp", "left")
-    s3 = s2 & (F.col("doc_id") == F.col("keep_id"))
+    s3 = s2m & (F.col("doc_id") == F.col("keep_id"))
     s4 = (
         s3
         & (F.col("doc_id") % DECON_EVAL_MOD != 0)
@@ -1192,10 +1216,11 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("0_ingest", F.lit(True)),
         ("1_lang", s1),
         ("2_quality", s2),
-        ("3_exact_dedup", s3),
-        ("4_decontaminate", s4),
-        ("5_mixture", s5),
-        ("6_train_split", s6),
+        ("3_model_gate", s2m),
+        ("4_exact_dedup", s3),
+        ("5_decontaminate", s4),
+        ("6_mixture", s5),
+        ("7_train_split", s6),
     ]
     aggs = []
     for name, flag in stages:
@@ -1221,19 +1246,22 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _funnel_oracle() -> str:
     from .dedup import DECON_EVAL_MOD, DECON_NGRAM
+    from .text import CASCADE_FEAT_SQL, CASCADE_GATE_MIN_TOK, cascade_model_sql
 
     n = DECON_NGRAM
     terms = " || ' ' || ".join([f"t[i+{j}]" for j in range(n)])
     mix_case = _mixture_case_sql()
+    score_sql = "b + w_x1*x1 + w_x2*x2 + w_x3*x3 + w_x4*x4 + w_x5*x5"
     stage_selects = []
     for name, cte in (
         ("0_ingest", "feat"),
         ("1_lang", "s1"),
         ("2_quality", "s2"),
-        ("3_exact_dedup", "s3"),
-        ("4_decontaminate", "s4"),
-        ("5_mixture", "s5"),
-        ("6_train_split", "s6"),
+        ("3_model_gate", "s2m"),
+        ("4_exact_dedup", "s3"),
+        ("5_decontaminate", "s4"),
+        ("6_mixture", "s5"),
+        ("7_train_split", "s6"),
     ):
         stage_selects.append(
             f"SELECT '{name}' AS stage, count(*) AS n_docs,"
@@ -1245,7 +1273,7 @@ WITH toks AS (
   SELECT doc_id, source, lang, text,
          regexp_extract_all(lower(text), '\\S+') AS t
   FROM documents
-), feat AS (
+), feat0 AS (
   SELECT doc_id, source, lang,
          len(t) AS n_tok,
          round((CASE WHEN len(t) >= 10 AND len(t) <= 10000 THEN 0.25 ELSE 0.0 END)
@@ -1263,8 +1291,14 @@ WITH toks AS (
                                  '\\s+', ' ', 'g'))) AS fp,
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS mixhex,
          ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::bigint
-           % 100 AS bucket
+           % 100 AS bucket,
+{CASCADE_FEAT_SQL}
   FROM toks
+), cgate AS (
+  SELECT * FROM feat0 WHERE n_tok >= {CASCADE_GATE_MIN_TOK}
+), {cascade_model_sql("cgate")}, feat AS (
+  SELECT feat0.*, round({score_sql}, 6) AS cscore
+  FROM feat0 CROSS JOIN cmodel
 ), sh AS (
   SELECT doc_id, unnest(
     CASE WHEN len(t) >= {n}
@@ -1278,9 +1312,10 @@ WITH toks AS (
   WHERE tr.doc_id % {DECON_EVAL_MOD} <> 0 AND ev.doc_id % {DECON_EVAL_MOD} = 0
 ), s1 AS (SELECT * FROM feat WHERE lang = 'en'),
 s2 AS (SELECT * FROM s1 WHERE q >= 0.75),
-canon AS (SELECT fp, min(doc_id) AS keep_id FROM s2 GROUP BY fp),
-s3 AS (SELECT s2.* FROM s2 JOIN canon ON s2.fp = canon.fp
-       WHERE s2.doc_id = canon.keep_id),
+s2m AS (SELECT * FROM s2 WHERE cscore > 0),
+canon AS (SELECT fp, min(doc_id) AS keep_id FROM s2m GROUP BY fp),
+s3 AS (SELECT s2m.* FROM s2m JOIN canon ON s2m.fp = canon.fp
+       WHERE s2m.doc_id = canon.keep_id),
 s4 AS (SELECT * FROM s3
        WHERE doc_id % {DECON_EVAL_MOD} <> 0
          AND doc_id NOT IN (SELECT doc_id FROM contam)),

@@ -79,6 +79,11 @@ def main() -> None:
     # ...and the serving-store refresh (pre-verb KV build + delta upsert
     # — the one-time serving-tier maintenance artifact)
     queries["kv_refresh_roundtrip"](spark, sf_dir).limit(1).collect()
+    # ...its search-core twin (pre-verb segment core build + delta
+    # refresh) and the mixed-verb streaming fold (own stateful build +
+    # two drains) — the same build-once/query-many artifacts
+    queries["solr_refresh_roundtrip"](spark, sf_dir).limit(1).collect()
+    queries["graph_maintenance_stream_verbs"](spark, sf_dir).limit(1).collect()
     # ...and the trained k-means centroids, the other session-shared
     # artifact (the trained-IVF index): train-once/query-many — without
     # this the alphabetically-first consumer (ann_ivf_trained_topk)
@@ -88,6 +93,10 @@ def main() -> None:
     # the line above; the saves are one-time serving-artifact writes)
     queries["ann_index_persist_topk"](spark, sf_dir).limit(1).collect()
     queries["ann_pq_index_persist_topk"](spark, sf_dir).limit(1).collect()
+    # ...and the blue/green retrain-swap artifact (save + retrain + swap
+    # is a one-time index-lifecycle write; the query serves through the
+    # swapped pointer)
+    queries["ann_retrain_swap_topk"](spark, sf_dir).limit(1).collect()
 
     total = 0.0
     errors: dict[str, str] = {}

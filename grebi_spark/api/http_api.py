@@ -144,28 +144,12 @@ def resolve_documents(graph: BuiltGraph, alias_id: str) -> list[dict]:
 
 def summary_document(subgraph: str, graph: BuiltGraph) -> dict:
     """The per-subgraph summary JSON the reference's summary service
-    loads and serves (GrebiSummarySvc.java:23-38; written by
-    04_index/grebi_index/src/main.rs:214-232): subgraph name plus
-    {prop → {count}} maps for entity props, edge (reified) props, and
-    types — exactly J4's index aggregates, so it is served straight
-    from ``graph.index`` (bounded collects: one row per distinct
-    prop/type)."""
-    idx = graph.index
-    return {
-        "subgraph_name": subgraph,
-        "entity_props": {
-            r["prop_key"]: {"count": r["n_values"]}
-            for r in idx.prop_counts.collect()
-        },
-        "edge_props": {
-            r["prop_key"]: {"count": r["n_values"]}
-            for r in idx.edge_prop_counts.collect()
-        },
-        "types": {
-            r["type"]: {"count": r["n_nodes"]}
-            for r in idx.type_counts.collect()
-        },
-    }
+    serves (GrebiSummarySvc.java:23-38) — rendered by the J4 exporter
+    (operators.index.summary_json), so route and export artifact can
+    never drift apart."""
+    from ..operators.index import summary_json
+
+    return summary_json(graph.index, subgraph)
 
 
 def _rows(df) -> list[dict]:

@@ -576,11 +576,7 @@ def _write_index_version(
     spark.createDataFrame(
         [(int(routed), int(k_int))], "routed int, k int"
     ).write.mode("overwrite").parquet(f"{vdir}/mode")
-    v = (
-        as_double(F.col("embedding"))
-        if "embedding" in vectors.columns
-        else F.col("v")
-    )
+    v = as_double(F.col("embedding"))
     best = _index_assign(v, cents, routed, k_int)
     (
         vectors.withColumn("cell", best.getField("cluster"))
@@ -679,7 +675,7 @@ def retrain_ann_index(spark: SparkSession, root: str) -> str:
     left in place for in-flight readers (blue/green); prune them once
     drained with ``prune_ann_index_versions``. Returns the new version
     name."""
-    from .training import fit_centroids, kmeans_k, route_gate
+    from .training import _N_CACHE, fit_centroids, kmeans_k, route_gate
 
     vdir = _resolve_index_dir(spark, root)
     vecs = spark.read.parquet(f"{vdir}/lists").select(
@@ -688,9 +684,9 @@ def retrain_ann_index(spark: SparkSession, root: str) -> str:
     n = vecs.count()
     k_int = kmeans_k(n)
     cents = fit_centroids(spark, vecs, n, k_int)
-    routed = route_gate(
-        spark, vecs, cents, k_int, f"retrain:{root}:{vdir}:{n}"
-    )
+    ckey = f"retrain:{root}:{vdir}:{n}"
+    _N_CACHE[ckey] = n  # spare route_gate a second full population count
+    routed = route_gate(spark, vecs, cents, k_int, ckey)
     vname = _next_index_version(spark, root)
     _write_index_version(spark, f"{root}/{vname}", vecs, cents, routed, k_int)
     _publish_index_version(spark, root, vname)
@@ -772,15 +768,17 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
     driver-local glob), so the sweep sees hdfs:// and s3a:// roots the
     same way the Spark reader does — a local-only glob would silently
     find nothing on a remote index root."""
+    from ..fsutil import hadoop_ls
+
     root = _resolve_index_dir(spark, root)
     crowded = []
-    for cell_dir in _hadoop_ls(spark, f"{root}/lists", dirs_only=True):
+    for cell_dir in hadoop_ls(spark, f"{root}/lists", dirs_only=True):
         name = cell_dir.getPath().getName()
         if not name.startswith("cell="):
             continue
         nfiles = sum(
             1
-            for f in _hadoop_ls(spark, cell_dir.getPath())
+            for f in hadoop_ls(spark, cell_dir.getPath())
             if f.getPath().getName().endswith(".parquet")
         )
         if nfiles > max_files:
@@ -805,10 +803,6 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
     return len(crowded)
 
 
-def _hadoop_ls(spark: SparkSession, path, dirs_only: bool = False):
-    from ..fsutil import hadoop_ls
-
-    return hadoop_ls(spark, path, dirs_only)
 
 
 def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

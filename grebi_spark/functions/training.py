@@ -1117,9 +1117,10 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reporting the yield funnel — docs and tokens surviving each stage:
 
       0 ingest → 1 language filter (en) → 2 quality gate (>= 0.75)
-      → 3 model gate (the TRAINED cascade classifier's score > 0 —
-      text.fit_cascade_model, fit on this corpus's own n_tok ≥ 5
-      population exactly like the standalone cascade)
+      → 3 model gate (the WHOLE trained cascade: its cheap n_tok ≥ 5
+      gate, then the classifier's score > 0 — text.fit_cascade_model,
+      fit on this corpus's own gated population exactly like the
+      standalone cascade)
       → 4 exact dedup (canonical fingerprint copy) → 5 decontaminate
       (drop the held-out eval docs and anything sharing a word 8-gram
       with them) → 6 mixture sampling → 7 train split.
@@ -1193,7 +1194,14 @@ def corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = F.col("lang") == "en"
     s2 = s1 & (F.col("q") >= 0.75)
-    s2m = s2 & (F.col("cscore") > 0)
+    # the model gate composes the WHOLE cascade: the cheap n_tok gate
+    # first (docs the classifier was never fit for are pruned, exactly
+    # like the standalone operator), then the trained score
+    s2m = (
+        s2
+        & (F.col("n_tok") >= CASCADE_GATE_MIN_TOK)
+        & (F.col("cscore") > 0)
+    )
     canon = (
         feat.filter(s2m)
         .groupBy("fp")
@@ -1312,7 +1320,7 @@ WITH toks AS (
   WHERE tr.doc_id % {DECON_EVAL_MOD} <> 0 AND ev.doc_id % {DECON_EVAL_MOD} = 0
 ), s1 AS (SELECT * FROM feat WHERE lang = 'en'),
 s2 AS (SELECT * FROM s1 WHERE q >= 0.75),
-s2m AS (SELECT * FROM s2 WHERE cscore > 0),
+s2m AS (SELECT * FROM s2 WHERE n_tok >= {CASCADE_GATE_MIN_TOK} AND cscore > 0),
 canon AS (SELECT fp, min(doc_id) AS keep_id FROM s2m GROUP BY fp),
 s3 AS (SELECT s2m.* FROM s2m JOIN canon ON s2m.fp = canon.fp
        WHERE s2m.doc_id = canon.keep_id),

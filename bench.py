@@ -97,6 +97,15 @@ def main() -> None:
     # is a one-time index-lifecycle write; the query serves through the
     # swapped pointer)
     queries["ann_retrain_swap_topk"](spark, sf_dir).limit(1).collect()
+    # ...and the streaming-ingested index (bulk load + two availableNow
+    # drains — the one-time continuous-vector-ingestion artifact)
+    queries["ann_stream_ingest_topk"](spark, sf_dir).limit(1).collect()
+    # ...and the versioned-snapshot root (two save_state_version writes
+    # + rollback; the query then reads the rolled-back Parquet scans)
+    queries["state_rollback_roundtrip"](spark, sf_dir).limit(1).collect()
+    # ...and the z-clustered events layout (one-time partitioned write;
+    # the query is the pruned scan over it)
+    queries["zorder_scan_prune"](spark, sf_dir).limit(1).collect()
 
     total = 0.0
     errors: dict[str, str] = {}

@@ -23,3 +23,120 @@ def hadoop_ls(spark: SparkSession, path, dirs_only: bool = False):
     if dirs_only:
         statuses = [s for s in statuses if s.isDirectory()]
     return statuses
+
+
+def fs_of(spark: SparkSession, path: str):
+    """(jvm, FileSystem) for ``path``'s scheme."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+# --- versioned artifact roots (blue/green publication) -----------------------
+#
+# One layout shared by every durable artifact the engine maintains (the
+# ANN index and the graph-state snapshots): a root holds version
+# directories v1, v2, …; a version becomes visible only when its
+# _COMMITTED marker and the root's CURRENT pointer land (the Iceberg
+# version-hint shape). A crash mid-write leaves the previous version
+# serving; publication and rollback are O(1) pointer swaps that never
+# move data, so in-flight readers keep the directory they resolved.
+
+
+def next_version(spark: SparkSession, root: str) -> str:
+    """The next unused version name (v1, v2, …) under ``root``."""
+    vs = [
+        int(s.getPath().getName()[1:])
+        for s in hadoop_ls(spark, root, dirs_only=True)
+        if s.getPath().getName().startswith("v")
+        and s.getPath().getName()[1:].isdigit()
+    ]
+    return f"v{max(vs) + 1 if vs else 1}"
+
+
+def publish_version(spark: SparkSession, root: str, vname: str) -> None:
+    """Make ``vname`` the served version: land its _COMMITTED marker,
+    then swing the CURRENT pointer (tmp-write + rename). Readers that
+    resolved the OLD version keep their directory — nothing under it is
+    deleted — so an in-flight query completes against the artifact it
+    opened (blue/green isolation, asserted by the suite)."""
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    out = fs.create(P(f"{root}/{vname}/_COMMITTED"), True)
+    out.close()
+    tmp = P(f"{root}/CURRENT.tmp")
+    o = fs.create(tmp, True)
+    o.write(bytearray(vname.encode()))
+    o.close()
+    cur = P(f"{root}/CURRENT")
+    fs.delete(cur, False)
+    if not fs.rename(tmp, cur):
+        raise IOError(f"could not publish {vname} at {root}")
+
+
+def committed_versions(spark: SparkSession, root: str) -> list[int]:
+    """Version numbers under ``root`` whose _COMMITTED marker landed —
+    uncommitted directories (a crash mid-write) are invisible here."""
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    return sorted(
+        int(s.getPath().getName()[1:])
+        for s in hadoop_ls(spark, root, dirs_only=True)
+        if s.getPath().getName().startswith("v")
+        and s.getPath().getName()[1:].isdigit()
+        and fs.exists(P(f"{root}/{s.getPath().getName()}/_COMMITTED"))
+    )
+
+
+def resolve_version_dir(spark: SparkSession, root: str) -> str:
+    """The directory actually serving: CURRENT's version if published;
+    else the highest _COMMITTED version (covers the instant between
+    pointer delete and rename); else the root itself (a pre-versioning
+    flat layout, still readable)."""
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    cur = P(f"{root}/CURRENT")
+    if fs.exists(cur):
+        stream = fs.open(cur)
+        try:
+            name = bytes(stream.readAllBytes()).decode().strip()
+        finally:
+            stream.close()
+        return f"{root}/{name}"
+    committed = committed_versions(spark, root)
+    if committed:
+        return f"{root}/v{max(committed)}"
+    return root
+
+
+def rollback_version(spark: SparkSession, root: str) -> str:
+    """Swing CURRENT back to the highest _COMMITTED version BELOW the
+    one now serving — an O(1) pointer swap; no version's files move, so
+    a reader that opened the rolled-back version finishes against it.
+    Returns the version name now serving; raises when there is nothing
+    earlier to roll back to."""
+    serving = resolve_version_dir(spark, root).rsplit("/", 1)[-1]
+    if not (serving.startswith("v") and serving[1:].isdigit()):
+        raise ValueError(f"{root} has no versioned layout to roll back")
+    cur_n = int(serving[1:])
+    earlier = [n for n in committed_versions(spark, root) if n < cur_n]
+    if not earlier:
+        raise ValueError(f"{root}: {serving} is the oldest committed version")
+    vname = f"v{max(earlier)}"
+    publish_version(spark, root, vname)
+    return vname
+
+
+def prune_versions(spark: SparkSession, root: str) -> int:
+    """Delete every version directory except CURRENT's — run once old
+    readers are drained. Returns the number of versions removed."""
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    keep = resolve_version_dir(spark, root).rsplit("/", 1)[-1]
+    removed = 0
+    for s in hadoop_ls(spark, root, dirs_only=True):
+        name = s.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit() and name != keep:
+            fs.delete(P(f"{root}/{name}"), True)
+            removed += 1
+    return removed

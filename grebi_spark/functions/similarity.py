@@ -537,6 +537,15 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     leaves the previous version serving; a mixed new-centroids/stale-
     lists state is impossible (ADVICE r5). ``retrain_ann_index`` swaps
     versions blue/green through the same pointer."""
+    e, cents, routed, k_int = _trained_index_inputs(spark, sf_dir)
+    vname = _next_index_version(spark, root)
+    _write_index_version(spark, f"{root}/{vname}", e, cents, routed, k_int)
+    _publish_index_version(spark, root, vname)
+
+
+def _trained_index_inputs(spark: SparkSession, sf_dir: str):
+    """(vectors, centroids, gate decision, K) for ``sf_dir``'s corpus —
+    the train-once inputs every index build/publication path shares."""
     from .training import _CENT_CACHE as _KM_CACHE
     from .training import (
         _cache_key,
@@ -552,11 +561,7 @@ def save_ann_index(spark: SparkSession, sf_dir: str, root: str) -> None:
     cents = _KM_CACHE[ckey]
     k_int = trained_k(spark, sf_dir, e)
     routed = route_gate(spark, e, cents, k_int, ckey)
-    vname = _next_index_version(spark, root)
-    _write_index_version(
-        spark, f"{root}/{vname}", e, cents, bool(routed), k_int
-    )
-    _publish_index_version(spark, root, vname)
+    return e, cents, bool(routed), k_int
 
 
 def _write_index_version(
@@ -595,71 +600,12 @@ def _write_index_version(
 # --- versioned index roots (blue/green publication) --------------------------
 
 
-def _fs_of(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
-def _next_index_version(spark: SparkSession, root: str) -> str:
-    from ..fsutil import hadoop_ls
-
-    vs = [
-        int(s.getPath().getName()[1:])
-        for s in hadoop_ls(spark, root, dirs_only=True)
-        if s.getPath().getName().startswith("v")
-        and s.getPath().getName()[1:].isdigit()
-    ]
-    return f"v{max(vs) + 1 if vs else 1}"
-
-
-def _publish_index_version(spark: SparkSession, root: str, vname: str) -> None:
-    """Make ``vname`` the served version: land its _COMMITTED marker,
-    then swing the CURRENT pointer (tmp-write + rename). Readers that
-    resolved the OLD version keep their directory — nothing under it is
-    deleted — so an in-flight query completes against the index it
-    opened (blue/green isolation, asserted by the suite)."""
-    jvm, fs = _fs_of(spark, root)
-    P = jvm.org.apache.hadoop.fs.Path
-    out = fs.create(P(f"{root}/{vname}/_COMMITTED"), True)
-    out.close()
-    tmp = P(f"{root}/CURRENT.tmp")
-    o = fs.create(tmp, True)
-    o.write(bytearray(vname.encode()))
-    o.close()
-    cur = P(f"{root}/CURRENT")
-    fs.delete(cur, False)
-    if not fs.rename(tmp, cur):
-        raise IOError(f"could not publish {vname} at {root}")
-
-
-def _resolve_index_dir(spark: SparkSession, root: str) -> str:
-    """The directory actually holding the served index: CURRENT's
-    version if published; else the highest _COMMITTED version (covers
-    the instant between pointer delete and rename); else the root
-    itself (the pre-versioning flat layout, still readable)."""
-    from ..fsutil import hadoop_ls
-
-    jvm, fs = _fs_of(spark, root)
-    P = jvm.org.apache.hadoop.fs.Path
-    cur = P(f"{root}/CURRENT")
-    if fs.exists(cur):
-        stream = fs.open(cur)
-        try:
-            name = bytes(stream.readAllBytes()).decode().strip()
-        finally:
-            stream.close()
-        return f"{root}/{name}"
-    committed = [
-        int(s.getPath().getName()[1:])
-        for s in hadoop_ls(spark, root, dirs_only=True)
-        if s.getPath().getName().startswith("v")
-        and s.getPath().getName()[1:].isdigit()
-        and fs.exists(P(f"{root}/{s.getPath().getName()}/_COMMITTED"))
-    ]
-    if committed:
-        return f"{root}/v{max(committed)}"
-    return root
+# The version-pointer machinery is shared with the graph-state
+# snapshots (incremental.save_state_version) — one blue/green layout
+# for every durable artifact the engine maintains.
+from ..fsutil import next_version as _next_index_version  # noqa: E402
+from ..fsutil import publish_version as _publish_index_version  # noqa: E402
+from ..fsutil import resolve_version_dir as _resolve_index_dir  # noqa: E402
 
 
 def retrain_ann_index(spark: SparkSession, root: str) -> str:
@@ -696,18 +642,9 @@ def retrain_ann_index(spark: SparkSession, root: str) -> str:
 def prune_ann_index_versions(spark: SparkSession, root: str) -> int:
     """Delete every version directory except CURRENT's — run once old
     readers are drained. Returns the number of versions removed."""
-    from ..fsutil import hadoop_ls
+    from ..fsutil import prune_versions
 
-    jvm, fs = _fs_of(spark, root)
-    P = jvm.org.apache.hadoop.fs.Path
-    keep = _resolve_index_dir(spark, root).rsplit("/", 1)[-1]
-    removed = 0
-    for s in hadoop_ls(spark, root, dirs_only=True):
-        name = s.getPath().getName()
-        if name.startswith("v") and name[1:].isdigit() and name != keep:
-            fs.delete(P(f"{root}/{name}"), True)
-            removed += 1
-    return removed
+    return prune_versions(spark, root)
 
 
 def _index_assign(vec, cents, routed: bool, k_int: int):
@@ -879,6 +816,85 @@ def ann_retrain_swap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         root = tempfile.mkdtemp(prefix="grebi_ann_bluegreen_")
         save_ann_index(spark, sf_dir, root)
         retrain_ann_index(spark, root)
+        _ANN_INDEX_CACHE[key] = root
+    return _serve_ivf_topk(spark, _ANN_INDEX_CACHE[key], e, sf_dir)
+
+
+def ann_stream_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS vector ingestion: bulk-load three quarters of the
+    corpus into a fresh index version, then fold the remaining quarter
+    in through a real Structured Streaming job — a parquet file source
+    watches an arrivals directory and each micro-batch is appended with
+    ``append_ann_index`` inside ``foreachBatch``. The job is drained
+    TWICE against one checkpoint: the first arrival file is folded, the
+    job stops, the second lands, and the RESTARTED job resumes from the
+    committed offset, folding only the new file (the same exactly-once
+    contract ``graph_maintenance_stream`` proves for the graph side).
+
+    Because every append replays the index's PERSISTED assignment rule
+    (gate decision + K recorded at save time), the streamed index must
+    be value-identical to indexing the whole corpus in one save — so
+    the served top-5 probe hash-matches the SAME oracle as
+    ``ann_index_persist_topk``. Centroids are trained once on the
+    corpus snapshot (the bulk-load + catch-up-stream rebuild a
+    production vector store runs); at 100 TB each arriving batch costs
+    one assignment pass over ITS OWN rows plus file appends under the
+    touched cells — never a corpus rewrite. List-content identity and
+    no-duplicate-after-restart are suite-asserted
+    (tests/test_ann_stream.py)."""
+    import os
+    import tempfile
+
+    from .training import _cache_key
+
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    key = f"annstream:{_cache_key(spark, sf_dir)}"
+    if key not in _ANN_INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="grebi_ann_stream_")
+        e_full, cents, routed, k_int = _trained_index_inputs(spark, sf_dir)
+        base = e_full.filter(F.col("vec_id") % 4 != 3)
+        vname = _next_index_version(spark, root)
+        _write_index_version(spark, f"{root}/{vname}", base, cents, routed, k_int)
+        _publish_index_version(spark, root, vname)
+
+        arrivals = os.path.join(root, "arrivals")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(arrivals)
+
+        def land(df: DataFrame, name: str) -> None:
+            # one parquet file per arrival batch: write distributed,
+            # then promote the part file into the watched directory
+            tmp = os.path.join(root, f"tmp_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(tmp, part), os.path.join(arrivals, f"{name}.parquet")
+            )
+
+        def fold(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():  # crash-replay of a folded batch
+                return
+            append_ann_index(
+                spark, root, batch_df.select("vec_id", "embedding")
+            )
+
+        def drain() -> None:
+            q = (
+                spark.readStream.schema(e_full.schema)
+                .parquet(arrivals)
+                .writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        land(e_full.filter(F.col("vec_id") % 8 == 3), "arrival_1")
+        drain()
+        land(e_full.filter(F.col("vec_id") % 8 == 7), "arrival_2")
+        drain()  # restart: the committed offset skips arrival_1
         _ANN_INDEX_CACHE[key] = root
     return _serve_ivf_topk(spark, _ANN_INDEX_CACHE[key], e, sf_dir)
 
@@ -1910,6 +1926,7 @@ QUERIES = {
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_index_persist_topk": ann_index_persist_topk,
     "ann_retrain_swap_topk": ann_retrain_swap_topk,
+    "ann_stream_ingest_topk": ann_stream_ingest_topk,
     "ann_index_drift_check": ann_index_drift_check,
     "knn_label_purity": knn_label_purity,
     "knn_classify": knn_classify,
@@ -1929,6 +1946,7 @@ ORACLES = {
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),
     "ann_index_persist_topk": _oracle_ann_ivf_trained(),
     "ann_retrain_swap_topk": _oracle_ann_ivf_trained(),
+    "ann_stream_ingest_topk": _oracle_ann_ivf_trained(),
     "ann_index_drift_check": _oracle_drift_check(),
     "knn_label_purity": ORACLE_LABEL_PURITY,
     "knn_classify": ORACLE_KNN_CLASSIFY,

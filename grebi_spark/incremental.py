@@ -918,6 +918,59 @@ def load_state(spark, path: str) -> GraphState:
     )
 
 
+def save_state_version(state: GraphState, root: str) -> str:
+    """Durable snapshot with ATOMIC publication: write the state into a
+    fresh version directory (v1, v2, …) under ``root`` and publish it by
+    landing its _COMMITTED marker + swinging the root's CURRENT pointer —
+    the same blue/green layout the durable ANN index uses (fsutil). This
+    closes ``save_state``'s documented gap: a crash mid-save leaves the
+    previous snapshot serving; a mixed-frame snapshot is unreachable.
+
+    Operational shape this buys at 100 TB: every maintenance fold can
+    checkpoint cheaply (one delta-sized write per table), and a BAD DUMP
+    is undone by ``rollback_state`` — an O(1) pointer swap — instead of
+    re-running the reference's full-rebuild pipeline (the reference's
+    only recovery story for a bad release is rebuilding the graph from
+    the surviving dumps, nextflow/01_create_subgraph.nf re-runs the
+    world). Returns the published version name."""
+    from .fsutil import next_version, publish_version
+
+    spark = state.rows.sparkSession
+    vname = next_version(spark, root)
+    save_state(state, f"{root}/{vname}")
+    publish_version(spark, root, vname)
+    return vname
+
+
+def load_state_current(spark, root: str) -> GraphState:
+    """Reload whichever snapshot version ``root``'s CURRENT pointer
+    serves (falling back to the highest committed version, then to a
+    flat pre-versioning layout — fsutil.resolve_version_dir)."""
+    from .fsutil import resolve_version_dir
+
+    return load_state(spark, resolve_version_dir(spark, root))
+
+
+def rollback_state(spark, root: str) -> str:
+    """Undo the most recent published snapshot: swing CURRENT back to
+    the previous committed version. Pointer-only — no table is read,
+    copied, or deleted, so the rolled-back version's files stay intact
+    for in-flight readers and a later roll-FORWARD (re-publish) stays
+    possible until ``prune_state_versions``. Returns the version now
+    serving."""
+    from .fsutil import rollback_version
+
+    return rollback_version(spark, root)
+
+
+def prune_state_versions(spark, root: str) -> int:
+    """Delete every snapshot version except CURRENT's — run once old
+    readers are drained. Returns the number of versions removed."""
+    from .fsutil import prune_versions
+
+    return prune_versions(spark, root)
+
+
 def compact_state(state: GraphState) -> GraphState:
     """Flatten the pass-through chains a SEQUENCE of verbs builds up.
 

@@ -1242,6 +1242,43 @@ def incremental_persist_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("node_id", "prop_key", "value", "datasources")
 
 
+def state_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPERATIONAL undo path, driver-visible: snapshot the maintained
+    graph as version v1 (``save_state_version`` — the blue/green layout
+    the ANN index publishes through, fsutil), apply a maintenance verb
+    and snapshot v2, then ROLL BACK — an O(1) CURRENT-pointer swap that
+    moves no data — and reload whatever the pointer now serves. The
+    reloaded merged profile must hash-match the same from-scratch oracle
+    as the pre-verb graph, proving rollback restores the exact pre-verb
+    snapshot value-for-value.
+
+    The verb rolled back here is ``remove_datasource('crm')``: v1 holds
+    the full three-source graph, v2 the geo-only remainder, and the
+    rolled-back pointer must resurrect every customer node. The
+    reference's only recovery from a bad release is re-running the whole
+    build over the surviving dumps (the Nextflow DAG has no undo); at
+    100 TB this pointer swap replaces that full rebuild. Crash-mid-save
+    invisibility, in-flight reader isolation across the swap, and
+    roll-forward are suite-tested (tests/test_state_versions.py)."""
+    import tempfile
+
+    from ..incremental import (
+        load_state_current,
+        rollback_state,
+        save_state_version,
+    )
+
+    key = f"rollback:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _INC_CACHE:
+        root = tempfile.mkdtemp(prefix="grebi_state_versions_")
+        save_state_version(_inc_state(spark, sf_dir, "full"), root)
+        save_state_version(_inc_state(spark, sf_dir, "geo"), root)
+        rollback_state(spark, root)  # v2 → v1: undo the crm retirement
+        _INC_CACHE[key] = load_state_current(spark, root)
+    merged = _INC_CACHE[key].graph.merged
+    return _merge_profile(merged)
+
+
 def graph_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CONTINUOUS graph maintenance: a Structured Streaming job watches a
     dump directory (the reference's operational shape — new datasource
@@ -1598,6 +1635,7 @@ QUERIES = {
     "solr_refresh_roundtrip": solr_refresh_roundtrip,
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
     "incremental_persist_roundtrip": incremental_persist_roundtrip,
+    "state_rollback_roundtrip": state_rollback_roundtrip,
     "incremental_update_merged": incremental_update_merged,
     "incremental_add_edges": incremental_add_edges,
     "incremental_remove_merge_nodes": incremental_remove_merge_nodes,
@@ -1629,6 +1667,7 @@ ORACLES = {
     "solr_refresh_roundtrip": ORACLE_SOLR_REFRESH,
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
     "incremental_persist_roundtrip": ORACLE_INC_FUSE_MERGED,
+    "state_rollback_roundtrip": ORACLE_MERGE_NODES,
     "incremental_update_merged": ORACLE_INC_UPDATE_MERGED,
     "incremental_add_edges": ORACLE_EDGES_FK,
     "incremental_remove_merge_nodes": ORACLE_INC_REMOVE_MERGE,

@@ -1,0 +1,45 @@
+"""Streaming vector ingestion into the durable IVF index: the streamed
+index's list CONTENT must be identical to bulk-indexing the whole
+corpus (appends replay the persisted assignment rule), and the
+restart-resume drain must fold each arrival exactly once — no vector
+duplicated or lost across the checkpoint restart.
+"""
+
+from grebi_spark.functions.similarity import (
+    _ANN_INDEX_CACHE,
+    _resolve_index_dir,
+    ann_index_persist_topk,
+    ann_stream_ingest_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lists(spark, cache_key_prefix: str):
+    root = next(
+        v
+        for k, v in _ANN_INDEX_CACHE.items()
+        if k.startswith(cache_key_prefix)
+    )
+    vdir = _resolve_index_dir(spark, root)
+    return spark.read.parquet(f"{vdir}/lists")
+
+
+def test_streamed_index_equals_bulk_index(spark):
+    streamed_topk = [tuple(r) for r in ann_stream_ingest_topk(spark, SF).collect()]
+    bulk_topk = [tuple(r) for r in ann_index_persist_topk(spark, SF).collect()]
+    assert streamed_topk == bulk_topk
+    streamed = _lists(spark, "annstream:")
+    bulk = _lists(spark, "annidx:")
+    cells = lambda df: sorted(  # noqa: E731
+        (r["vec_id"], int(r["cell"])) for r in df.select("vec_id", "cell").collect()
+    )
+    assert cells(streamed) == cells(bulk)
+
+
+def test_stream_folds_each_vector_exactly_once(spark):
+    ann_stream_ingest_topk(spark, SF)  # session-cached build
+    streamed = _lists(spark, "annstream:")
+    n_corpus = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert streamed.count() == n_corpus
+    assert streamed.select("vec_id").distinct().count() == n_corpus

@@ -1,0 +1,82 @@
+"""Z-order layout gates: the pruned scan must actually prune (partition
+filters on the cell id, cover a strict subset of the universe), the
+pruning must not change the answer, and the interleave must be a
+bijection on the cell universe (two distinct bucket pairs can never
+share a cell, or the cover would silently over-read forever).
+"""
+
+from pyspark.sql import functions as F
+
+from grebi_spark.plans.layout import (
+    _N_BINS,
+    _bounds,
+    _interleave_py,
+    _z_cover,
+    _zorder_root,
+    zorder_scan_prune,
+)
+from grebi_spark.session import load_tables
+
+from .test_plan_quality import plan_of
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_interleave_is_bijective():
+    universe = {
+        _interleave_py(ub, db)
+        for ub in range(_N_BINS)
+        for db in range(_N_BINS)
+    }
+    assert len(universe) == _N_BINS * _N_BINS
+    assert min(universe) == 0 and max(universe) == _N_BINS * _N_BINS - 1
+
+
+def test_cover_is_strict_subset(spark):
+    b = _bounds(spark, SF)
+    cover = _z_cover(b)
+    assert 0 < len(cover) < _N_BINS * _N_BINS
+    assert len(set(cover)) == len(cover)
+
+
+def test_zorder_scan_prunes_partitions(spark):
+    df = zorder_scan_prune(spark, SF)
+    plan = plan_of(df)
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "z" in seg and seg.strip()
+
+
+def test_pruned_scan_equals_plain_scan(spark):
+    """The layout changes what is read, never the answer: the same
+    rectangle over the UNCLUSTERED events table must agree row-for-row."""
+    ev = load_tables(spark, SF, ("events",))["events"]
+    b = _bounds(spark, SF)
+    day = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000")
+    plain = (
+        ev.filter(
+            F.col("user_id").between(b["u1"], b["u2"])
+            & day.between(b["d1"], b["d2"])
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in zorder_scan_prune(spark, SF).collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
+
+
+def test_layout_loses_no_rows(spark):
+    """Every event lands in exactly one cell directory."""
+    root, _b = _zorder_root(spark, SF)
+    ev = load_tables(spark, SF, ("events",))["events"]
+    laid_out = spark.read.parquet(root)
+    assert laid_out.count() == ev.count()
+    assert (
+        laid_out.select("event_id").distinct().count()
+        == ev.select("event_id").distinct().count()
+    )

@@ -207,12 +207,119 @@ FROM events GROUP BY 1 ORDER BY z
 """
 
 
+# --- manifest-based file skipping (min/max statistics pruning) ---------------
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+_MANIFEST_FILES = 16
+
+
+def _manifest_root(spark: SparkSession, sf_dir: str) -> tuple[str, list]:
+    """The OTHER half of the data-skipping story: file-level MIN/MAX
+    statistics on an ordinary (un-partitioned) column — what
+    Iceberg/Delta manifests and parquet footers provide. One-time
+    layout: range-cluster events by the cents value into ~16 files
+    (sort-based clustering makes the per-file ranges disjoint, hence
+    the stats selective); one stats-collection scan builds the manifest
+    (file → min/max cents, row count). The manifest is file-count-sized
+    — the bounded planning metadata a 100 TB table keeps in its
+    catalog, NOT data-sized."""
+    key = f"manifest:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _LAYOUT_CACHE:
+        root = _LAYOUT_CACHE[key]
+    else:
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        root = tempfile.mkdtemp(prefix="grebi_manifest_")
+        (
+            ev.withColumn("cents", F.expr(_CENTS))
+            .repartitionByRange(_MANIFEST_FILES, F.col("cents"))
+            .write.mode("overwrite")
+            .parquet(root)
+        )
+        _LAYOUT_CACHE[key] = root
+    manifest = (
+        spark.read.parquet(root)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    )
+    return root, manifest
+
+
+def manifest_files_for(manifest: list, lo: int, hi: int) -> list[str]:
+    """Planning-time file selection: every file whose [min,max] range
+    intersects the predicate interval. O(files), data never touched."""
+    return [
+        r["file"]
+        for r in manifest
+        if not (r["max_cents"] < lo or r["min_cents"] > hi)
+    ]
+
+
+def manifest_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned scan: answer a cents-range query by consulting the
+    manifest FIRST — only files whose min/max interval intersects the
+    predicate are handed to the reader (an explicit file list; the
+    suite asserts a strict subset) — then exact residual predicates.
+    Must hash-match the plain full-scan SQL. Together with
+    ``zorder_scan_prune`` this is both halves of engine-side data
+    skipping: partition pruning where the layout has a key, stats
+    pruning where it only has sort order."""
+    root, manifest = _manifest_root(spark, sf_dir)
+    b = _cents_rect(spark, sf_dir)
+    files = manifest_files_for(manifest, b["c1"], b["c2"])
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col("cents").between(b["c1"], b["c2"]))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _cents_rect(spark: SparkSession, sf_dir: str) -> dict:
+    """Deterministic query interval: the second quarter of the cents
+    span — same convention as the z-order rectangle."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    row = ev.select(
+        F.expr(f"min({_CENTS})").alias("mc"),
+        F.expr(f"max({_CENTS})").alias("xc"),
+    ).collect()[0]
+    mc, xc = int(row["mc"]), int(row["xc"])
+    span = xc - mc + 1
+    return {"c1": mc + span // 4, "c2": mc + span // 2}
+
+
+ORACLE_MANIFEST_SCAN = """
+WITH b AS (
+  SELECT min(CAST(round(value * 100) AS BIGINT)) AS mc,
+         max(CAST(round(value * 100) AS BIGINT)) AS xc
+  FROM events
+), r AS (
+  SELECT mc + (xc - mc + 1) // 4 AS c1, mc + (xc - mc + 1) // 2 AS c2 FROM b
+)
+SELECT event_type, count(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS cents_total
+FROM events, r
+WHERE CAST(round(value * 100) AS BIGINT) BETWEEN c1 AND c2
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "zorder_scan_prune": zorder_scan_prune,
     "zorder_cell_histogram": zorder_cell_histogram,
+    "manifest_skip_scan": manifest_skip_scan,
 }
 
 ORACLES = {
     "zorder_scan_prune": ORACLE_ZORDER_SCAN,
     "zorder_cell_histogram": _oracle_cell_histogram(),
+    "manifest_skip_scan": ORACLE_MANIFEST_SCAN,
 }

@@ -70,6 +70,46 @@ def test_pruned_scan_equals_plain_scan(spark):
     ]
 
 
+def test_manifest_prunes_files_without_changing_answer(spark):
+    """Stats pruning must select a strict subset of the files, and the
+    pruned answer must equal the full-scan answer."""
+    from grebi_spark.plans.layout import (
+        _cents_rect,
+        _manifest_root,
+        manifest_files_for,
+        manifest_skip_scan,
+    )
+
+    root, manifest = _manifest_root(spark, SF)
+    b = _cents_rect(spark, SF)
+    files = manifest_files_for(manifest, b["c1"], b["c2"])
+    assert 0 < len(files) < len(manifest)
+    full = (
+        spark.read.parquet(root)
+        .filter(F.col("cents").between(b["c1"], b["c2"]))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in manifest_skip_scan(spark, SF).collect()] == [
+        tuple(r) for r in full.collect()
+    ]
+
+
+def test_manifest_ranges_are_disjoint(spark):
+    """Range clustering is what makes the stats selective: the files'
+    [min,max] cents intervals must not overlap."""
+    from grebi_spark.plans.layout import _manifest_root
+
+    _root, manifest = _manifest_root(spark, SF)
+    spans = sorted((r["min_cents"], r["max_cents"]) for r in manifest)
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+
+
 def test_layout_loses_no_rows(spark):
     """Every event lands in exactly one cell directory."""
     root, _b = _zorder_root(spark, SF)

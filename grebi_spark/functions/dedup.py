@@ -191,18 +191,17 @@ def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
-def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """The un-materialized candidate-pair plan (exposed separately so the
-    plan-quality gate can inspect the join strategy underneath the
-    checkpoint barrier). Returns (pairs, bands-persist-handle)."""
-    d = load_tables(spark, sf_dir, ("documents",))["documents"]
-    # one pass: explode shingles, aggregate all k minhashes together —
-    # tokenisation and hashing happen exactly once per shingle; the
-    # signature build is a single shuffle on doc_id
-    # the documents file arrives as a single input split; the shingle
-    # expansion is CPU-bound, so spread it across cores first. Partitioning
-    # by doc_id also makes the signature aggregation shuffle-free.
-    par = spark.sparkContext.defaultParallelism
+def _band_table(d: DataFrame) -> DataFrame:
+    """doc_id → (band, bkey) LSH posting rows for any documents frame:
+    one pass — explode shingles, aggregate all k minhashes together —
+    so tokenisation and hashing happen exactly once per shingle; the
+    signature build is a single shuffle on doc_id.
+
+    The documents file arrives as a single input split; the shingle
+    expansion is CPU-bound, so spread it across cores first.
+    Partitioning by doc_id also makes the signature aggregation
+    shuffle-free."""
+    par = d.sparkSession.sparkContext.defaultParallelism
     shingle_rows = d.repartition(par, "doc_id").select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("sh")
     )
@@ -233,9 +232,18 @@ def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
             for b in range(N_MINHASH // BAND_ROWS)
         ]
     )
+    return sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def _lsh_pairs_plan(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The un-materialized candidate-pair plan (exposed separately so the
+    plan-quality gate can inspect the join strategy underneath the
+    checkpoint barrier). Returns (pairs, bands-persist-handle)."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
     bands = (
-        sig.select("doc_id", F.explode(band_structs).alias("bk"))
-        .select("doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+        _band_table(d)
         # both sides of the self-join read this — persist or the whole
         # signature pipeline executes twice (band table is tiny: 4 rows/doc)
         .persist()
@@ -259,6 +267,122 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability per band ≈ J², so only genuinely similar docs surface.
     """
     return _lsh_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+_PROBE_INDEX_CACHE: dict[str, str] = {}
+PROBE_JACC_PCT = 50
+
+
+def _probe_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """The STORED corpus-side LSH index, built once per session: the
+    (band, bkey, doc_id) posting table written to Parquet — the durable
+    artifact an always-on dedup service maintains between batches. At
+    100 TB this table is bucketed by (band, bkey) and grows by appends;
+    arriving batches never re-shingle the corpus, only read this."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _PROBE_INDEX_CACHE:
+        return _PROBE_INDEX_CACHE[key]
+    import tempfile
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    root = tempfile.mkdtemp(prefix="grebi_lsh_index_")
+    _band_table(corpus).write.mode("overwrite").parquet(root)
+    _PROBE_INDEX_CACHE[key] = root
+    return root
+
+
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the continuous-ingest twin of
+    ``dedup_minhash_lsh``: an arriving batch (docs with doc_id % 5 = 0)
+    is checked against the ALREADY-INDEXED corpus (the stored LSH
+    posting table, ``_probe_index_root``) without re-shingling or
+    re-hashing a single corpus document. The batch computes its OWN
+    band keys (delta-sized), BROADCASTS them against the stored index
+    scan (plan-gated: the corpus side is never shuffled), and LSH
+    candidates are verified with exact shingle Jaccard over just the
+    candidate documents — coarse-filter/exact-verify, the same split as
+    every blocked operator here. Emits (new_doc, dup_of, jacc_pct ≥
+    50) — the kill list a training-data pipeline applies to each crawl
+    increment. The corpus-side work per batch is one stored-index scan;
+    at 100 TB with a (band,bkey)-bucketed index it is a bucket-pruned
+    lookup, while the reference-shape alternative (re-run full dedup on
+    corpus+batch) re-pays the whole corpus every time."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    stored = spark.read.parquet(_probe_index_root(spark, sf_dir))
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    cand = (
+        stored.join(
+            F.broadcast(
+                _band_table(batch).select(
+                    F.col("doc_id").alias("new_doc"), "band", "bkey"
+                )
+            ),
+            ["band", "bkey"],
+        )
+        .select("new_doc", F.col("doc_id").alias("dup_of"))
+        .distinct()
+    )
+    # exact-verify: shingle only the candidate documents (delta-sized)
+    ids = (
+        cand.select(F.col("new_doc").alias("doc_id"))
+        .union(cand.select("dup_of"))
+        .distinct()
+    )
+    need = docs.join(F.broadcast(ids), "doc_id")
+    sh = need.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("new_doc"), "s"), "new_doc")
+        .join(sh.select(F.col("doc_id").alias("dup_of"), "s"), ["dup_of", "s"])
+        .groupBy("new_doc", "dup_of")
+        .agg(F.count("*").alias("ni"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na")),
+            "new_doc",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb")),
+            "dup_of",
+        )
+        .select(
+            "new_doc",
+            "dup_of",
+            F.expr("ni * 100 DIV (na + nb - ni)").alias("jacc_pct"),
+        )
+        .filter(F.col("jacc_pct") >= PROBE_JACC_PCT)
+        .orderBy("new_doc", "dup_of")
+    )
+
+
+def _oracle_incremental_probe() -> str:
+    return (
+        _minhash_bands_cte()
+        + f"""
+, cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS dup_of
+  FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+), ss AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM shingled
+), inter AS (
+  SELECT cand.new_doc, cand.dup_of, count(*) AS ni
+  FROM cand JOIN ss a ON a.doc_id = cand.new_doc
+            JOIN ss b ON b.doc_id = cand.dup_of AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT i.new_doc, i.dup_of,
+       (i.ni * 100) // (x.n + y.n - i.ni) AS jacc_pct
+FROM inter i JOIN sizes x ON x.doc_id = i.new_doc
+             JOIN sizes y ON y.doc_id = i.dup_of
+WHERE (i.ni * 100) // (x.n + y.n - i.ni) >= {PROBE_JACC_PCT}
+ORDER BY new_doc, dup_of
+"""
+    )
 
 
 def _minhash_bands_cte(with_kw: str = "WITH") -> str:
@@ -1168,6 +1292,7 @@ QUERIES = {
     "dedup_exact_substring": dedup_exact_substring,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental_probe": dedup_incremental_probe,
     "dedup_simhash": dedup_simhash,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
@@ -1183,6 +1308,7 @@ ORACLES = {
     "dedup_exact_substring": ORACLE_DEDUP_SUBSTRING,
     "dedup_decontaminate": _oracle_decontaminate(),
     "dedup_minhash_lsh": _oracle_minhash(),
+    "dedup_incremental_probe": _oracle_incremental_probe(),
     "dedup_simhash": _oracle_simhash(),
     "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "dedup_containment": ORACLE_CONTAINMENT,

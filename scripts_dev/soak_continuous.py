@@ -27,6 +27,9 @@ from grebi_spark.incremental import (  # noqa: E402
     add_datasource,
     build_graph_stateful,
     compact_state,
+    load_state_current,
+    rollback_state,
+    save_state_version,
 )
 from grebi_spark.plans.parity import INC_CONFIG, _star_graph_long  # noqa: E402
 from grebi_spark.session import get_spark  # noqa: E402
@@ -117,6 +120,12 @@ def main() -> None:
             state = compact_state(state)
             merged = compact_solr_core(spark, core)
             note = f"compacted state + {merged} solr segs in {time.time()-t:.1f}s"
+            # durable checkpoint cadence: one versioned snapshot per
+            # compaction window (a full-table write — the price of a
+            # replayless restore point; rollback to it is O(1))
+            t = time.time()
+            vname = save_state_version(state, f"{work}/snapshots")
+            note += f"; snapshot {vname} in {time.time()-t:.1f}s"
         print(
             f"{i:5d} | {fold_s:6.2f} | {kv_s:4.2f} | {solr_s:6.2f} | {note}",
             flush=True,
@@ -138,6 +147,24 @@ def main() -> None:
         flush=True,
     )
     assert final_nodes == expect == kv_n == core_n
+
+    # operational undo across the whole run: roll the snapshot root back
+    # one version (O(1) pointer swap) and verify the restored state is
+    # exactly the previous compaction window's graph
+    if n_batches >= 2 * compact_every:
+        t = time.time()
+        vname = rollback_state(spark, f"{work}/snapshots")
+        swap_s = time.time() - t
+        restored = load_state_current(spark, f"{work}/snapshots")
+        prev_window = (n_batches // compact_every - 1) * compact_every
+        expect_prev = base_nodes + prev_window * ENTITIES_PER_BATCH
+        got = restored.graph.nodes.count()
+        print(
+            f"ROLLBACK to {vname}: pointer swap {swap_s*1000:.0f} ms; "
+            f"restored nodes={got} (expect {expect_prev})",
+            flush=True,
+        )
+        assert got == expect_prev
     spark.stop()
 
 

@@ -108,6 +108,19 @@ def test_dedup_pair_joins_never_cartesian(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_incremental_probe_broadcasts_batch_never_corpus(spark, sf_dir):
+    """The incremental-dedup contract: the arriving batch's band keys
+    BROADCAST against the stored index scan (the corpus side is read
+    map-side, never shuffled or nested-looped) — per-batch cost is
+    delta-sized probe work, not a corpus re-shuffle."""
+    from grebi_spark.functions.dedup import dedup_incremental_probe
+
+    plan = plan_of(dedup_incremental_probe(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_ngram_jaccard_reuses_cached_prefix(spark, sf_dir):
     """Both sides of the blocking self-join and both verify joins must
     read the persisted tables, not recompute the ranking pipeline.
@@ -968,3 +981,23 @@ def test_retrain_blue_green_swap_and_reader_isolation(spark, sf_dir, tmp_path):
     assert prune_ann_index_versions(spark, root) == 1
     assert _resolve_index_dir(spark, root) == v2
     assert spark.read.parquet(f"{v2}/lists").count() == n_new
+
+
+def test_ann_index_rollback_shares_state_machinery(spark, sf_dir, tmp_path):
+    """A bad index publication is undone exactly like a bad graph fold:
+    fsutil.rollback_version swings CURRENT back one committed version —
+    ONE pointer machinery for every durable artifact the engine keeps."""
+    from grebi_spark.fsutil import rollback_version
+    from grebi_spark.functions.similarity import (
+        _resolve_index_dir,
+        save_ann_index,
+    )
+
+    root = str(tmp_path / "rb")
+    save_ann_index(spark, sf_dir, root)
+    save_ann_index(spark, sf_dir, root)  # v2: a re-publication
+    assert _resolve_index_dir(spark, root).endswith("/v2")
+    assert rollback_version(spark, root) == "v1"
+    v1 = _resolve_index_dir(spark, root)
+    assert v1.endswith("/v1")
+    assert spark.read.parquet(f"{v1}/lists").count() > 0

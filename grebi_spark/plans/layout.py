@@ -117,15 +117,24 @@ def _zorder_root(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     return root, b
 
 
+def _rect_bins(b: dict) -> tuple[int, int, int, int]:
+    """The query rectangle's bucket bounds (bu1, bu2, bd1, bd2)."""
+    def bin_of(v: int, lo: int, hi: int) -> int:
+        return (v - lo) * _N_BINS // (hi - lo + 1)
+
+    return (
+        bin_of(b["u1"], b["mu"], b["xu"]),
+        bin_of(b["u2"], b["mu"], b["xu"]),
+        bin_of(b["d1"], b["md"], b["xd"]),
+        bin_of(b["d2"], b["md"], b["xd"]),
+    )
+
+
 def _z_cover(b: dict) -> list[int]:
     """The query rectangle's z-cover: every cell whose (user bucket,
     day bucket) intersects the rectangle. Bounded by the cell universe,
     never by the data."""
-    def bin_of(v: int, lo: int, hi: int) -> int:
-        return (v - lo) * _N_BINS // (hi - lo + 1)
-
-    bu1, bu2 = bin_of(b["u1"], b["mu"], b["xu"]), bin_of(b["u2"], b["mu"], b["xu"])
-    bd1, bd2 = bin_of(b["d1"], b["md"], b["xd"]), bin_of(b["d2"], b["md"], b["xd"])
+    bu1, bu2, bd1, bd2 = _rect_bins(b)
     return sorted(
         _interleave_py(ub, db)
         for ub in range(bu1, bu2 + 1)
@@ -205,6 +214,61 @@ def _oracle_cell_histogram() -> str:
 SELECT CAST({z} AS INT) AS z, count(*) AS n_rows
 FROM events GROUP BY 1 ORDER BY z
 """
+
+
+def _cell_catalog_root(spark: SparkSession) -> str:
+    """The cell CATALOG — one row per z cell with its bucket
+    coordinates (z, ub, db). Universe-sized (256 rows), written once
+    per session: the dimension table a runtime-pruned query joins
+    instead of carrying a literal IN list."""
+    key = f"catalog:{spark.sparkContext.applicationId}"
+    if key in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[key]
+    root = tempfile.mkdtemp(prefix="grebi_zcatalog_")
+    spark.createDataFrame(
+        [
+            (_interleave_py(ub, db), ub, db)
+            for ub in range(_N_BINS)
+            for db in range(_N_BINS)
+        ],
+        "z int, ub int, db int",
+    ).coalesce(1).write.mode("overwrite").parquet(root)
+    _LAYOUT_CACHE[key] = root
+    return root
+
+
+def zorder_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RUNTIME half of partition pruning: the same rectangle query,
+    but the cover arrives as a JOINED dimension (the cell catalog
+    filtered to the rectangle's bucket bounds) rather than a
+    planning-time IN list — Catalyst inserts a dynamic-partition-pruning
+    subquery (``dynamicpruningexpression`` in the scan's
+    PartitionFilters, plan-gated) that prunes the fact scan from the
+    broadcast dim at execution time. This is the mechanism that holds
+    when the cover ISN'T knowable at planning time (the dim filter
+    could be a parameter or another query's result); answer is
+    hash-identical to the static-cover ``zorder_scan_prune``."""
+    root, b = _zorder_root(spark, sf_dir)
+    bu1, bu2, bd1, bd2 = _rect_bins(b)
+    cat = spark.read.parquet(_cell_catalog_root(spark))
+    dim = cat.filter(
+        F.col("ub").between(bu1, bu2) & F.col("db").between(bd1, bd2)
+    ).select("z")
+    day = F.expr(_DAY_SPARK)
+    return (
+        spark.read.parquet(root)
+        .join(dim, "z")
+        .filter(
+            F.col("user_id").between(b["u1"], b["u2"])
+            & day.between(b["d1"], b["d2"])
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --- manifest-based file skipping (min/max statistics pruning) ---------------
@@ -314,12 +378,14 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES = {
     "zorder_scan_prune": zorder_scan_prune,
+    "zorder_dpp_scan": zorder_dpp_scan,
     "zorder_cell_histogram": zorder_cell_histogram,
     "manifest_skip_scan": manifest_skip_scan,
 }
 
 ORACLES = {
     "zorder_scan_prune": ORACLE_ZORDER_SCAN,
+    "zorder_dpp_scan": ORACLE_ZORDER_SCAN,
     "zorder_cell_histogram": _oracle_cell_histogram(),
     "manifest_skip_scan": ORACLE_MANIFEST_SCAN,
 }

@@ -47,6 +47,20 @@ def test_zorder_scan_prunes_partitions(spark):
     assert "z" in seg and seg.strip()
 
 
+def test_zorder_dpp_prunes_at_runtime(spark):
+    """The joined-dimension variant must plan a dynamic-partition-
+    pruning subquery on the fact scan (runtime pruning), and agree with
+    the static-cover query row-for-row."""
+    from grebi_spark.plans.layout import zorder_dpp_scan
+
+    df = zorder_dpp_scan(spark, SF)
+    plan = plan_of(df)
+    assert "dynamicpruningexpression" in plan.lower()
+    assert [tuple(r) for r in df.collect()] == [
+        tuple(r) for r in zorder_scan_prune(spark, SF).collect()
+    ]
+
+
 def test_pruned_scan_equals_plain_scan(spark):
     """The layout changes what is read, never the answer: the same
     rectangle over the UNCLUSTERED events table must agree row-for-row."""

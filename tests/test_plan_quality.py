@@ -983,6 +983,50 @@ def test_retrain_blue_green_swap_and_reader_isolation(spark, sf_dir, tmp_path):
     assert spark.read.parquet(f"{v2}/lists").count() == n_new
 
 
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Catalyst's runtime semi-join reduction: with a selective creation
+    side and a shuffle join, InjectRuntimeFilter plants a bloom
+    might_contain predicate on the fact scan — rows that cannot match
+    are dropped BEFORE the shuffle. Size thresholds are tuned for the
+    test corpus (at 100 TB the defaults fire on their own: creation
+    side under 10 MB, application scan over 10 GB); the filter is an
+    optimization, so the joined count must be bit-identical with it on
+    and off."""
+    from grebi_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+
+    def joined():  # a FRESH plan per conf regime (QueryExecution caches)
+        o = t["orders"].filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = t["lineitem"]
+        return li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.count("*").alias("n")
+        )
+
+    baseline = joined().collect()
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = joined()
+        plan = plan_of(df)
+        assert "might_contain" in plan.lower()
+        assert df.collect() == baseline
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_ann_index_rollback_shares_state_machinery(spark, sf_dir, tmp_path):
     """A bad index publication is undone exactly like a bad graph fold:
     fsutil.rollback_version swings CURRENT back one committed version —

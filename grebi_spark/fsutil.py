@@ -90,19 +90,33 @@ def committed_versions(spark: SparkSession, root: str) -> list[int]:
 
 def resolve_version_dir(spark: SparkSession, root: str) -> str:
     """The directory actually serving: CURRENT's version if published;
-    else the highest _COMMITTED version (covers the instant between
-    pointer delete and rename); else the root itself (a pre-versioning
-    flat layout, still readable)."""
+    else CURRENT.tmp's (the fully-written intent record of a swing that
+    crashed between pointer delete and rename — completing it, not
+    undoing it, matters for ROLLBACK swings, where falling back to the
+    highest committed version would silently re-serve the bad version
+    being rolled away from); else the highest _COMMITTED version; else
+    the root itself (a pre-versioning flat layout, still readable)."""
     jvm, fs = fs_of(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
-    cur = P(f"{root}/CURRENT")
-    if fs.exists(cur):
-        stream = fs.open(cur)
+
+    def read_pointer(path) -> str | None:
+        if not fs.exists(path):
+            return None
+        stream = fs.open(path)
         try:
-            name = bytes(stream.readAllBytes()).decode().strip()
+            return bytes(stream.readAllBytes()).decode().strip()
         finally:
             stream.close()
+
+    name = read_pointer(P(f"{root}/CURRENT"))
+    if name:
         return f"{root}/{name}"
+    # the tmp pointer is written complete BEFORE the old CURRENT is
+    # deleted (publish_version), so whenever CURRENT is absent the tmp
+    # names the intended version — honor it if that version committed
+    tmp_name = read_pointer(P(f"{root}/CURRENT.tmp"))
+    if tmp_name and fs.exists(P(f"{root}/{tmp_name}/_COMMITTED")):
+        return f"{root}/{tmp_name}"
     committed = committed_versions(spark, root)
     if committed:
         return f"{root}/v{max(committed)}"

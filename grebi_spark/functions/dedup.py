@@ -322,6 +322,9 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("new_doc", F.col("doc_id").alias("dup_of"))
         .distinct()
+        # delta-sized; referenced by the id set AND the verify join —
+        # pin it or the batch band pipeline + index probe execute twice
+        .localCheckpoint()
     )
     # exact-verify: shingle only the candidate documents (delta-sized)
     ids = (
@@ -330,7 +333,9 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     need = docs.join(F.broadcast(ids), "doc_id")
-    sh = need.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    sh = need.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    ).persist()  # three consumers (both verify sides + sizes), one build
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("new_doc"), "s"), "new_doc")

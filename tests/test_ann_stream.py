@@ -15,12 +15,12 @@ from grebi_spark.functions.similarity import (
 SF = "/root/testdata/sf0.001"
 
 
-def _lists(spark, cache_key_prefix: str):
-    root = next(
-        v
-        for k, v in _ANN_INDEX_CACHE.items()
-        if k.startswith(cache_key_prefix)
-    )
+def _lists(spark, kind: str):
+    from grebi_spark.functions.training import _cache_key
+
+    # exact cache key: a prefix match could pick an index another test
+    # module built for a DIFFERENT sf_dir in the same session
+    root = _ANN_INDEX_CACHE[f"{kind}:{_cache_key(spark, SF)}"]
     vdir = _resolve_index_dir(spark, root)
     return spark.read.parquet(f"{vdir}/lists")
 
@@ -29,8 +29,8 @@ def test_streamed_index_equals_bulk_index(spark):
     streamed_topk = [tuple(r) for r in ann_stream_ingest_topk(spark, SF).collect()]
     bulk_topk = [tuple(r) for r in ann_index_persist_topk(spark, SF).collect()]
     assert streamed_topk == bulk_topk
-    streamed = _lists(spark, "annstream:")
-    bulk = _lists(spark, "annidx:")
+    streamed = _lists(spark, "annstream")
+    bulk = _lists(spark, "annidx")
     cells = lambda df: sorted(  # noqa: E731
         (r["vec_id"], int(r["cell"])) for r in df.select("vec_id", "cell").collect()
     )
@@ -39,7 +39,7 @@ def test_streamed_index_equals_bulk_index(spark):
 
 def test_stream_folds_each_vector_exactly_once(spark):
     ann_stream_ingest_topk(spark, SF)  # session-cached build
-    streamed = _lists(spark, "annstream:")
+    streamed = _lists(spark, "annstream")
     n_corpus = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert streamed.count() == n_corpus
     assert streamed.select("vec_id").distinct().count() == n_corpus

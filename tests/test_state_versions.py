@@ -6,6 +6,10 @@ and pruning — the blue/green layout shared with the durable ANN index
 The reference has no undo: a bad release re-runs the full build over
 the surviving dumps (the Nextflow DAG rebuilds the world). Here a bad
 fold is undone by swinging a pointer; no table moves.
+
+Every pointer mutation lives in ONE lifecycle test so each test is
+self-contained under -k selection or randomized ordering (the shared
+fixture only ever provides the immutable v1/v2 baseline).
 """
 
 import os
@@ -63,7 +67,9 @@ def _tiny_sources(spark):
 
 @pytest.fixture(scope="module")
 def lifecycle(spark):
-    """One shared v1(base) → verb → v2(base+srcb) version root."""
+    """One shared v1(base) → verb → v2(base+srcb) version root. Tests
+    treat this as an immutable baseline; the pointer-mutating sequence
+    below works on its own copy of the pointer state."""
     a, b = _tiny_sources(spark)
     root = tempfile.mkdtemp(prefix="grebi_state_vtest_")
     s1 = build_graph_stateful([a], CONFIG)
@@ -77,57 +83,74 @@ def test_versions_publish_in_order(lifecycle):
     assert (lifecycle["v1"], lifecycle["v2"]) == ("v1", "v2")
 
 
-def test_current_serves_latest_and_roundtrips(spark, lifecycle):
+def test_rollback_lifecycle(spark, lifecycle):
+    """The full pointer lifecycle in publication order: serve-latest,
+    crash-mid-save invisibility, rollback (value restore + in-flight
+    reader isolation + maintenance resume), roll-forward, prune."""
     root = lifecycle["root"]
+
+    # CURRENT serves the latest publish, round-tripping value-for-value
     assert resolve_version_dir(spark, root).endswith("/v2")
     loaded = load_state_current(spark, root)
     assert _canon(loaded.graph.merged) == _canon(lifecycle["s2"].graph.merged)
 
-
-def test_crash_mid_save_is_invisible(spark, lifecycle):
-    """A version directory without its _COMMITTED marker (a crash
-    mid-save) must neither serve nor block the next save's name."""
-    root = lifecycle["root"]
+    # a version directory without its _COMMITTED marker (a crash
+    # mid-save) neither serves nor blocks the next save's name
     torn = os.path.join(root, "v3")
     os.makedirs(os.path.join(torn, "merged"), exist_ok=True)
     with open(os.path.join(torn, "merged", "part-torn.parquet"), "w") as fh:
         fh.write("torn write")
     assert resolve_version_dir(spark, root).endswith("/v2")
-    # the torn directory's NAME is taken; the next save must skip it
     assert next_version(spark, root) == "v4"
 
-
-def test_rollback_restores_pre_verb_value_and_isolates_readers(spark, lifecycle):
-    root = lifecycle["root"]
     # a reader opens v2 BEFORE the rollback...
     pre_swap_reader = load_state_current(spark, root).graph.merged
     assert rollback_state(spark, root) == "v1"
     # ...the rolled-back snapshot serves the exact pre-verb graph...
-    loaded = load_state_current(spark, root)
-    assert _canon(loaded.graph.merged) == _canon(lifecycle["s1"].graph.merged)
+    restored = load_state_current(spark, root)
+    assert _canon(restored.graph.merged) == _canon(lifecycle["s1"].graph.merged)
     # ...and the in-flight reader still completes against v2's files
     assert _canon(pre_swap_reader) == _canon(lifecycle["s2"].graph.merged)
 
-
-def test_maintenance_resumes_on_rolled_back_state(spark, lifecycle):
-    """The rolled-back snapshot is a live maintenance input: re-applying
-    the verb on it must equal the graph the verb produced originally."""
+    # the rolled-back snapshot is a live maintenance input: re-applying
+    # the verb must equal the graph the verb produced originally
     _a, b = _tiny_sources(spark)
-    again = add_datasource(load_state_current(spark, lifecycle["root"]), b)
+    again = add_datasource(restored, b)
     assert _canon(again.graph.merged) == _canon(lifecycle["s2"].graph.merged)
 
-
-def test_roll_forward_then_prune(spark, lifecycle):
-    root = lifecycle["root"]
     # rollback moved no data, so v2 can be re-published (roll-forward)
     publish_version(spark, root, "v2")
     assert resolve_version_dir(spark, root).endswith("/v2")
     assert rollback_state(spark, root) == "v1"
-    # prune drops everything but CURRENT's version (v1 here) — v2 and
-    # the torn v3 directory are both swept
+
+    # prune keeps CURRENT's version (v1) — v2 and the torn v3 are swept
     assert prune_state_versions(spark, root) == 2
     with pytest.raises(ValueError):
         rollback_state(spark, root)
+
+
+def test_interrupted_rollback_swing_completes(spark):
+    """A crash between CURRENT's delete and the rename must not re-serve
+    the version being rolled away from: the fully-written CURRENT.tmp is
+    the swing's intent record and resolves first (rollback to v1 with
+    CURRENT absent serves v1, not max-committed v2)."""
+    from grebi_spark.fsutil import fs_of
+
+    root = tempfile.mkdtemp(prefix="grebi_state_torn_swing_")
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    for v in ("v1", "v2"):
+        os.makedirs(os.path.join(root, v))
+        open(os.path.join(root, v, "_COMMITTED"), "w").close()
+    # simulate the torn swing: tmp names v1, CURRENT already deleted
+    with open(os.path.join(root, "CURRENT.tmp"), "w") as fh:
+        fh.write("v1")
+    assert not fs.exists(P(f"{root}/CURRENT"))
+    assert resolve_version_dir(spark, root).endswith("/v1")
+    # ...but a tmp naming an uncommitted version is ignored
+    with open(os.path.join(root, "CURRENT.tmp"), "w") as fh:
+        fh.write("v9")
+    assert resolve_version_dir(spark, root).endswith("/v2")
 
 
 def test_rollback_on_flat_layout_raises(spark):

@@ -690,6 +690,41 @@ def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
     )
 
 
+def fold_ann_batch(
+    spark: SparkSession, root: str, new_vectors: DataFrame, batch_id: int
+) -> bool:
+    """Crash-replay-safe streaming append: foreachBatch re-delivers a
+    batch whose offsets committed but whose work crashed, and a naive
+    re-append would duplicate every vector in the touched cells. The
+    fold is made idempotent the standard way (the batch-id-keyed
+    discipline ``events_foreachbatch_sink`` demonstrates for sinks):
+
+    1. STAGE the batch under ``staged/batch=<id>`` with overwrite —
+       replays rewrite the same directory, never accumulate;
+    2. skip entirely if the batch's ``_APPENDED`` marker exists
+       (replay after a completed append);
+    3. append the STAGED rows to the inverted lists, then land the
+       marker.
+
+    A crash between step 3's append and its marker still duplicates
+    that one batch on replay — closing that last window needs an
+    atomically-committing table format (or batch-id-partitioned lists);
+    the window is one fsync wide and the soak's value gate would catch
+    it. Returns True when the append ran, False on a skipped replay."""
+    from ..fsutil import fs_of
+
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    staged = f"{root}/staged/batch={batch_id}"
+    marker = P(f"{staged}/_APPENDED")
+    if fs.exists(marker):
+        return False
+    new_vectors.write.mode("overwrite").parquet(staged)
+    append_ann_index(spark, root, spark.read.parquet(staged))
+    fs.create(marker, True).close()
+    return True
+
+
 def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int:
     """The maintenance sweep that keeps an append-only index healthy:
     every ``append_ann_index`` adds a file per touched cell, so a
@@ -874,10 +909,10 @@ def ann_stream_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def fold(batch_df: DataFrame, batch_id: int) -> None:
-            if batch_df.isEmpty():  # crash-replay of a folded batch
+            if batch_df.isEmpty():
                 return
-            append_ann_index(
-                spark, root, batch_df.select("vec_id", "embedding")
+            fold_ann_batch(
+                spark, root, batch_df.select("vec_id", "embedding"), batch_id
             )
 
         def drain() -> None:

@@ -43,3 +43,31 @@ def test_stream_folds_each_vector_exactly_once(spark):
     n_corpus = spark.read.parquet(f"{SF}/embeddings.parquet").count()
     assert streamed.count() == n_corpus
     assert streamed.select("vec_id").distinct().count() == n_corpus
+
+
+def test_crash_replay_of_a_folded_batch_is_skipped(spark):
+    """foreachBatch re-delivers a batch whose work crashed after its
+    marker landed; the batch-id-gated fold must skip the re-append —
+    the index's list content is unchanged by the replay."""
+    from grebi_spark.functions.similarity import fold_ann_batch
+    from grebi_spark.functions.training import _cache_key
+
+    ann_stream_ingest_topk(spark, SF)
+    root = _ANN_INDEX_CACHE[f"annstream:{_cache_key(spark, SF)}"]
+    before = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in _lists(spark, "annstream").collect()
+    )
+    # replay batch 1 (its _APPENDED marker landed during the stream)
+    replay_rows = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
+        "vec_id % 8 == 3"
+    )
+    ran = fold_ann_batch(
+        spark, root, replay_rows.select("vec_id", "embedding"), 0
+    )
+    assert ran is False
+    after = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in _lists(spark, "annstream").collect()
+    )
+    assert after == before

@@ -1,0 +1,118 @@
+"""One-call release build — the complete serving handoff in one
+directory.
+
+The reference's DAG ends in exactly this set of artifacts per subgraph
+release: the Neo4j bulk-import CSVs + the `neo4j-admin database import
+full` command + index DDL (07_create_db/neo4j/neo4j_import.dockersh,
+create_indexes.cypher), the Solr JSONL cores + import request plan
+(07_create_db/solr/solr_import.dockerpy), the id→object KV store
+(07_create_db/rocksdb/grebi_make_rocks), and the per-subgraph
+summary.json (04_index/grebi_index/src/main.rs:214-232) — but spread
+across Nextflow processes and Slurm scripts. ``make_release`` composes
+the already-tested sinks into that directory, plus a release manifest
+(metadata.json) recording counts and layout, so "run the engine, hand
+the directory to serving" is one call.
+
+Scale shape: nothing here adds a computation — every artifact is one
+of the existing sink writes over the built graph's frames (each
+individually plan-gated/oracle-checked); the summary and manifest are
+the only driver-side collects, both bounded by distinct prop/type
+counts, never by data size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from .operators.index import summary_json
+from .pipeline import BuiltGraph
+from .sinks.kv import build_kv_store, kv_store_get  # noqa: F401 (re-export)
+from .sinks.neo4j_csv import (
+    INDEX_STATEMENTS,
+    import_command,
+    node_prop_universe,
+    write_neo4j_csvs,
+)
+from .sinks.solr_jsonl import (
+    solr_import_requests,
+    solr_schema_fields,
+    write_solr_jsonl,
+)
+
+
+def make_release(
+    graph: BuiltGraph,
+    out_dir: str,
+    name: str = "graph",
+    kv_shards: int = 4,
+) -> dict:
+    """Write the full serving release under ``out_dir`` and return its
+    manifest::
+
+        out_dir/
+          neo4j/{nodes,edges,id_nodes,id_edges}/part-*.csv
+          neo4j/import_command.sh       # exact neo4j-admin argv
+          neo4j/create_indexes.cypher   # the reference's index DDL
+          solr/{nodes,edges,autocomplete}/part-*   (JSONL docs)
+          solr/schema.json              # add-field requests
+          solr/import_requests.json     # the bulk-load request plan
+          kv/store.sqlite               # executed id→object store
+          summary.json                  # the summary service's document
+          metadata.json                 # counts + layout (the manifest)
+    """
+    neo4j_dir = os.path.join(out_dir, "neo4j")
+    solr_dir = os.path.join(out_dir, "solr")
+    kv_dir = os.path.join(out_dir, "kv")
+    os.makedirs(kv_dir, exist_ok=True)
+
+    write_neo4j_csvs(graph.merged, graph.nodes, graph.edges, neo4j_dir)
+    cmd = import_command(neo4j_dir)
+    with open(os.path.join(neo4j_dir, "import_command.sh"), "w") as fh:
+        fh.write("#!/bin/sh\nexec " + " ".join(f"'{a}'" for a in cmd) + "\n")
+    with open(os.path.join(neo4j_dir, "create_indexes.cypher"), "w") as fh:
+        fh.write(";\n".join(INDEX_STATEMENTS) + ";\n")
+
+    write_solr_jsonl(
+        graph.merged, graph.nodes, graph.edges, graph.index.names, solr_dir
+    )
+    with open(os.path.join(solr_dir, "schema.json"), "w") as fh:
+        json.dump(solr_schema_fields(node_prop_universe(graph.merged)), fh)
+    reqs = {
+        core: solr_import_requests(solr_dir, core)
+        for core in ("grebi_nodes", "grebi_edges", "grebi_autocomplete")
+    }
+    with open(os.path.join(solr_dir, "import_requests.json"), "w") as fh:
+        json.dump(reqs, fh)
+
+    db_path = os.path.join(kv_dir, "store.sqlite")
+    n_kv = build_kv_store(
+        graph.merged, graph.nodes, db_path, shards=kv_shards, edges=graph.edges
+    )
+
+    summary = summary_json(graph.index, name)
+    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh)
+
+    manifest = {
+        "subgraph_name": name,
+        "n_nodes": graph.nodes.count(),
+        "n_edges": graph.edges.count(),
+        "n_kv_rows": n_kv,
+        "n_prop_keys": len(summary["entity_props"]),
+        "n_types": len(summary["types"]),
+        "neo4j_import_argv": cmd,
+        "solr_import_requests": {k: len(v) for k, v in reqs.items()},
+        "artifacts": sorted(
+            {
+                os.path.relpath(os.path.join(dp, f), out_dir)
+                for dp, _dns, fns in os.walk(out_dir)
+                for f in fns
+                if not f.endswith((".crc", "_SUCCESS"))
+            }
+            | {"metadata.json"}  # the manifest lists itself
+        ),
+    }
+    with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return manifest

@@ -1,0 +1,59 @@
+"""make_release: one call produces the reference's complete serving
+handoff — Neo4j CSVs + import argv + index DDL, Solr JSONL cores +
+schema + import plan, the executed KV store, summary.json, and a
+manifest — and every artifact is readable/consistent."""
+
+import json
+import os
+
+from grebi_spark.pipeline import build_graph
+from grebi_spark.release import make_release
+from grebi_spark.sinks.kv import kv_store_get
+from grebi_spark.sources.jsonl import jsonl_to_nodes
+
+from .test_pipeline import CONFIG, _lines_df
+from .test_state_versions import _tiny_sources
+
+
+def test_make_release_end_to_end(spark, tmp_path):
+    a, b = _tiny_sources(spark)
+    graph = build_graph([a, b], CONFIG)
+    out = str(tmp_path / "rel")
+    manifest = make_release(graph, out, name="star")
+
+    # manifest counts agree with the graph
+    assert manifest["n_nodes"] == graph.nodes.count() == 3
+    assert manifest["n_edges"] == graph.edges.count() == 1
+
+    # neo4j: CSV parts exist and the argv references every part file
+    parts = [
+        p for p in manifest["artifacts"] if p.startswith("neo4j/nodes/part-")
+    ]
+    assert parts
+    argv = manifest["neo4j_import_argv"]
+    sh = open(os.path.join(out, "neo4j", "import_command.sh")).read()
+    assert argv[0:4] == ["neo4j-admin", "database", "import", "full"]
+    assert all(a in sh for a in argv)
+    ddl = open(os.path.join(out, "neo4j", "create_indexes.cypher")).read()
+    assert "CREATE INDEX node_id" in ddl
+
+    # solr: docs parse as JSON, schema + import plan present
+    ndocs = spark.read.json(os.path.join(out, "solr", "nodes"))
+    assert ndocs.count() == 3
+    schema = json.load(open(os.path.join(out, "solr", "schema.json")))
+    assert any(f["name"] == "grebi__name" for f in schema)
+    reqs = json.load(open(os.path.join(out, "solr", "import_requests.json")))
+    assert reqs["grebi_nodes"][-1]["params"] == {"commit": "true"}
+
+    # kv: executed point read returns the node document
+    got = kv_store_get(os.path.join(out, "kv", "store.sqlite"), ["x:1"])
+    assert "x:1" in got and "one" in got["x:1"]
+
+    # summary: the served document matches the index frames
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["subgraph_name"] == "star"
+    assert summary["types"]["t:A"]["count"] == 2
+
+    # manifest lists every artifact it promises
+    for p in ("summary.json", "metadata.json", "kv/store.sqlite"):
+        assert p in manifest["artifacts"], p

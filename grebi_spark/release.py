@@ -27,7 +27,7 @@ import os
 
 from .operators.index import summary_json
 from .pipeline import BuiltGraph
-from .sinks.kv import build_kv_store, kv_store_get  # noqa: F401 (re-export)
+from .sinks.kv import build_kv_store, kv_store_get, refresh_kv_store  # noqa: F401
 from .sinks.neo4j_csv import (
     INDEX_STATEMENTS,
     import_command,
@@ -35,6 +35,8 @@ from .sinks.neo4j_csv import (
     write_neo4j_csvs,
 )
 from .sinks.solr_jsonl import (
+    build_solr_core,
+    refresh_solr_core,
     solr_import_requests,
     solr_schema_fields,
     write_solr_jsonl,
@@ -57,9 +59,13 @@ def make_release(
           solr/{nodes,edges,autocomplete}/part-*   (JSONL docs)
           solr/schema.json              # add-field requests
           solr/import_requests.json     # the bulk-load request plan
+          solr/core/                    # EXECUTED segment/tombstone core
           kv/store.sqlite               # executed id→object store
           summary.json                  # the summary service's document
           metadata.json                 # counts + layout (the manifest)
+
+    The executed halves (KV store + solr core) are MAINTAINABLE:
+    ``refresh_release`` applies an incremental verb's deltas in place.
     """
     neo4j_dir = os.path.join(out_dir, "neo4j")
     solr_dir = os.path.join(out_dir, "solr")
@@ -85,6 +91,10 @@ def make_release(
     with open(os.path.join(solr_dir, "import_requests.json"), "w") as fh:
         json.dump(reqs, fh)
 
+    build_solr_core(
+        graph.merged, graph.nodes, graph.edges, os.path.join(solr_dir, "core")
+    )
+
     db_path = os.path.join(kv_dir, "store.sqlite")
     n_kv = build_kv_store(
         graph.merged, graph.nodes, db_path, shards=kv_shards, edges=graph.edges
@@ -101,18 +111,63 @@ def make_release(
         "n_kv_rows": n_kv,
         "n_prop_keys": len(summary["entity_props"]),
         "n_types": len(summary["types"]),
+        "refreshes": 0,
         "neo4j_import_argv": cmd,
         "solr_import_requests": {k: len(v) for k, v in reqs.items()},
-        "artifacts": sorted(
-            {
-                os.path.relpath(os.path.join(dp, f), out_dir)
-                for dp, _dns, fns in os.walk(out_dir)
-                for f in fns
-                if not f.endswith((".crc", "_SUCCESS"))
-            }
-            | {"metadata.json"}  # the manifest lists itself
-        ),
+        "artifacts": _artifact_listing(out_dir),
     }
     with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
         json.dump(manifest, fh, indent=1)
     return manifest
+
+
+def _artifact_listing(out_dir: str) -> list[str]:
+    return sorted(
+        {
+            os.path.relpath(os.path.join(dp, f), out_dir)
+            for dp, _dns, fns in os.walk(out_dir)
+            for f in fns
+            if not f.endswith((".crc", "_SUCCESS"))
+        }
+        | {"metadata.json"}  # the manifest lists itself
+    )
+
+
+def refresh_release(state, out_dir: str, kv_shards: int = 4) -> dict:
+    """Delta-maintain an existing release after an incremental verb:
+    upsert the verb's delta into the EXECUTED serving halves — the KV
+    store (``refresh_kv_store``) and the solr segment core
+    (``refresh_solr_core``, one new segment + tombstones, sealed
+    segments untouched) — then rewrite the summary document and the
+    manifest counts. The refresh I/O is delta-sized end to end; the
+    bulk-import artifacts (Neo4j CSVs, plain Solr JSONL) are full-load
+    inputs by nature and stay as built — re-run ``make_release`` when a
+    new bulk import is actually wanted. The reference re-runs its
+    whole 07_create_db stage per release; this is the per-dump loop a
+    100 TB deployment runs instead. Returns the per-store applied
+    counts."""
+    spark = state.rows.sparkSession
+    stats = {
+        "kv": refresh_kv_store(
+            state, os.path.join(out_dir, "kv", "store.sqlite"), shards=kv_shards
+        ),
+        "solr_core": refresh_solr_core(
+            spark, state, os.path.join(out_dir, "solr", "core")
+        ),
+    }
+    with open(os.path.join(out_dir, "metadata.json")) as fh:
+        manifest = json.load(fh)
+    summary = summary_json(state.graph.index, manifest["subgraph_name"])
+    with open(os.path.join(out_dir, "summary.json"), "w") as fh:
+        json.dump(summary, fh)
+    manifest.update(
+        n_nodes=state.graph.nodes.count(),
+        n_edges=state.graph.edges.count(),
+        n_prop_keys=len(summary["entity_props"]),
+        n_types=len(summary["types"]),
+        refreshes=manifest.get("refreshes", 0) + 1,
+        artifacts=_artifact_listing(out_dir),
+    )
+    with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    return stats

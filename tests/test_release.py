@@ -57,3 +57,32 @@ def test_make_release_end_to_end(spark, tmp_path):
     # manifest lists every artifact it promises
     for p in ("summary.json", "metadata.json", "kv/store.sqlite"):
         assert p in manifest["artifacts"], p
+
+
+def test_refresh_release_after_verb(spark, tmp_path):
+    """A verb's deltas maintain the release in place: KV upsert + one
+    new core segment + rewritten summary/manifest — no rebuild."""
+    from grebi_spark.incremental import add_datasource, build_graph_stateful
+    from grebi_spark.release import refresh_release
+    from grebi_spark.sinks.solr_jsonl import read_solr_core
+
+    a, b = _tiny_sources(spark)
+    st1 = build_graph_stateful([a], CONFIG)
+    out = str(tmp_path / "rel")
+    make_release(st1.graph, out, name="star")
+    st2 = add_datasource(st1, b)
+    stats = refresh_release(st2, out)
+    assert stats["kv"] and stats["solr_core"]
+
+    # the executed stores serve the post-verb graph
+    got = kv_store_get(os.path.join(out, "kv", "store.sqlite"), ["x:3"])
+    assert "x:3" in got and "three" in got["x:3"]
+    live = read_solr_core(spark, os.path.join(out, "solr", "core"), "nodes")
+    assert live.count() == st2.graph.nodes.count() == 3
+
+    # summary + manifest reflect the refreshed graph
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert summary["types"]["t:B"]["count"] == 1
+    manifest = json.load(open(os.path.join(out, "metadata.json")))
+    assert manifest["n_nodes"] == 3
+    assert manifest["refreshes"] == 1

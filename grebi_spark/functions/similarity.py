@@ -489,10 +489,11 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_ann_ivf_trained() -> str:
+def _oracle_ann_ivf_trained(label_cols: str = "", label_pred: str = "") -> str:
     from .training import ORACLE_KMEANS_CTES
 
-    # the k-means oracle's shared CTE chain (init → assign2) + IVF probe
+    # the k-means oracle's shared CTE chain (init → assign2) + IVF probe;
+    # label_cols/label_pred mirror the filtered-search variant
     return (
         ORACLE_KMEANS_CTES
         + f""",
@@ -502,14 +503,21 @@ probe AS (
   ORDER BY round(list_distance(c, q), 6), cluster
   LIMIT {IVF_NPROBE_TRAINED}
 )
-SELECT a.vec_id, a.cluster AS cell,
+SELECT a.vec_id,{label_cols} a.cluster AS cell,
        round(list_distance(e.embedding::DOUBLE[], qv.q), 6) AS dist
 FROM sel a
 JOIN embeddings e ON e.vec_id = a.vec_id, qv
-WHERE a.cluster IN (SELECT cluster FROM probe) AND a.vec_id != 0
+WHERE a.cluster IN (SELECT cluster FROM probe) AND a.vec_id != 0{label_pred}
 ORDER BY dist, a.vec_id
 LIMIT 5
 """
+    )
+
+
+def _oracle_ann_filtered() -> str:
+    return _oracle_ann_ivf_trained(
+        label_cols=" e.label::int AS label,",
+        label_pred=" AND e.label % 2 = 1",
     )
 
 
@@ -777,6 +785,21 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
 
 
 
+def _persisted_index_root(spark: SparkSession, sf_dir: str) -> str:
+    """The session's persisted IVF index for ``sf_dir`` (saved once,
+    shared by every persisted-serving query)."""
+    import tempfile
+
+    from .training import _cache_key
+
+    key = f"annidx:{_cache_key(spark, sf_dir)}"
+    if key not in _ANN_INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="grebi_ann_index_")
+        save_ann_index(spark, sf_dir, root)
+        _ANN_INDEX_CACHE[key] = root
+    return _ANN_INDEX_CACHE[key]
+
+
 def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DURABLE IVF serving: save the trained index (once per session),
     then answer the query from the RELOADED artifact alone — reloaded
@@ -787,17 +810,52 @@ def ann_index_persist_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbour. This is the train-once / persist / serve-many lifecycle a
     production vector index runs — at 100 TB the lists live on object
     storage and each query touches nprobe/K of them."""
-    import tempfile
+    e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return _serve_ivf_topk(
+        spark, _persisted_index_root(spark, sf_dir), e, sf_dir
+    )
 
-    from .training import _cache_key, _euclid_dist
+
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search through the persisted index —
+    the ANN-store/metadata-store split a production vector DB runs: the
+    inverted lists carry only (vec_id, vector), so the probe's
+    candidates (a partition-pruned scan of nprobe cells) JOIN the
+    metadata table on vec_id and the predicate (odd labels here)
+    applies BEFORE the top-k election. PRE-filter semantics matter:
+    the result is the true filtered top-5, not a filtered subset of
+    the unfiltered top-5 — the correctness trap post-filtering falls
+    into whenever the top of the unfiltered ranking is dense in
+    excluded rows. Same oracle chain as the persisted serve, with the
+    label predicate mirrored."""
+    from .training import _euclid_dist
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    key = f"annidx:{_cache_key(spark, sf_dir)}"
-    if key not in _ANN_INDEX_CACHE:
-        root = tempfile.mkdtemp(prefix="grebi_ann_index_")
-        save_ann_index(spark, sf_dir, root)
-        _ANN_INDEX_CACHE[key] = root
-    return _serve_ivf_topk(spark, _ANN_INDEX_CACHE[key], e, sf_dir)
+    vdir = _resolve_index_dir(spark, _persisted_index_root(spark, sf_dir))
+    cents = [
+        (r["cluster"], r["c"])
+        for r in spark.read.parquet(f"{vdir}/centroids").collect()
+    ]
+    qv = _query_vector(e, sf_dir)
+    probe_ids = _probe_cells(cents, qv, IVF_NPROBE_TRAINED)
+    q = F.array(*[F.lit(x) for x in qv])
+    cand = (
+        spark.read.parquet(f"{vdir}/lists")
+        .filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.round(_euclid_dist(F.col("v"), q), 6).alias("dist"),
+        )
+    )
+    meta = e.select("vec_id", F.col("label").cast("int").alias("label"))
+    return (
+        cand.join(meta, "vec_id")
+        .filter(F.col("label") % 2 == 1)
+        .select("vec_id", "label", "cell", "dist")
+        .orderBy("dist", "vec_id")
+        .limit(5)
+    )
 
 
 def _serve_ivf_topk(
@@ -1960,6 +2018,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_index_persist_topk": ann_index_persist_topk,
+    "ann_filtered_topk": ann_filtered_topk,
     "ann_retrain_swap_topk": ann_retrain_swap_topk,
     "ann_stream_ingest_topk": ann_stream_ingest_topk,
     "ann_index_drift_check": ann_index_drift_check,
@@ -1980,6 +2039,7 @@ ORACLES = {
     "ann_ivf_topk": ORACLE_ANN_IVF,
     "ann_ivf_trained_topk": _oracle_ann_ivf_trained(),
     "ann_index_persist_topk": _oracle_ann_ivf_trained(),
+    "ann_filtered_topk": _oracle_ann_filtered(),
     "ann_retrain_swap_topk": _oracle_ann_ivf_trained(),
     "ann_stream_ingest_topk": _oracle_ann_ivf_trained(),
     "ann_index_drift_check": _oracle_drift_check(),

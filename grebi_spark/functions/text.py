@@ -1192,7 +1192,108 @@ GROUP BY f.source ORDER BY f.source
 """
 
 
+LM_TOP_BIGRAMS = 1000
+LM_NOVELTY_GATE_PCT = 50
+
+
+def lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM novelty gate, engine-exact: the cheap n-gram-LM
+    quality signal (CCNet scores documents against a wiki LM
+    perplexity; the bigram-COVERAGE form keeps the math in integers so
+    both engines agree bit-for-bit). The corpus's top-1000 bigrams
+    (count desc, bigram tiebreak) stand in for the LM; a document's
+    novelty is the fraction of its bigram OCCURRENCES that fall outside
+    them, and the gate flags docs over 50% — the
+    "fluent-text-looks-like-the-reference-distribution" filter, with
+    the same one-sided failure mode (templated text scores fluent,
+    rare-domain text scores novel).
+
+    Scale shape: one explode over the corpus, one 2-key aggregate for
+    the vocabulary (top-K via TakeOrdered), then a BROADCAST left join
+    of the K-row vocab into the per-doc pass — never doc×doc, never a
+    corpus-side shuffle beyond the per-doc aggregate."""
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rows = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    vocab = (
+        rows.groupBy("bg")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bg")
+        .limit(LM_TOP_BIGRAMS)
+        .select("bg", F.lit(1).alias("known"))
+    )
+    per_doc = (
+        rows.join(F.broadcast(vocab), "bg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_big"),
+            F.sum(F.coalesce(F.col("known"), F.lit(0))).alias("n_known"),
+        )
+    )
+    return (
+        d.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.coalesce(F.col("n_big"), F.lit(0))).alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("n_known"), F.lit(0))).alias("n_known"),
+            F.sum(
+                F.when(
+                    (F.coalesce(F.col("n_big"), F.lit(0)) > 0)
+                    & (
+                        (F.col("n_big") - F.col("n_known")) * 2
+                        > F.col("n_big")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("flagged_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LM_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks WHERE len(t) >= 2
+), vocab AS (
+  SELECT bg, 1 AS known FROM (
+    SELECT bg, count(*) AS n FROM bg GROUP BY bg
+    ORDER BY n DESC, bg LIMIT {LM_TOP_BIGRAMS}
+  )
+), per_doc AS (
+  SELECT b.doc_id, count(*) AS n_big,
+         sum(coalesce(v.known, 0)) AS n_known
+  FROM bg b LEFT JOIN vocab v USING (bg)
+  GROUP BY b.doc_id
+)
+SELECT d.source, count(*) AS docs,
+       sum(coalesce(p.n_big, 0)) AS n_bigrams,
+       sum(coalesce(p.n_known, 0)) AS n_known,
+       sum(CASE WHEN coalesce(p.n_big, 0) > 0
+                 AND (p.n_big - p.n_known) * 2 > p.n_big
+                THEN 1 ELSE 0 END) AS flagged_docs
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+GROUP BY d.source ORDER BY d.source
+"""
+
+
 QUERIES = {
+    "lm_bigram_novelty": lm_bigram_novelty,
     "quality_classifier_cascade": quality_classifier_cascade,
     "source_similarity_matrix": source_similarity_matrix,
     "source_length_drift": source_length_drift,
@@ -1210,6 +1311,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "lm_bigram_novelty": ORACLE_LM_NOVELTY,
     "quality_classifier_cascade": ORACLE_QUALITY_CASCADE,
     "source_similarity_matrix": ORACLE_SOURCE_SIMILARITY,
     "source_length_drift": ORACLE_LENGTH_DRIFT,

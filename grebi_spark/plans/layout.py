@@ -162,6 +162,47 @@ def zorder_append(spark: SparkSession, root: str, new_events: DataFrame) -> None
     )
 
 
+def compact_layout(spark: SparkSession, root: str, max_files: int = 2) -> int:
+    """The maintenance sweep for an appended layout: every
+    ``zorder_append`` adds a file per touched cell, so a long-lived
+    layout accumulates small files exactly where appends concentrate.
+    Rewrite ONLY the cells holding more than ``max_files`` files — read
+    back via partition pruning, one file each under dynamic partition
+    overwrite; untouched cells' files are never touched (the same
+    minor-compaction contract as ``compact_ann_index`` and
+    ``compact_state``). Returns the number of cells compacted."""
+    from ..fsutil import hadoop_ls
+
+    crowded = []
+    for cell_dir in hadoop_ls(spark, root, dirs_only=True):
+        name = cell_dir.getPath().getName()
+        if not name.startswith("z="):
+            continue
+        nfiles = sum(
+            1
+            for f in hadoop_ls(spark, cell_dir.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if nfiles > max_files:
+            crowded.append(int(name.split("=", 1)[1]))
+    if not crowded:
+        return 0
+    rows = (
+        spark.read.parquet(root)
+        .filter(F.col("z").isin(crowded))
+        .localCheckpoint()  # materialise BEFORE overwriting the source
+    )
+    (
+        rows.withColumn("z", F.col("z").cast("int"))
+        .repartition(F.col("z"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("z")
+        .parquet(root)
+    )
+    return len(crowded)
+
+
 def _zorder_root(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
     """The session's shared z-layout over the WHOLE events table, plus
     the query-rectangle bounds."""

@@ -195,6 +195,53 @@ def test_append_clamps_out_of_range_rows_to_edge_cells(spark, tmp_path):
     assert found == 3
 
 
+def test_compact_layout_rewrites_only_crowded_cells(spark, tmp_path):
+    """Two appends crowd the touched cells with small files; compaction
+    rewrites only cells over the threshold, preserves content exactly,
+    and is idempotent."""
+    import os
+
+    from grebi_spark.plans.layout import (
+        _write_layout,
+        compact_layout,
+        zorder_append,
+    )
+
+    ev = load_tables(spark, SF, ("events",))["events"]
+    root = str(tmp_path / "zcomp")
+    _write_layout(spark, ev.filter(F.col("event_id") % 4 == 0), root)
+    zorder_append(spark, root, ev.filter(F.col("event_id") % 4 == 1))
+    zorder_append(spark, root, ev.filter(F.col("event_id") % 4 == 2))
+
+    def files_per_cell():
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("z="):
+                out[d] = sum(
+                    1
+                    for f in os.listdir(os.path.join(root, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before_files = files_per_cell()
+    content = lambda: sorted(  # noqa: E731
+        (r["event_id"], int(r["z"]))
+        for r in spark.read.parquet(root).select("event_id", "z").collect()
+    )
+    before = content()
+    n = compact_layout(spark, root, max_files=2)
+    assert n >= 1
+    after_files = files_per_cell()
+    assert content() == before
+    # compacted cells hold one file; cells under the threshold untouched
+    assert all(v == 1 for k, v in after_files.items() if before_files[k] > 2)
+    assert all(
+        after_files[k] == v for k, v in before_files.items() if v <= 2
+    )
+    assert compact_layout(spark, root, max_files=2) == 0
+
+
 def test_layout_loses_no_rows(spark):
     """Every event lands in exactly one cell directory."""
     root, _b = _zorder_root(spark, SF)

@@ -951,6 +951,41 @@ def load_state_current(spark, root: str) -> GraphState:
     return load_state(spark, resolve_version_dir(spark, root))
 
 
+def load_state_version(spark, root: str, vname: str) -> GraphState:
+    """Reload a SPECIFIC published snapshot version (time travel): any
+    committed version under ``root`` stays readable until
+    ``prune_state_versions`` — the input to version diffing and to
+    serving a pinned historical release."""
+    from .fsutil import fs_of
+
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    if not fs.exists(P(f"{root}/{vname}/_COMMITTED")):
+        raise ValueError(f"{root}/{vname} is not a committed snapshot")
+    return load_state(spark, f"{root}/{vname}")
+
+
+def state_version_diff(spark, root: str, va: str, vb: str) -> DataFrame:
+    """What changed between two published snapshots — the release diff
+    an operator reads BEFORE deciding to roll back: every merged triple
+    added or removed going ``va`` → ``vb``, as
+    (status, node_id, prop_key, value) rows. Triple-granular (exceptAll
+    both ways over the value projection), so a canonical flip, a
+    reference rewrite, or a vanished entity each show up as concrete
+    rows rather than a count drift. Both sides are plain Parquet scans
+    of the two version directories; the diff is two distinct-free
+    set-difference shuffles, corpus-bounded exactly once each."""
+    def triples(v: str) -> DataFrame:
+        return load_state_version(spark, root, v).graph.merged.select(
+            "node_id", "prop_key", "value"
+        )
+    a, b = triples(va), triples(vb)
+    return (
+        b.exceptAll(a).selectExpr("'added' AS status", "*")
+        .unionByName(a.exceptAll(b).selectExpr("'removed' AS status", "*"))
+    )
+
+
 def rollback_state(spark, root: str) -> str:
     """Undo the most recent published snapshot: swing CURRENT back to
     the previous committed version. Pointer-only — no table is read,

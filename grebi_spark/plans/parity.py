@@ -1260,23 +1260,61 @@ def state_rollback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this pointer swap replaces that full rebuild. Crash-mid-save
     invisibility, in-flight reader isolation across the swap, and
     roll-forward are suite-tested (tests/test_state_versions.py)."""
-    import tempfile
-
-    from ..incremental import (
-        load_state_current,
-        rollback_state,
-        save_state_version,
-    )
+    from ..incremental import load_state_current, rollback_state
 
     key = f"rollback:{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _INC_CACHE:
-        root = tempfile.mkdtemp(prefix="grebi_state_versions_")
-        save_state_version(_inc_state(spark, sf_dir, "full"), root)
-        save_state_version(_inc_state(spark, sf_dir, "geo"), root)
+        root = _version_root(spark, sf_dir)
         rollback_state(spark, root)  # v2 → v1: undo the crm retirement
         _INC_CACHE[key] = load_state_current(spark, root)
     merged = _INC_CACHE[key].graph.merged
     return _merge_profile(merged)
+
+
+def _version_root(spark: SparkSession, sf_dir: str) -> str:
+    """One shared snapshot root per (session, sf_dir): v1 = the full
+    three-source graph, v2 = after remove_datasource('crm')."""
+    from ..incremental import save_state_version
+
+    key = f"vroot:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _INC_CACHE:
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="grebi_state_versions_")
+        save_state_version(_inc_state(spark, sf_dir, "full"), root)
+        save_state_version(_inc_state(spark, sf_dir, "geo"), root)
+        _INC_CACHE[key] = root
+    return _INC_CACHE[key]
+
+
+def state_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release diff an operator reads BEFORE deciding to roll back:
+    every merged triple added or removed between two published
+    snapshots (v1 = the full three-source graph, v2 = after retiring
+    'crm'), triple-granular — a canonical flip, a reference rewrite, or
+    a vanished entity shows up as concrete rows, not a count drift.
+    Here the whole customer corpus must appear as status='removed' and
+    NOTHING may appear as added (retiring crm touches no geo triple) —
+    the from-scratch oracle enumerates exactly the customer long form."""
+    from ..incremental import state_version_diff as diff
+
+    return diff(spark, _version_root(spark, sf_dir), "v1", "v2").orderBy(
+        "status", "node_id", "prop_key", "value"
+    )
+
+
+ORACLE_STATE_VERSION_DIFF = """
+SELECT 'removed' AS status, node_id, prop_key, value FROM (
+  SELECT 'c:' || c_custkey::varchar AS node_id, 'id' AS prop_key,
+         'c:' || c_custkey::varchar AS value FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:type', 'crm:Customer' FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'grebi:name', c_name FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:segment', c_mktsegment FROM customer
+  UNION ALL SELECT 'c:' || c_custkey::varchar, 'crm:nation',
+                   'n:' || c_nationkey::varchar FROM customer
+)
+ORDER BY status, node_id, prop_key, value
+"""
 
 
 def graph_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1636,6 +1674,7 @@ QUERIES = {
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
     "incremental_persist_roundtrip": incremental_persist_roundtrip,
     "state_rollback_roundtrip": state_rollback_roundtrip,
+    "state_version_diff": state_version_diff,
     "incremental_update_merged": incremental_update_merged,
     "incremental_add_edges": incremental_add_edges,
     "incremental_remove_merge_nodes": incremental_remove_merge_nodes,
@@ -1668,6 +1707,7 @@ ORACLES = {
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
     "incremental_persist_roundtrip": ORACLE_INC_FUSE_MERGED,
     "state_rollback_roundtrip": ORACLE_MERGE_NODES,
+    "state_version_diff": ORACLE_STATE_VERSION_DIFF,
     "incremental_update_merged": ORACLE_INC_UPDATE_MERGED,
     "incremental_add_edges": ORACLE_EDGES_FK,
     "incremental_remove_merge_nodes": ORACLE_INC_REMOVE_MERGE,

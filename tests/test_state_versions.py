@@ -129,6 +129,35 @@ def test_rollback_lifecycle(spark, lifecycle):
         rollback_state(spark, root)
 
 
+def test_time_travel_and_version_diff(spark, lifecycle):
+    """Any committed version stays loadable by name (time travel), and
+    the version diff reports exactly the verb's triple-level effect —
+    here add_datasource(srcb) added x:3's triples and touched nothing
+    else. Own snapshot root: the lifecycle test prunes the shared one."""
+    from grebi_spark.incremental import (
+        load_state_version,
+        save_state_version,
+        state_version_diff,
+    )
+
+    root = tempfile.mkdtemp(prefix="grebi_state_diff_")
+    save_state_version(lifecycle["s1"], root)
+    save_state_version(lifecycle["s2"], root)
+    v1 = load_state_version(spark, root, "v1")
+    assert _canon(v1.graph.merged) == _canon(lifecycle["s1"].graph.merged)
+    diff = state_version_diff(spark, root, "v1", "v2").collect()
+    assert diff and all(r["status"] == "added" for r in diff)
+    assert {r["node_id"] for r in diff} == {"x:3"}
+    # the reverse diff is the exact mirror
+    rev = state_version_diff(spark, root, "v2", "v1").collect()
+    assert sorted((r["node_id"], r["prop_key"], r["value"]) for r in rev) == sorted(
+        (r["node_id"], r["prop_key"], r["value"]) for r in diff
+    )
+    assert all(r["status"] == "removed" for r in rev)
+    with pytest.raises(ValueError):
+        load_state_version(spark, root, "v9")
+
+
 def test_interrupted_rollback_swing_completes(spark):
     """A crash between CURRENT's delete and the rename must not re-serve
     the version being rolled away from: the fully-written CURRENT.tmp is

@@ -108,6 +108,8 @@ def main() -> None:
     # range-clustered write + stats scan), and the stored LSH posting
     # index the incremental dedup probe reads
     queries["zorder_scan_prune"](spark, sf_dir).limit(1).collect()
+    queries["zorder_dpp_scan"](spark, sf_dir).limit(1).collect()
+    queries["zorder_append_scan"](spark, sf_dir).limit(1).collect()
     queries["manifest_skip_scan"](spark, sf_dir).limit(1).collect()
     queries["dedup_incremental_probe"](spark, sf_dir).limit(1).collect()
 

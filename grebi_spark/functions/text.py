@@ -1208,10 +1208,13 @@ def lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same one-sided failure mode (templated text scores fluent,
     rare-domain text scores novel).
 
-    Scale shape: one explode over the corpus, one 2-key aggregate for
-    the vocabulary (top-K via TakeOrdered), then a BROADCAST left join
-    of the K-row vocab into the per-doc pass — never doc×doc, never a
-    corpus-side shuffle beyond the per-doc aggregate."""
+    Scale shape: ONE tokenise+explode pass over the corpus (spread
+    across cores first — the documents file arrives as a single split —
+    and persisted: both the vocabulary election and the per-doc pass
+    read it), one 2-key aggregate for the vocabulary (top-K via
+    TakeOrdered), then a BROADCAST left join of the K-row vocab into
+    the per-doc pass — never doc×doc, never a corpus-side shuffle
+    beyond the per-doc aggregate."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     t = tokens(F.col("text"))
     bigrams = F.when(
@@ -1223,7 +1226,12 @@ def lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    rows = d.select("doc_id", F.explode(bigrams).alias("bg"))
+    par = spark.sparkContext.defaultParallelism
+    rows = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .persist()
+    )
     vocab = (
         rows.groupBy("bg")
         .agg(F.count("*").alias("n"))

@@ -24,7 +24,7 @@ Scale shapes per docstring; every join is an equi-join on a vertex key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -98,6 +98,124 @@ _EDGES_SQL = """
     FROM lineitem a JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   )
+"""
+
+
+_WALK_STEPS = 4  # 5-node walks
+_WALK_WINDOW = 2  # skip-gram context radius
+_WALK_TOPK = 50
+
+
+def _walk_hash_spark(start, i: int):
+    """The walk's step-i choice hash — md5-prefix integer, the same
+    portable convention as dedup's universal hashes."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w:"), start.cast("string"), F.lit(f":{i}"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph → embedding-training corpus (the DeepWalk/node2vec data
+    prep): one DETERMINISTIC walk per node over the co-purchase graph —
+    at step i the walker at node w picks the neighbor ranked
+    ``1 + H(start, i) mod deg(w)`` in id order, H an md5-prefix integer
+    — then every within-window-2 pair along each walk becomes a
+    skip-gram (a, b) co-occurrence, counted corpus-wide and top-50 by
+    count. Determinism makes the walks engine-replayable (the oracle
+    unrolls the same 4 steps in SQL), reproducible across runs, and
+    id-stable as the corpus grows — the property mixture_sample /
+    corpus_split already rely on.
+
+    Scale shape: the ranked adjacency (u, v, rank, deg — two window
+    functions over the cached edge artifact) is built once; each walk
+    step is ONE equi-join of the walk frontier against it (rank
+    equality lands inside the join residual, never a cartesian); the
+    pair expansion is a bounded per-row explode (7 pairs per walk) and
+    one 2-key aggregate. No collect anywhere; top-k is TakeOrdered."""
+    edges = _copurchase_edges(spark, sf_dir)
+    w = Window.partitionBy("u").orderBy("v")
+    adj = (
+        edges.select(
+            "u",
+            "v",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("u")).alias("deg"),
+        )
+        .persist()
+    )
+    walks = adj.select(F.col("u").alias("start")).distinct().select(
+        "start", F.col("start").alias("w0")
+    )
+    for i in range(1, _WALK_STEPS + 1):
+        prev = f"w{i - 1}"
+        pick = 1 + _walk_hash_spark(F.col("start"), i) % F.col("deg")
+        walks = (
+            walks.join(adj, F.col(prev) == F.col("u"))
+            .filter(F.col("rk") == pick)
+            .drop("u", "rk", "deg")
+            .withColumnRenamed("v", f"w{i}")
+        )
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.least(F.col(f"w{i}"), F.col(f"w{j}")).alias("a"),
+                F.greatest(F.col(f"w{i}"), F.col(f"w{j}")).alias("b"),
+            )
+            for i in range(_WALK_STEPS + 1)
+            for j in range(i + 1, min(i + _WALK_WINDOW, _WALK_STEPS) + 1)
+        ]
+    )
+    out = (
+        walks.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))  # a walk may revisit a node
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(_WALK_TOPK)
+    )
+    return out
+
+
+def _walk_oracle() -> str:
+    h = (
+        "(('0x' || substr(md5('w:' || start::varchar || ':{i}'), 1, 8))"
+        "::bigint)"
+    )
+    steps = []
+    for i in range(1, _WALK_STEPS + 1):
+        steps.append(
+            f"""s{i} AS (
+  SELECT s.start, {', '.join(f's.w{k}' for k in range(i))}, a.v AS w{i}
+  FROM s{i - 1} s JOIN adjd a
+    ON a.u = s.w{i - 1} AND a.rk = 1 + {h.format(i=i)} % a.deg
+)"""
+        )
+    pair_rows = "\n  UNION ALL ".join(
+        f"SELECT least(w{i}, w{j}) AS a, greatest(w{i}, w{j}) AS b FROM s{_WALK_STEPS}"
+        for i in range(_WALK_STEPS + 1)
+        for j in range(i + 1, min(i + _WALK_WINDOW, _WALK_STEPS) + 1)
+    )
+    return f"""
+WITH edges AS ({_EDGES_SQL}),
+adjd AS (
+  SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rk,
+         count(*) OVER (PARTITION BY u) AS deg
+  FROM edges
+),
+s0 AS (SELECT DISTINCT u AS start, u AS w0 FROM adjd),
+{', '.join(steps)},
+pairs AS (
+  {pair_rows}
+)
+SELECT a, b, count(*) AS n FROM pairs WHERE a != b
+GROUP BY a, b ORDER BY n DESC, a, b LIMIT {_WALK_TOPK}
 """
 
 
@@ -653,6 +771,7 @@ SELECT * FROM ({" UNION ALL ".join(selects)}) ORDER BY round
 
 QUERIES = {
     "pagerank_copurchase": pagerank_copurchase,
+    "graph_walk_pairs": graph_walk_pairs,
     "kcore_peeling": kcore_peeling,
     "weighted_paths_copurchase": weighted_paths_copurchase,
     "label_propagation_communities": label_propagation_communities,
@@ -663,6 +782,7 @@ QUERIES = {
 
 ORACLES = {
     "pagerank_copurchase": _pagerank_oracle(),
+    "graph_walk_pairs": _walk_oracle(),
     "kcore_peeling": _kcore_oracle(),
     "weighted_paths_copurchase": _sssp_oracle(),
     "label_propagation_communities": _label_propagation_oracle(),

@@ -1258,8 +1258,8 @@ def lm_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     (F.coalesce(F.col("n_big"), F.lit(0)) > 0)
                     & (
-                        (F.col("n_big") - F.col("n_known")) * 2
-                        > F.col("n_big")
+                        (F.col("n_big") - F.col("n_known")) * 100
+                        > F.col("n_big") * LM_NOVELTY_GATE_PCT
                     ),
                     1,
                 ).otherwise(0)
@@ -1293,7 +1293,8 @@ SELECT d.source, count(*) AS docs,
        sum(coalesce(p.n_big, 0)) AS n_bigrams,
        sum(coalesce(p.n_known, 0)) AS n_known,
        sum(CASE WHEN coalesce(p.n_big, 0) > 0
-                 AND (p.n_big - p.n_known) * 2 > p.n_big
+                 AND (p.n_big - p.n_known) * 100
+                     > p.n_big * {LM_NOVELTY_GATE_PCT}
                 THEN 1 ELSE 0 END) AS flagged_docs
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 GROUP BY d.source ORDER BY d.source

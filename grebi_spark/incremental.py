@@ -969,15 +969,20 @@ def state_version_diff(spark, root: str, va: str, vb: str) -> DataFrame:
     """What changed between two published snapshots — the release diff
     an operator reads BEFORE deciding to roll back: every merged triple
     added or removed going ``va`` → ``vb``, as
-    (status, node_id, prop_key, value) rows. Triple-granular (exceptAll
-    both ways over the value projection), so a canonical flip, a
-    reference rewrite, or a vanished entity each show up as concrete
-    rows rather than a count drift. Both sides are plain Parquet scans
-    of the two version directories; the diff is two distinct-free
+    (status, node_id, prop_key, value) rows. Triple-granular, SET
+    semantics: each side is the DISTINCT triple projection, so a triple
+    served under several value_props/provenance variants counts once —
+    losing one variant while another survives is not a removal (the
+    diff answers "what does vb serve that va didn't, and vice versa").
+    A canonical flip, a reference rewrite, or a vanished entity each
+    show up as concrete rows rather than a count drift. Both sides are
+    plain Parquet scans of the two version directories; the diff is two
     set-difference shuffles, corpus-bounded exactly once each."""
     def triples(v: str) -> DataFrame:
-        return load_state_version(spark, root, v).graph.merged.select(
-            "node_id", "prop_key", "value"
+        return (
+            load_state_version(spark, root, v)
+            .graph.merged.select("node_id", "prop_key", "value")
+            .distinct()
         )
     a, b = triples(va), triples(vb)
     return (

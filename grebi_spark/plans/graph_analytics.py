@@ -120,6 +120,26 @@ def _walk_hash_spark(start, i: int):
     ).cast("long")
 
 
+def _ranked_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, rank-in-id-order, degree) — built once per (session,
+    sf_dir) and localCheckpoint-backed like the edge artifact it is
+    derived from, so repeated walk queries neither redo the two window
+    shuffles nor stack persisted copies in executor storage."""
+    key = f"adj:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key in _EDGES_CACHE:
+        return _EDGES_CACHE[key]
+    edges = _copurchase_edges(spark, sf_dir)
+    w = Window.partitionBy("u").orderBy("v")
+    adj = edges.select(
+        "u",
+        "v",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy("u")).alias("deg"),
+    ).localCheckpoint()
+    _EDGES_CACHE[key] = adj
+    return adj
+
+
 def graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph → embedding-training corpus (the DeepWalk/node2vec data
     prep): one DETERMINISTIC walk per node over the co-purchase graph —
@@ -138,17 +158,7 @@ def graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality lands inside the join residual, never a cartesian); the
     pair expansion is a bounded per-row explode (7 pairs per walk) and
     one 2-key aggregate. No collect anywhere; top-k is TakeOrdered."""
-    edges = _copurchase_edges(spark, sf_dir)
-    w = Window.partitionBy("u").orderBy("v")
-    adj = (
-        edges.select(
-            "u",
-            "v",
-            F.row_number().over(w).alias("rk"),
-            F.count("*").over(Window.partitionBy("u")).alias("deg"),
-        )
-        .persist()
-    )
+    adj = _ranked_adjacency(spark, sf_dir)
     walks = adj.select(F.col("u").alias("start")).distinct().select(
         "start", F.col("start").alias("w0")
     )

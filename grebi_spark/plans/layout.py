@@ -109,20 +109,32 @@ def _layout_z_expr(bins: dict) -> str:
     return _interleave_expr(ub, db, "DIV")
 
 
-def _write_layout(spark: SparkSession, events_df: DataFrame, root: str) -> dict:
+def _write_layout(
+    spark: SparkSession,
+    events_df: DataFrame,
+    root: str,
+    bins: dict | None = None,
+) -> dict:
     """Cluster + write a z-layout and RECORD its binning rule (the
     bucket bounds) next to the data — the rule is part of the layout,
     exactly like the ANN index's persisted assignment rule: appends
     must bin with the bounds the layout was built with, not with their
-    own. The meta lives under ``_layout_meta`` (underscore-prefixed, so
-    the parquet reader's partition discovery ignores it)."""
-    row = events_df.select(
-        F.min("user_id").alias("mu"),
-        F.max("user_id").alias("xu"),
-        F.expr(f"min({_DAY_SPARK})").alias("md"),
-        F.expr(f"max({_DAY_SPARK})").alias("xd"),
-    ).collect()[0]
-    bins = {k: int(row[k]) for k in ("mu", "xu", "md", "xd")}
+    own. Pass ``bins`` when the bounds are already known (e.g. from the
+    shared ``_bounds`` aggregate) to spare a second full-table scan.
+    The meta lives under ``_layout_meta`` (underscore-prefixed, so the
+    parquet reader's partition discovery ignores it)."""
+    if bins is None:
+        row = events_df.select(
+            F.min("user_id").alias("mu"),
+            F.max("user_id").alias("xu"),
+            F.expr(f"min({_DAY_SPARK})").alias("md"),
+            F.expr(f"max({_DAY_SPARK})").alias("xd"),
+        ).collect()[0]
+        if row["mu"] is None:
+            raise ValueError("cannot build a z-layout over an empty table")
+        bins = {k: int(row[k]) for k in ("mu", "xu", "md", "xd")}
+    else:
+        bins = {k: int(bins[k]) for k in ("mu", "xu", "md", "xd")}
     (
         events_df.withColumn("z", F.expr(_layout_z_expr(bins)).cast("int"))
         # cluster rows by cell BEFORE the partitioned write (one file
@@ -212,7 +224,7 @@ def _zorder_root(spark: SparkSession, sf_dir: str) -> tuple[str, dict]:
         return _LAYOUT_CACHE[key], b
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     root = tempfile.mkdtemp(prefix="grebi_zorder_")
-    _write_layout(spark, ev, root)
+    _write_layout(spark, ev, root, bins=b)  # _bounds already scanned
     _LAYOUT_CACHE[key] = root
     return root, b
 
@@ -393,12 +405,14 @@ def zorder_append_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _LAYOUT_CACHE:
         ev = load_tables(spark, sf_dir, ("events",))["events"]
         root = tempfile.mkdtemp(prefix="grebi_zorder_append_")
-        _write_layout(spark, ev.filter(F.col("event_id") % 4 != 3), root)
+        bins = _write_layout(spark, ev.filter(F.col("event_id") % 4 != 3), root)
         zorder_append(spark, root, ev.filter(F.col("event_id") % 4 == 3))
-        _LAYOUT_CACHE[key] = root
-    root = _LAYOUT_CACHE[key]
+        # cache the bins WITH the root: _layout_meta is immutable, and
+        # re-reading a 1-row parquet per timed call is a wasted job
+        _LAYOUT_CACHE[key] = (root, bins)
+    root, bins = _LAYOUT_CACHE[key]
     b = _bounds(spark, sf_dir)  # the rect comes from the FULL table
-    cover = _z_cover(b, _read_layout_bins(spark, root))
+    cover = _z_cover(b, bins)
     day = F.expr(_DAY_SPARK)
     return (
         spark.read.parquet(root)

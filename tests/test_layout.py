@@ -145,16 +145,27 @@ def test_appended_layout_is_lossless_and_rule_stable(spark, tmp_path):
     assert laid.count() == ev.count()
     assert laid.select("event_id").distinct().count() == ev.count()
     assert _read_layout_bins(spark, root) == bins
-    # rule stability: one full layout under the SAME bins agrees cell
-    # by cell with base+append
-    root2 = str(tmp_path / "zl_full")
-    _write_layout(spark, base, root2)  # fixes the same bins (same base)
-    zorder_append(spark, root2, tail)
-    cells = lambda r: sorted(  # noqa: E731
-        (x["event_id"], int(x["z"]))
-        for x in spark.read.parquet(r).select("event_id", "z").collect()
+    # rule stability, tested against an INDEPENDENT computation: every
+    # appended row's cell must equal the base-bins z expression applied
+    # directly to the tail — an append that binned with the batch's own
+    # bounds (the bug the recorded rule guards against) mismatches here
+    from grebi_spark.plans.layout import _layout_z_expr
+
+    expected = sorted(
+        (r["event_id"], int(r["z"]))
+        for r in tail.withColumn(
+            "z", F.expr(_layout_z_expr(bins)).cast("int")
+        )
+        .select("event_id", "z")
+        .collect()
     )
-    assert cells(root) == cells(root2)
+    appended = sorted(
+        (r["event_id"], int(r["z"]))
+        for r in laid.join(tail.select("event_id"), "event_id")
+        .select("event_id", "z")
+        .collect()
+    )
+    assert appended == expected
 
 
 def test_append_clamps_out_of_range_rows_to_edge_cells(spark, tmp_path):

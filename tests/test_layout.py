@@ -253,6 +253,53 @@ def test_compact_layout_rewrites_only_crowded_cells(spark, tmp_path):
     assert compact_layout(spark, root, max_files=2) == 0
 
 
+def test_cover_superset_property():
+    """The correctness kernel of every pruned scan, property-tested
+    against brute force: for ARBITRARY layout bounds and query
+    rectangles (including rectangles reaching past the bounds), every
+    in-rectangle point's clamped cell is in the rectangle's z-cover —
+    the cover may over-read, it must never drop a matching row."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from grebi_spark.plans.layout import _N_BINS, _interleave_py, _z_cover
+
+    def clamped_bin(v, lo, hi):
+        return max(0, min(_N_BINS - 1, (v - lo) * _N_BINS // (hi - lo + 1)))
+
+    bounds = st.tuples(
+        st.integers(0, 50), st.integers(0, 200),
+        st.integers(0, 50), st.integers(0, 200),
+    ).map(lambda t: (t[0], t[0] + t[1], t[2], t[2] + t[3]))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        b=bounds,
+        rect=st.tuples(
+            st.integers(-20, 260), st.integers(0, 80),
+            st.integers(-20, 260), st.integers(0, 80),
+        ),
+        pt=st.tuples(st.integers(-20, 340), st.integers(-20, 340)),
+    )
+    def check(b, rect, pt):
+        mu, xu, md, xd = b
+        u1, su, d1, sd = rect
+        u2, d2 = u1 + su, d1 + sd
+        rb = {
+            "mu": mu, "xu": xu, "md": md, "xd": xd,
+            "u1": u1, "u2": u2, "d1": d1, "d2": d2,
+        }
+        cover = set(_z_cover(rb, rb))
+        u, d = pt
+        if u1 <= u <= u2 and d1 <= d <= d2:  # an in-rectangle row
+            cell = _interleave_py(
+                clamped_bin(u, mu, xu), clamped_bin(d, md, xd)
+            )
+            assert cell in cover
+
+    check()
+
+
 def test_layout_loses_no_rows(spark):
     """Every event lands in exactly one cell directory."""
     root, _b = _zorder_root(spark, SF)

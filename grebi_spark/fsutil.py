@@ -41,6 +41,15 @@ def fs_of(spark: SparkSession, path: str):
 # version-hint shape). A crash mid-write leaves the previous version
 # serving; publication and rollback are O(1) pointer swaps that never
 # move data, so in-flight readers keep the directory they resolved.
+#
+# SINGLE-WRITER CONTRACT: one publisher per root at a time. next_version
+# elects a name by listing (two concurrent publishers can elect the same
+# name), and publish_version's delete+rename pointer swing is atomic per
+# rename but not as a pair — concurrent publication can corrupt the
+# CURRENT pointer. Readers are unrestricted and crash-safe at any
+# concurrency; serialize WRITERS externally (the maintenance loop is one
+# driver; a multi-driver deployment takes a coordination lock first, or
+# moves to a table format with a compare-and-swap commit).
 
 
 def next_version(spark: SparkSession, root: str) -> str:

@@ -698,8 +698,25 @@ def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
     )
 
 
+def ingest_namespace(checkpoint_dir: str) -> str:
+    """Stable marker namespace for one stream lineage: a digest of the
+    stream's CHECKPOINT location. Micro-batch ids are only unique within
+    a checkpoint — a recreated/lost checkpoint restarts them at 0, and
+    un-namespaced markers would then silently drop genuinely new batches
+    as 'replays' of a dead stream's markers. Same checkpoint dir →
+    same namespace (restarts still dedupe); fresh checkpoint → fresh
+    namespace (no false skips)."""
+    import hashlib
+
+    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+
+
 def fold_ann_batch(
-    spark: SparkSession, root: str, new_vectors: DataFrame, batch_id: int
+    spark: SparkSession,
+    root: str,
+    new_vectors: DataFrame,
+    batch_id: int,
+    run_id: str | None = None,
 ) -> bool:
     """Crash-replay-safe streaming append: foreachBatch re-delivers a
     batch whose offsets committed but whose work crashed, and a naive
@@ -711,12 +728,20 @@ def fold_ann_batch(
     needs an atomically-committing table format (or
     batch-id-partitioned lists); the window is one fsync wide and the
     soak's value gate would catch it. Returns True when the append ran,
-    False on a skipped replay."""
+    False on a skipped replay.
+
+    ``run_id`` namespaces the marker by stream lineage (pass
+    ``ingest_namespace(checkpoint_dir)``): batch ids restart at 0 when
+    a checkpoint is recreated, so an un-namespaced marker from a dead
+    stream would swallow a new stream's first batches as fake replays.
+    ``None`` keeps the legacy un-namespaced name — callers who reuse an
+    index root across checkpoint lineages must pass it."""
     from ..fsutil import fs_of
 
     jvm, fs = fs_of(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
-    marker = P(f"{root}/ingest_log/batch-{batch_id}._APPENDED")
+    stem = f"run-{run_id}-batch-{batch_id}" if run_id else f"batch-{batch_id}"
+    marker = P(f"{root}/ingest_log/{stem}._APPENDED")
     if fs.exists(marker):
         return False
     append_ann_index(spark, root, new_vectors)
@@ -951,11 +976,17 @@ def ann_stream_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(tmp, part), os.path.join(arrivals, f"{name}.parquet")
             )
 
+        ns = ingest_namespace(ckpt)
+
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
             fold_ann_batch(
-                spark, root, batch_df.select("vec_id", "embedding"), batch_id
+                spark,
+                root,
+                batch_df.select("vec_id", "embedding"),
+                batch_id,
+                run_id=ns,
             )
 
         def drain() -> None:

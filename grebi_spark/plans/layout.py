@@ -496,6 +496,13 @@ def manifest_skip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     root, manifest = _manifest_root(spark, sf_dir)
     b = _cents_rect(spark, sf_dir)
     files = manifest_files_for(manifest, b["c1"], b["c2"])
+    if not files:
+        # a predicate interval disjoint from every file's [min,max]
+        # (impossible for the built-in derived rectangle, reachable by
+        # any other caller): spark.read.parquet() with zero paths throws
+        # a confusing error — the pruned answer is simply empty
+        schema = "event_type string, n_events bigint, cents_total bigint"
+        return spark.createDataFrame([], schema)
     return (
         spark.read.parquet(*files)
         .filter(F.col("cents").between(b["c1"], b["c2"]))

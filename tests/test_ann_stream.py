@@ -79,7 +79,9 @@ def test_crash_replay_of_a_folded_batch_is_skipped(spark):
     """foreachBatch re-delivers a batch whose work crashed after its
     marker landed; the batch-id-gated fold must skip the re-append —
     the index's list content is unchanged by the replay."""
-    from grebi_spark.functions.similarity import fold_ann_batch
+    import os
+
+    from grebi_spark.functions.similarity import fold_ann_batch, ingest_namespace
     from grebi_spark.functions.training import _cache_key
 
     ann_stream_ingest_topk(spark, SF)
@@ -89,12 +91,14 @@ def test_crash_replay_of_a_folded_batch_is_skipped(spark):
         for r in _lists(spark, "annstream").collect()
     )
     # replay micro-batch 0 — arrival_1, the first drain's single file;
-    # its _APPENDED marker landed during the stream
+    # its _APPENDED marker landed during the stream (markers are
+    # namespaced by the stream's checkpoint lineage)
+    ns = ingest_namespace(os.path.join(root, "ckpt"))
     replay_rows = spark.read.parquet(f"{SF}/embeddings.parquet").filter(
         "vec_id % 8 == 3"
     )
     ran = fold_ann_batch(
-        spark, root, replay_rows.select("vec_id", "embedding"), 0
+        spark, root, replay_rows.select("vec_id", "embedding"), 0, run_id=ns
     )
     assert ran is False
     after = sorted(
@@ -102,3 +106,49 @@ def test_crash_replay_of_a_folded_batch_is_skipped(spark):
         for r in _lists(spark, "annstream").collect()
     )
     assert after == before
+
+
+def test_fresh_checkpoint_lineage_is_not_swallowed_by_old_markers(spark):
+    """A recreated checkpoint restarts micro-batch ids at 0; with the
+    markers namespaced by checkpoint lineage, the NEW stream's batch 0
+    must fold (the un-namespaced layout silently dropped it as a replay
+    of the dead stream's batch 0 — data loss, not dedupe). Runs on a
+    scratch index root: the session-cached stream index is shared with
+    the parity board and must not gain duplicate vectors."""
+    import tempfile
+
+    from grebi_spark.functions.similarity import (
+        _next_index_version,
+        _publish_index_version,
+        _trained_index_inputs,
+        _write_index_version,
+        fold_ann_batch,
+        ingest_namespace,
+    )
+
+    root = tempfile.mkdtemp(prefix="grebi_ann_ns_")
+    e_full, cents, routed, k_int = _trained_index_inputs(spark, SF)
+    base = e_full.filter(F.col("vec_id") % 4 != 3)
+    vname = _next_index_version(spark, root)
+    _write_index_version(spark, f"{root}/{vname}", base, cents, routed, k_int)
+    _publish_index_version(spark, root, vname)
+
+    batch = (
+        e_full.filter(F.col("vec_id") % 8 == 3)
+        .limit(3)
+        .select("vec_id", "embedding")
+    )
+    old_ns = ingest_namespace(f"{root}/ckpt_original")
+    assert fold_ann_batch(spark, root, batch, 0, run_id=old_ns) is True
+    # same lineage, same batch id → crash replay, skipped
+    assert fold_ann_batch(spark, root, batch, 0, run_id=old_ns) is False
+    # RECREATED checkpoint: ids restart at 0, but the namespace is fresh
+    n_before = spark.read.parquet(
+        f"{_resolve_index_dir(spark, root)}/lists"
+    ).count()
+    fresh_ns = ingest_namespace(f"{root}/ckpt_recreated")
+    assert fold_ann_batch(spark, root, batch, 0, run_id=fresh_ns) is True
+    n_after = spark.read.parquet(
+        f"{_resolve_index_dir(spark, root)}/lists"
+    ).count()
+    assert n_after == n_before + 3

@@ -107,6 +107,28 @@ class IndexCounts:
 
 
 @dataclass
+class FrameLevel:
+    """One verb's effect on one durable frame — the unit a MANIFEST
+    snapshot persists instead of rewriting the frame. Two shapes:
+
+    * row frames (rows/groups/merged/nodes/edges/display_types):
+      ``dels`` = per-column key sets removing matching rows from every
+      EARLIER level, then ``adds`` appends new rows — the
+      segment+tombstone (merge-on-read) layout Iceberg/Delta use.
+    * count frames (the six refcounted/aggregate side tables): ``agg``
+      = signed per-key deltas; the frame is the per-key SUM of all
+      levels, keys summing to ≤0 vanish.
+
+    Every frame here is delta-sized by the verb's own shuffle budget
+    (module docstring) — persisting a level writes the fold's delta
+    and NOTHING corpus-sized."""
+
+    adds: DataFrame | None = None
+    dels: list[tuple[str, DataFrame]] = field(default_factory=list)
+    agg: DataFrame | None = None
+
+
+@dataclass
 class GraphState:
     """A built graph plus the retained pre-assignment rows and count
     side tables that make incremental updates possible (at scale:
@@ -126,6 +148,13 @@ class GraphState:
     # Not persisted by save_state and dropped by compact_state: refresh
     # derived stores before either.
     last_delta: dict = field(default_factory=dict)
+    # manifest-snapshot provenance: the versioned root/version this state
+    # was loaded from (or last saved to), plus the per-frame FrameLevels
+    # of every verb applied SINCE — what save_state_version persists as a
+    # delta-sized snapshot instead of a full-corpus rewrite.
+    base_root: str | None = None
+    base_version: str | None = None
+    pending: dict = field(default_factory=dict)  # frame -> list[FrameLevel]
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -171,13 +200,27 @@ def _ensure_counts(state: GraphState) -> IndexCounts:
 def _apply_count_delta(
     old: DataFrame, removed: DataFrame, added: DataFrame, keys: list[str], n: str
 ) -> DataFrame:
+    """new = old − removed + added, per key (``_apply_count_delta_parts``
+    for the full contract); returns just the updated frame."""
+    return _apply_count_delta_parts(old, removed, added, keys, n)[0]
+
+
+def _apply_count_delta_parts(
+    old: DataFrame, removed: DataFrame, added: DataFrame, keys: list[str], n: str
+) -> tuple[DataFrame, DataFrame]:
     """new = old − removed + added, per key; keys that hit zero vanish.
 
     ``removed``/``added`` aggregate DELTA-SIZED frames, so the update is
     broadcast and the stored table is never shuffled: one broadcast left
     join covers every stored key map-side, and the genuinely new keys
     arrive via a broadcast anti against the (delta-sized) hit key set —
-    the merge a bucketed layout runs as a local upsert."""
+    the merge a bucketed layout runs as a local upsert.
+
+    Returns ``(new, signed_delta)``: the second element is the pinned
+    per-key net change — (keys…, n) with n signed — which IS the fold's
+    durable FrameLevel for this count table (new ≡ per-key sum of
+    old ∪ signed_delta, dropping keys ≤ 0), so a manifest snapshot
+    persists the delta without touching the stored table."""
     upd = (
         removed.select(*keys, (-F.col(n)).alias(n))
         .unionByName(added)
@@ -199,7 +242,8 @@ def _apply_count_delta(
         .select(*keys, F.col("__dn").alias(n))
         .filter(F.col(n) > 0)
     )
-    return merged_old.unionByName(fresh)
+    signed = upd.select(*keys, F.col("__dn").alias(n))
+    return merged_old.unionByName(fresh), signed
 
 
 def _delta_finish(
@@ -210,11 +254,18 @@ def _delta_finish(
     removed_old: DataFrame,
     merged_delta: DataFrame,
     with_stats: bool = False,
+    member_ids: DataFrame | None = None,
+    extra_levels: dict | None = None,
 ) -> GraphState:
     """Shared tail of add/remove/update: given the clique-granular split
     of the old merged frame (``unchanged`` passes through, ``removed_old``
     is retired) and the re-merged delta, produce the new GraphState with
-    DELTA index + materialise stages (module docstring, steps 4-5)."""
+    DELTA index + materialise stages (module docstring, steps 4-5).
+
+    ``member_ids`` (the clique split's probe set) and ``extra_levels``
+    (the verb-specific rows/groups FrameLevels) feed the PENDING ledger:
+    every frame's durable delta for this fold, consumed by
+    ``save_state_version`` to write a delta-sized manifest snapshot."""
     config = state.config
     counts = _ensure_counts(state)
     old = state.graph
@@ -241,35 +292,38 @@ def _delta_finish(
     # the first three stored tables are key-cardinality-sized (small);
     # the refcounted name/id tables are corpus-sized and stay LAZY —
     # their update chain is map-side over the previous checkpointed state
-    prop_counts = _apply_count_delta(
+    prop_counts, prop_signed = _apply_count_delta_parts(
         old.index.prop_counts,
         prop_counts_of(removed_old),
         prop_counts_of(merged_delta),
         ["prop_key"],
         "n_values",
-    ).localCheckpoint()
-    edge_prop_counts = _apply_count_delta(
+    )
+    prop_counts = prop_counts.localCheckpoint()
+    edge_prop_counts, eprop_signed = _apply_count_delta_parts(
         old.index.edge_prop_counts,
         edge_prop_counts_of(removed_old),
         edge_prop_counts_of(merged_delta),
         ["prop_key"],
         "n_values",
-    ).localCheckpoint()
-    type_counts = _apply_count_delta(
+    )
+    edge_prop_counts = edge_prop_counts.localCheckpoint()
+    type_counts, type_signed = _apply_count_delta_parts(
         old.index.type_counts,
         type_counts_of(removed_old),
         type_counts_of(merged_delta),
         ["type"],
         "n_nodes",
-    ).localCheckpoint()
-    name_counts = _apply_count_delta(
+    )
+    type_counts = type_counts.localCheckpoint()
+    name_counts, name_signed = _apply_count_delta_parts(
         counts.name_counts,
         name_counts_of(removed_old),
         name_counts_of(merged_delta),
         ["name"],
         "n",
     )
-    id_counts = _apply_count_delta(
+    id_counts, id_signed = _apply_count_delta_parts(
         counts.id_counts,
         id_counts_of(removed_old),
         id_counts_of(merged_delta),
@@ -313,13 +367,14 @@ def _delta_finish(
         F.broadcast(persisting_t), "to_id", "left_semi"
     )
     sig_keys = ["from_sig", "edge_type", "to_sig", "ds_sig"]
-    summary = _apply_count_delta(
+    summary, summary_signed = _apply_count_delta_parts(
         old.edge_summary,
         edge_summary(e_fromR.unionByName(e_toR_only), old.nodes, small_edges=True),
         edge_summary(new_edge_rows.unionByName(kept_touch), meta, small_edges=True),
         sig_keys,
         "n_edges",
-    ).localCheckpoint()
+    )
+    summary = summary.localCheckpoint()
 
     # -- delta display types --------------------------------------------
     # display(n) = argmin over (global count(t), t) for t ∈ types(n), so
@@ -341,16 +396,14 @@ def _delta_finish(
         .distinct()
     )
     recompute_ids = _pin(cand_ids.unionAll(new_canons).distinct())
-    dtypes = old.display_types.join(
-        F.broadcast(recompute_ids.unionAll(R).distinct()),
-        "node_id",
-        "left_anti",
-    ).unionByName(
-        display_types(
-            meta.join(F.broadcast(recompute_ids), "node_id", "left_semi"),
-            type_counts,
-        )
+    dt_tomb = recompute_ids.unionAll(R).distinct()
+    dt_adds = display_types(
+        meta.join(F.broadcast(recompute_ids), "node_id", "left_semi"),
+        type_counts,
     )
+    dtypes = old.display_types.join(
+        F.broadcast(dt_tomb), "node_id", "left_anti"
+    ).unionByName(dt_adds)
 
     index = GraphIndex(
         prop_counts=prop_counts,
@@ -390,6 +443,32 @@ def _delta_finish(
         )
         .distinct()
     )
+    # -- pending ledger: this fold's durable FrameLevels -----------------
+    # Every frame here is one of the delta frames the verb already
+    # materialised (or a lazy broadcast probe over them) — persisting a
+    # level writes delta-sized data only. The clique-granular splits
+    # above are EXACTLY segment+tombstone semantics: e.g. the new merged
+    # frame ≡ (old merged − node_ids ∈ member_ids) ∪ merged_delta.
+    pending = {k: list(v) for k, v in state.pending.items()}
+    for fname, levels in (extra_levels or {}).items():
+        pending.setdefault(fname, []).extend(levels)
+    fold_levels = {
+        "merged": FrameLevel(adds=merged_delta, dels=[("node_id", member_ids)]),
+        "nodes": FrameLevel(adds=meta_delta, dels=[("node_id", R)]),
+        "edges": FrameLevel(
+            adds=new_edge_rows,
+            dels=[("from_id", R), ("to_id", vanished)],
+        ),
+        "display_types": FrameLevel(adds=dt_adds, dels=[("node_id", dt_tomb)]),
+        "prop_counts": FrameLevel(agg=prop_signed),
+        "edge_prop_counts": FrameLevel(agg=eprop_signed),
+        "type_counts": FrameLevel(agg=type_signed),
+        "name_counts": FrameLevel(agg=name_signed),
+        "id_counts": FrameLevel(agg=id_signed),
+        "edge_summary": FrameLevel(agg=summary_signed),
+    }
+    for fname, level in fold_levels.items():
+        pending.setdefault(fname, []).append(level)
     return GraphState(
         rows=all_rows,
         graph=graph,
@@ -404,6 +483,9 @@ def _delta_finish(
             "new_edge_rows": new_edge_rows,
             "removed_edge_ids": removed_edge_ids,
         },
+        base_root=state.base_root if member_ids is not None else None,
+        base_version=state.base_version if member_ids is not None else None,
+        pending=pending,
     )
 
 
@@ -623,6 +705,10 @@ def add_datasource(
     new_ids = extract_identifiers(new_rows, config)
     groups, groups_delta, member_ids = _grow_groups(old_groups, new_ids, config)
     affected = _affected_of(groups_delta, member_ids)
+    # the groups frame was split on the PRE-expansion member set (the
+    # reference expansion below re-merges rows but never re-groups) —
+    # capture it as the groups FrameLevel's tombstone
+    member_pre = member_ids
 
     # -- 2b. cross-clique reference invalidation ------------------------
     # (scan the OLD corpus only: every new-source entity's clique is
@@ -638,16 +724,27 @@ def add_datasource(
 
     # -- 4+5. delta index + materialise over the clique-granular split --
     return _delta_finish(
-        state, groups, all_rows, unchanged, removed_old, merged_delta, with_stats
+        state,
+        groups,
+        all_rows,
+        unchanged,
+        removed_old,
+        merged_delta,
+        with_stats,
+        member_ids=member_ids,
+        extra_levels={
+            "rows": [FrameLevel(adds=new_rows)],
+            "groups": [FrameLevel(adds=groups_delta, dels=[("id", member_pre)])],
+        },
     )
 
 
 def _regroup_after_removal(
     state: GraphState, remaining: DataFrame, removed: DataFrame
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The removal half of the grouping update: returns (groups,
     affected canonicals under the NEW mapping, member ids of the
-    affected old cliques).
+    affected old cliques, the re-grouped delta rows).
 
     Correctness rests on two closure facts:
 
@@ -712,7 +809,7 @@ def _regroup_after_removal(
     # several canonicals; member ids that vanished from the delta map to
     # themselves
     affected_new = _affected_of(groups_delta, member_ids)
-    return groups, affected_new, member_ids
+    return groups, affected_new, member_ids, groups_delta
 
 
 def remove_datasource(
@@ -728,7 +825,10 @@ def remove_datasource(
     remaining = state.rows.filter(F.col("datasource") != datasource)
     removed = state.rows.filter(F.col("datasource") == datasource)
 
-    groups, affected, member_ids = _regroup_after_removal(state, remaining, removed)
+    groups, affected, member_ids, groups_delta = _regroup_after_removal(
+        state, remaining, removed
+    )
+    member_pre = member_ids  # the groups split's probe set (pre-expansion)
     affected, member_ids = _expand_affected_for_references(
         remaining, state.graph.groups, groups, affected, member_ids, config
     )
@@ -736,8 +836,21 @@ def remove_datasource(
     merged_delta = _remerge(remaining, member_ids, groups, config)
     unchanged, removed_old = _split_old_merged(state.graph.merged, member_ids)
 
+    spark = state.rows.sparkSession
+    ds_key = spark.createDataFrame([(datasource,)], ["datasource"])
     return _delta_finish(
-        state, groups, remaining, unchanged, removed_old, merged_delta, with_stats
+        state,
+        groups,
+        remaining,
+        unchanged,
+        removed_old,
+        merged_delta,
+        with_stats,
+        member_ids=member_ids,
+        extra_levels={
+            "rows": [FrameLevel(dels=[("datasource", ds_key)])],
+            "groups": [FrameLevel(adds=groups_delta, dels=[("id", member_pre)])],
+        },
     )
 
 
@@ -765,7 +878,9 @@ def update_datasource(
     all_rows = remaining.unionByName(new_rows)
 
     # -- grouping phase 1: split on removal (delta-scoped CC) -----------
-    g1, _affected_r, member_r = _regroup_after_removal(state, remaining, removed)
+    g1, _affected_r, member_r, groups_delta_r = _regroup_after_removal(
+        state, remaining, removed
+    )
 
     # -- grouping phase 2: delta-scoped growth on the replacement -------
     new_ids = extract_identifiers(new_rows, config)
@@ -790,8 +905,27 @@ def update_datasource(
     merged_delta = _remerge(all_rows, member_ids, groups, config)
     unchanged, removed_old = _split_old_merged(state.graph.merged, member_ids)
 
+    spark = state.rows.sparkSession
+    ds_key = spark.createDataFrame([(datasource,)], ["datasource"])
     return _delta_finish(
-        state, groups, all_rows, unchanged, removed_old, merged_delta, with_stats
+        state,
+        groups,
+        all_rows,
+        unchanged,
+        removed_old,
+        merged_delta,
+        with_stats,
+        member_ids=member_ids,
+        extra_levels={
+            "rows": [FrameLevel(adds=new_rows, dels=[("datasource", ds_key)])],
+            # one groups level per grouping phase: split (phase 1), then
+            # growth (phase 2) — read-time folding reproduces
+            # ((old − m_r) ∪ Δ_r − m_a) ∪ Δ₂ ≡ the final groups frame
+            "groups": [
+                FrameLevel(adds=groups_delta_r, dels=[("id", member_r)]),
+                FrameLevel(adds=groups_delta2, dels=[("id", member_a)]),
+            ],
+        },
     )
 
 
@@ -819,23 +953,11 @@ _STATE_FRAMES = (
 )
 
 
-def save_state(state: GraphState, path: str) -> None:
-    """Persist the maintained state as Parquet tables under ``path`` —
-    the durable form of the checkpoint-backed side tables, one directory
-    per frame plus the config as JSON. At a production deployment the
-    node-keyed tables would be written BUCKETED (sinks/bucketed.py) so
-    the delta path's broadcast probes become co-located bucket reads;
-    plain Parquet keeps the round-trip engine-portable here.
-
-    Not transactional across frames: a crash mid-save leaves a mixed
-    snapshot. Write each snapshot to a fresh directory and publish by
-    switching a pointer (or use a table format with atomic commits)."""
-    import dataclasses
-    import json as _json
-
+def _state_frames_dict(state: GraphState) -> dict[str, DataFrame]:
+    """The twelve durable frames of a GraphState, by frame name."""
     counts = _ensure_counts(state)
     g = state.graph
-    frames = {
+    return {
         "rows": state.rows,
         "groups": g.groups,
         "merged": g.merged,
@@ -849,6 +971,68 @@ def save_state(state: GraphState, path: str) -> None:
         "display_types": g.display_types,
         "edge_summary": g.edge_summary,
     }
+
+
+def _config_from_raw(raw: dict) -> SubgraphConfig:
+    return SubgraphConfig(
+        name=raw["name"],
+        identifier_props=tuple(raw["identifier_props"]),
+        additional_equivalence_groups=tuple(
+            tuple(g) for g in raw["additional_equivalence_groups"]
+        ),
+        type_superclasses=tuple(raw["type_superclasses"]),
+        exclude_props=tuple(raw["exclude_props"]),
+        exclude_edges=tuple(raw["exclude_edges"]),
+        exclude_self_referential_edges=tuple(
+            raw["exclude_self_referential_edges"]
+        ),
+    )
+
+
+def _assemble_state(rd: dict[str, DataFrame], config: SubgraphConfig) -> GraphState:
+    """GraphState from a frame-name → DataFrame mapping (shared by the
+    flat and manifest loaders)."""
+    index = GraphIndex(
+        prop_counts=rd["prop_counts"],
+        edge_prop_counts=rd["edge_prop_counts"],
+        type_counts=rd["type_counts"],
+        names=rd["name_counts"].select("name"),
+        ids=rd["id_counts"].select("id"),
+        metadata=rd["nodes"],
+    )
+    graph = BuiltGraph(
+        groups=rd["groups"],
+        merged=rd["merged"],
+        nodes=rd["nodes"],
+        edges=rd["edges"],
+        index=index,
+        display_types=rd["display_types"],
+        edge_summary=rd["edge_summary"],
+    )
+    return GraphState(
+        rows=rd["rows"],
+        graph=graph,
+        config=config,
+        counts=IndexCounts(
+            name_counts=rd["name_counts"], id_counts=rd["id_counts"]
+        ),
+    )
+
+
+def save_state(state: GraphState, path: str) -> None:
+    """Persist the maintained state as flat Parquet tables under
+    ``path`` — the durable form of the checkpoint-backed side tables,
+    one directory per frame plus the config as JSON. The portable,
+    single-snapshot layout; ``save_state_version`` is the versioned
+    MANIFEST layout (delta-sized saves, bucketed node-keyed frames).
+
+    Not transactional across frames: a crash mid-save leaves a mixed
+    snapshot. Write each snapshot to a fresh directory and publish by
+    switching a pointer (or use a table format with atomic commits)."""
+    import dataclasses
+    import json as _json
+
+    frames = _state_frames_dict(state)
     nparts = int(
         state.rows.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )
@@ -877,69 +1061,271 @@ def load_state(spark, path: str) -> GraphState:
     raw = _json.loads(
         spark.read.json(f"{path}/config").collect()[0]["config_json"]
     )
-    config = SubgraphConfig(
-        name=raw["name"],
-        identifier_props=tuple(raw["identifier_props"]),
-        additional_equivalence_groups=tuple(
-            tuple(g) for g in raw["additional_equivalence_groups"]
-        ),
-        type_superclasses=tuple(raw["type_superclasses"]),
-        exclude_props=tuple(raw["exclude_props"]),
-        exclude_edges=tuple(raw["exclude_edges"]),
-        exclude_self_referential_edges=tuple(
-            raw["exclude_self_referential_edges"]
-        ),
-    )
     rd = {n: spark.read.parquet(f"{path}/{n}") for n in _STATE_FRAMES}
-    index = GraphIndex(
-        prop_counts=rd["prop_counts"],
-        edge_prop_counts=rd["edge_prop_counts"],
-        type_counts=rd["type_counts"],
-        names=rd["name_counts"].select("name"),
-        ids=rd["id_counts"].select("id"),
-        metadata=rd["nodes"],
+    return _assemble_state(rd, _config_from_raw(raw))
+
+
+# --- manifest snapshots ------------------------------------------------------
+#
+# A snapshot VERSION is a MANIFEST — a per-frame list of FrameLevel
+# entries pointing at immutable data directories under <root>/data/ —
+# not a directory of fresh frame copies. Saving after a fold writes ONLY
+# the fold's delta files (the pending FrameLevels) plus a new manifest;
+# every unchanged data file is SHARED across versions by reference — the
+# Iceberg/Delta snapshot shape on plain Parquet. Contrast the reference:
+# its only release mechanism rewrites every store from scratch
+# (nextflow/01_create_subgraph.nf:289-500).
+#
+# Node-keyed corpus frames (merged / nodes / edges) are written BUCKETED
+# in full saves (bucketBy via an external table, files kept in the data
+# pool): a reloaded state's node-keyed joins then plan with no Exchange
+# on the bucketed side (tests/test_state_versions.py plan gate), which
+# at 100 TB deletes the probe shuffle from every delta verb against
+# reloaded state.
+
+_AGG_FRAMES: dict[str, tuple[list[str], str]] = {
+    "prop_counts": (["prop_key"], "n_values"),
+    "edge_prop_counts": (["prop_key"], "n_values"),
+    "type_counts": (["type"], "n_nodes"),
+    "name_counts": (["name"], "n"),
+    "id_counts": (["id"], "n"),
+    "edge_summary": (["from_sig", "edge_type", "to_sig", "ds_sig"], "n_edges"),
+}
+
+_BUCKET_KEYS = {"merged": "node_id", "nodes": "node_id", "edges": "from_id"}
+N_STATE_BUCKETS = 16  # tests; a 100 TB graph would use O(10k) buckets
+
+
+def _write_text(spark, path: str, text: str) -> None:
+    from .fsutil import fs_of
+
+    jvm, fs = fs_of(spark, path)
+    out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+    out.write(bytearray(text.encode()))
+    out.close()
+
+
+def _read_text(spark, path: str) -> str | None:
+    from .fsutil import fs_of
+
+    jvm, fs = fs_of(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return bytes(stream.readAllBytes()).decode()
+    finally:
+        stream.close()
+
+
+def _try_read_manifest(spark, vdir: str) -> dict | None:
+    import json as _json
+
+    text = _read_text(spark, f"{vdir}/manifest.json")
+    return _json.loads(text) if text else None
+
+
+def _bucket_table_name(root: str, relpath: str) -> str:
+    import hashlib
+
+    return "grebi_snap_" + hashlib.md5(f"{root}/{relpath}".encode()).hexdigest()[:16]
+
+
+def _write_bucketed_seg(df: DataFrame, root: str, relpath: str, key: str) -> dict:
+    """One immutable BUCKETED segment: written through an external table
+    (files land at the segment path, the catalog entry is dropped — the
+    files are the artifact), repartitioned by the bucket key first so
+    each bucket is one file. Returns the manifest bucket spec the reader
+    uses to re-register the table."""
+    spark = df.sparkSession
+    name = _bucket_table_name(root, relpath)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.repartition(N_STATE_BUCKETS, key)
+        .write.format("parquet")
+        .bucketBy(N_STATE_BUCKETS, key)
+        .sortBy(key)
+        .option("path", f"{root}/{relpath}")
+        .mode("overwrite")
+        .saveAsTable(name)
     )
-    graph = BuiltGraph(
-        groups=rd["groups"],
-        merged=rd["merged"],
-        nodes=rd["nodes"],
-        edges=rd["edges"],
-        index=index,
-        display_types=rd["display_types"],
-        edge_summary=rd["edge_summary"],
-    )
-    return GraphState(
-        rows=rd["rows"],
-        graph=graph,
-        config=config,
-        counts=IndexCounts(
-            name_counts=rd["name_counts"], id_counts=rd["id_counts"]
-        ),
-    )
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # external: files stay
+    return {"key": key, "n": N_STATE_BUCKETS, "ddl": df.schema.toDDL()}
+
+
+def _read_bucketed_seg(spark, root: str, relpath: str, bucket: dict) -> DataFrame:
+    """Reopen a bucketed segment AS a bucketed table (re-registering the
+    external table from the manifest's spec): downstream joins keyed on
+    the bucket key then read co-located buckets with no Exchange."""
+    name = _bucket_table_name(root, relpath)
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE {name} ({bucket['ddl']}) USING parquet "
+            f"CLUSTERED BY ({bucket['key']}) SORTED BY ({bucket['key']}) "
+            f"INTO {bucket['n']} BUCKETS LOCATION '{root}/{relpath}'"
+        )
+    return spark.table(name)
+
+
+def _frame_from_levels(spark, root: str, fname: str, levels: list[dict]) -> DataFrame:
+    """Fold a frame's manifest levels back into one DataFrame.
+
+    Row frames: level i's tombstones anti-join (broadcast, delta-sized)
+    the union of levels < i, then level i's segment appends — the
+    merge-on-read plan; chain length = folds since the last full version
+    (``compact_state_versions`` resets it to 1). Count frames: per-key
+    SUM over the base counts plus every signed delta, keys ≤ 0 vanish;
+    a single level reads as a plain scan."""
+    def scan(path: str, ddl: str | None) -> DataFrame:
+        # manifest-recorded schema: no inference job, and an EMPTY
+        # segment (a bucketed writer emits no file at all for an empty
+        # frame) still reads as a typed empty scan
+        reader = spark.read.schema(ddl) if ddl else spark.read
+        return reader.parquet(f"{root}/{path}")
+
+    if fname in _AGG_FRAMES:
+        keys, n = _AGG_FRAMES[fname]
+        parts = [scan(lv["agg"], lv.get("ddl")) for lv in levels]
+        if len(parts) == 1:
+            return parts[0]
+        return (
+            reduce(DataFrame.unionByName, parts)
+            .groupBy(*keys)
+            .agg(F.sum(n).alias(n))
+            .filter(F.col(n) > 0)
+        )
+    df, cols = None, None
+    for lv in levels:
+        if df is not None:
+            for d in lv.get("dels", []):
+                col, path, ddl = d[0], d[1], (d[2] if len(d) > 2 else None)
+                df = df.join(F.broadcast(scan(path, ddl)), col, "left_anti")
+        seg = lv.get("seg")
+        if seg:
+            if lv.get("bucket") and df is None and len(levels) == 1:
+                sdf = _read_bucketed_seg(spark, root, seg, lv["bucket"])
+            else:
+                sdf = scan(seg, lv.get("ddl") or (lv.get("bucket") or {}).get("ddl"))
+            cols = cols or sdf.columns
+            df = sdf if df is None else df.unionByName(sdf)
+    # the USING anti-joins front their key column; restore base order
+    return df.select(*cols) if cols else df
+
+
+def _write_level(
+    root: str, fname: str, vname: str, j: int, lv: FrameLevel
+) -> dict:
+    """Persist one pending FrameLevel's data files (all delta-sized) and
+    return its manifest entry. mode=overwrite: a crashed uncommitted
+    save may have left an orphan directory under the same name."""
+    if lv.agg is not None:
+        rel = f"data/{fname}/agg-{vname}-{j}"
+        lv.agg.coalesce(4).write.mode("overwrite").parquet(f"{root}/{rel}")
+        return {"agg": rel, "ddl": lv.agg.schema.toDDL()}
+    dels = []
+    for col, keys_df in lv.dels:
+        rel = f"data/{fname}/del-{vname}-{j}-{col}"
+        keys = keys_df.select(F.col(keys_df.columns[0]).alias(col))
+        keys.coalesce(4).write.mode("overwrite").parquet(f"{root}/{rel}")
+        dels.append([col, rel, keys.schema.toDDL()])
+    entry: dict = {"dels": dels, "seg": None}
+    if lv.adds is not None:
+        rel = f"data/{fname}/seg-{vname}-{j}"
+        lv.adds.coalesce(8).write.mode("overwrite").parquet(f"{root}/{rel}")
+        entry["seg"] = rel
+        entry["ddl"] = lv.adds.schema.toDDL()
+    return entry
+
+
+def _write_full_level(
+    frames: dict[str, DataFrame], root: str, fname: str, vname: str, nparts: int
+) -> dict:
+    """Persist one frame in FULL as a fresh base segment (node-keyed
+    frames bucketed, count frames as absolute agg bases)."""
+    df = frames[fname]
+    if fname in _AGG_FRAMES:
+        rel = f"data/{fname}/agg-{vname}-full"
+        df.coalesce(nparts).write.mode("overwrite").parquet(f"{root}/{rel}")
+        return {"agg": rel, "ddl": df.schema.toDDL()}
+    rel = f"data/{fname}/seg-{vname}-full"
+    if fname in _BUCKET_KEYS:
+        bucket = _write_bucketed_seg(df, root, rel, _BUCKET_KEYS[fname])
+        return {"seg": rel, "dels": [], "bucket": bucket}
+    df.coalesce(nparts).write.mode("overwrite").parquet(f"{root}/{rel}")
+    return {"seg": rel, "dels": [], "ddl": df.schema.toDDL()}
 
 
 def save_state_version(state: GraphState, root: str) -> str:
-    """Durable snapshot with ATOMIC publication: write the state into a
-    fresh version directory (v1, v2, …) under ``root`` and publish it by
-    landing its _COMMITTED marker + swinging the root's CURRENT pointer —
-    the same blue/green layout the durable ANN index uses (fsutil). This
-    closes ``save_state``'s documented gap: a crash mid-save leaves the
-    previous snapshot serving; a mixed-frame snapshot is unreachable.
+    """Durable snapshot with ATOMIC publication and DELTA-SIZED cost:
+    persist the state as a new MANIFEST version (v1, v2, …) under
+    ``root`` and publish it by landing its _COMMITTED marker + swinging
+    the root's CURRENT pointer — the same blue/green layout the durable
+    ANN index uses (fsutil).
 
-    Operational shape this buys at 100 TB: every maintenance fold can
-    checkpoint cheaply (one delta-sized write per table), and a BAD DUMP
-    is undone by ``rollback_state`` — an O(1) pointer swap — instead of
-    re-running the reference's full-rebuild pipeline (the reference's
-    only recovery story for a bad release is rebuilding the graph from
-    the surviving dumps, nextflow/01_create_subgraph.nf re-runs the
-    world). Returns the published version name."""
+    When the state derives from this root's current version by folds
+    (``load_state_current`` → verbs), the save writes ONLY the pending
+    FrameLevels — each fold's delta segments, tombstone key sets, and
+    signed count deltas — and a manifest that SHARES every other data
+    file with the base version by reference. Snapshot cost tracks the
+    fold's delta, not the corpus. A from-scratch or foreign state falls
+    back to a full base write (node-keyed frames bucketed).
+
+    Operational shape at 100 TB: every maintenance fold checkpoints for
+    the price of its own delta, and a BAD DUMP is undone by
+    ``rollback_state`` — an O(1) pointer swap — instead of re-running
+    the reference's full-rebuild pipeline (the reference's only recovery
+    story for a bad release is rebuilding the graph from the surviving
+    dumps, nextflow/01_create_subgraph.nf re-runs the world). Returns
+    the published version name."""
+    import dataclasses
+    import json as _json
+
     from .fsutil import next_version, publish_version
 
     spark = state.rows.sparkSession
     vname = next_version(spark, root)
-    save_state(state, f"{root}/{vname}")
+    base_manifest = None
+    if state.base_root == root and state.base_version:
+        base_manifest = _try_read_manifest(spark, f"{root}/{state.base_version}")
+    if base_manifest is not None:
+        frames = {k: list(v) for k, v in base_manifest["frames"].items()}
+        for fname, levels in state.pending.items():
+            for j, lv in enumerate(levels):
+                frames[fname].append(_write_level(root, fname, vname, j, lv))
+        cfg = base_manifest["config_json"]
+    else:
+        fdict = _state_frames_dict(state)
+        nparts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        frames = {
+            fname: [_write_full_level(fdict, root, fname, vname, nparts)]
+            for fname in _STATE_FRAMES
+        }
+        cfg = _json.dumps(dataclasses.asdict(state.config))
+    _write_text(
+        spark,
+        f"{root}/{vname}/manifest.json",
+        _json.dumps({"config_json": cfg, "frames": frames}),
+    )
     publish_version(spark, root, vname)
+    state.base_root, state.base_version, state.pending = root, vname, {}
     return vname
+
+
+def _load_manifest_state(spark, root: str, vname: str) -> GraphState:
+    import json as _json
+
+    man = _try_read_manifest(spark, f"{root}/{vname}")
+    config = _config_from_raw(_json.loads(man["config_json"]))
+    rd = {
+        f: _frame_from_levels(spark, root, f, man["frames"][f])
+        for f in _STATE_FRAMES
+    }
+    st = _assemble_state(rd, config)
+    st.base_root, st.base_version = root, vname
+    return st
 
 
 def load_state_current(spark, root: str) -> GraphState:
@@ -948,7 +1334,10 @@ def load_state_current(spark, root: str) -> GraphState:
     flat pre-versioning layout — fsutil.resolve_version_dir)."""
     from .fsutil import resolve_version_dir
 
-    return load_state(spark, resolve_version_dir(spark, root))
+    vdir = resolve_version_dir(spark, root)
+    if _try_read_manifest(spark, vdir) is not None and vdir != root:
+        return _load_manifest_state(spark, root, vdir.rsplit("/", 1)[-1])
+    return load_state(spark, vdir)
 
 
 def load_state_version(spark, root: str, vname: str) -> GraphState:
@@ -962,7 +1351,9 @@ def load_state_version(spark, root: str, vname: str) -> GraphState:
     P = jvm.org.apache.hadoop.fs.Path
     if not fs.exists(P(f"{root}/{vname}/_COMMITTED")):
         raise ValueError(f"{root}/{vname} is not a committed snapshot")
-    return load_state(spark, f"{root}/{vname}")
+    if _try_read_manifest(spark, f"{root}/{vname}") is not None:
+        return _load_manifest_state(spark, root, vname)
+    return load_state(spark, f"{root}/{vname}")  # pre-manifest layout
 
 
 def state_version_diff(spark, root: str, va: str, vb: str) -> DataFrame:
@@ -1005,10 +1396,50 @@ def rollback_state(spark, root: str) -> str:
 
 def prune_state_versions(spark, root: str) -> int:
     """Delete every snapshot version except CURRENT's — run once old
-    readers are drained. Returns the number of versions removed."""
-    from .fsutil import prune_versions
+    readers are drained. Returns the number of version directories
+    removed.
 
-    return prune_versions(spark, root)
+    With manifest versions this is a REACHABILITY sweep, not a directory
+    delete: version directories hold only manifests, and data files are
+    shared across versions, so after dropping the retired manifests every
+    data directory referenced by NO retained manifest is garbage and is
+    deleted (the Iceberg expire-snapshots shape). Files the kept version
+    references are never touched — time-travel reads of the kept version
+    stay isolated across the prune."""
+    from .fsutil import fs_of, hadoop_ls, prune_versions, resolve_version_dir
+
+    removed = prune_versions(spark, root)
+    kept = _try_read_manifest(spark, resolve_version_dir(spark, root))
+    if kept is None:
+        return removed  # pre-manifest layout: directory prune was complete
+    referenced = set()
+    for levels in kept["frames"].values():
+        for lv in levels:
+            for key in ("seg", "agg"):
+                if lv.get(key):
+                    referenced.add(lv[key])
+            for _col, path in lv.get("dels", []):
+                referenced.add(path)
+    jvm, fs = fs_of(spark, root)
+    for frame_dir in hadoop_ls(spark, f"{root}/data", dirs_only=True):
+        fname = frame_dir.getPath().getName()
+        for seg in hadoop_ls(spark, frame_dir.getPath(), dirs_only=True):
+            rel = f"data/{fname}/{seg.getPath().getName()}"
+            if rel not in referenced:
+                fs.delete(seg.getPath(), True)
+    return removed
+
+
+def compact_state_versions(spark, root: str) -> str:
+    """Rewrite the CURRENT version as a fresh FULL base (one segment per
+    frame, node-keyed frames re-bucketed) and publish it — the major
+    compaction that resets every frame's level chain to length 1. Run it
+    every N folds or when merge-on-read amplification shows; a following
+    ``prune_state_versions`` then reclaims the superseded delta files.
+    Values are untouched (suite-asserted)."""
+    st = load_state_current(spark, root)
+    st.base_root = st.base_version = None  # force the full-base path
+    return save_state_version(st, root)
 
 
 def compact_state(state: GraphState) -> GraphState:
@@ -1071,4 +1502,10 @@ def compact_state(state: GraphState) -> GraphState:
         graph=graph,
         config=state.config,
         counts=IndexCounts(name_counts=name_counts, id_counts=id_counts),
+        # compaction changes plans, not values: the manifest provenance
+        # (and the pending FrameLevels, themselves checkpoint-backed)
+        # stay valid relative to the same base version
+        base_root=state.base_root,
+        base_version=state.base_version,
+        pending={k: list(v) for k, v in state.pending.items()},
     )

@@ -186,3 +186,133 @@ def test_rollback_on_flat_layout_raises(spark):
     root = tempfile.mkdtemp(prefix="grebi_state_flat_")
     with pytest.raises(ValueError):
         rollback_state(spark, root)
+
+
+@pytest.fixture(scope="module")
+def mroot(spark):
+    """A second, never-pruned v1(full) -> fold -> v2(delta) root for the
+    manifest-property tests (the lifecycle fixture's root is pruned by
+    the pointer-lifecycle test)."""
+    from grebi_spark.incremental import add_datasource, build_graph_stateful
+
+    a, b = _tiny_sources(spark)
+    root = tempfile.mkdtemp(prefix="grebi_state_manifest_")
+    s1 = build_graph_stateful([a], CONFIG)
+    save_state_version(s1, root)
+    s2 = add_datasource(s1, b)
+    save_state_version(s2, root)
+    return {"root": root, "s2": s2}
+
+
+def _rows_canon(df):
+    """Order-free canonical form of any frame (arrays -> sorted tuples)."""
+
+    def norm(v):
+        if isinstance(v, list):
+            return tuple(sorted(map(str, v)))
+        return v
+
+    return sorted(
+        tuple(norm(v) for v in row) for row in df.collect()
+    ), sorted(df.columns)
+
+
+def test_delta_save_shares_base_files_and_writes_only_deltas(spark, mroot):
+    """The manifest contract: v2 (one fold after v1) must reference v1's
+    base segments BY PATH — no corpus frame is rewritten — and every
+    data directory new in v2 must be a v2-named delta artifact
+    (seg/del/agg). This is the property that makes snapshot cost track
+    the fold's delta instead of the corpus (the full-corpus-rewrite
+    snapshot was round 6's one surviving scale-killer)."""
+    import json
+
+    root = mroot["root"]
+    m1 = json.load(open(os.path.join(root, "v1", "manifest.json")))
+    m2 = json.load(open(os.path.join(root, "v2", "manifest.json")))
+    for fname, levels1 in m1["frames"].items():
+        levels2 = m2["frames"][fname]
+        # v1's levels are a shared prefix of v2's: same paths, no copies
+        assert levels2[: len(levels1)] == levels1, fname
+        assert len(levels2) > len(levels1), f"{fname}: fold added no level"
+        for lv in levels2[len(levels1):]:
+            for key in ("seg", "agg"):
+                if lv.get(key):
+                    assert "-v2-" in lv[key], lv[key]
+            for d in lv.get("dels", []):
+                assert "-v2-" in d[1], d[1]
+
+
+def test_all_frames_roundtrip_through_delta_manifest(spark, mroot):
+    """Every one of the 12 durable frames — row frames via
+    segment+tombstone folding, count frames via signed-delta summation —
+    must reload from the DELTA manifest value-identical to the live
+    maintained state."""
+    from grebi_spark.incremental import (
+        _STATE_FRAMES,
+        _state_frames_dict,
+        load_state_version,
+    )
+
+    live = _state_frames_dict(mroot["s2"])
+    reloaded = _state_frames_dict(
+        load_state_version(spark, mroot["root"], "v2")
+    )
+    for fname in _STATE_FRAMES:
+        assert _rows_canon(reloaded[fname]) == _rows_canon(live[fname]), fname
+
+
+def test_reloaded_state_bucketed_join_plans_no_exchange(spark, mroot):
+    """The bucketed-durable-state gate: a node-keyed join between two
+    reloaded node-keyed frames (merged ⋈ nodes, both bucketed by node_id
+    in the full base) must plan with NO Exchange on either side even
+    with broadcast disabled — the layout that deletes the probe shuffle
+    from every delta verb against reloaded state at 100 TB."""
+    from grebi_spark.incremental import load_state_version
+
+    st = load_state_version(spark, mroot["root"], "v1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = st.graph.merged.join(
+            st.graph.nodes.select("node_id", "types"), "node_id"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == st.graph.merged.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_compact_state_versions_resets_chains_and_prune_reclaims(spark):
+    """Major compaction: rewrite CURRENT as a fresh full base (chain
+    length 1 per frame), value-identical; a following prune sweeps every
+    data directory the retained manifest no longer references."""
+    import json
+
+    from grebi_spark.incremental import (
+        add_datasource,
+        build_graph_stateful,
+        compact_state_versions,
+        load_state_current,
+        prune_state_versions,
+        save_state_version,
+    )
+
+    a, b = _tiny_sources(spark)
+    root = tempfile.mkdtemp(prefix="grebi_state_compact_")
+    s1 = build_graph_stateful([a], CONFIG)
+    save_state_version(s1, root)
+    s2 = add_datasource(s1, b)
+    save_state_version(s2, root)
+    before = _canon(load_state_current(spark, root).graph.merged)
+
+    v3 = compact_state_versions(spark, root)
+    m3 = json.load(open(os.path.join(root, v3, "manifest.json")))
+    assert all(len(levels) == 1 for levels in m3["frames"].values())
+    assert _canon(load_state_current(spark, root).graph.merged) == before
+
+    prune_state_versions(spark, root)
+    # reachability sweep: only v3's full segments survive in the pool
+    for fname in m3["frames"]:
+        segs = os.listdir(os.path.join(root, "data", fname))
+        assert all(f"-{v3}-" in s for s in segs), (fname, segs)
+    assert _canon(load_state_current(spark, root).graph.merged) == before

@@ -19,14 +19,16 @@ Route parity (reference file:line):
 ========================================================  =============
 
 Scope note: the reference serves these from Solr/Neo4j/RocksDB builds;
-this facade serves them straight from the engine's DataFrames — the
-correct shape for an analytics cluster's driver-side endpoint (each
-request runs a bounded Spark job: page-sized limits, broadcast-probe
-lookups). A production serving tier would point the same handlers at
-the engine's exported artifacts (sinks/solr_jsonl, sinks/kv,
-sinks/neo4j_csv) instead; the HANDLER semantics — scoring, paging,
-facets, hydration — are the engine functions either way, which is what
-this module proves.
+this facade serves them from the engine's artifacts where an executed
+store exists — /search and /suggest read the MAINTAINED segment/
+tombstone search core when one is configured (``solr_cores``, matching
+GrebiApi's Solr-backed read path), /resolve and edge hydration read the
+executed sqlite KV (``kv_stores``, the resolver-service shape) — and
+falls back to the built DataFrames otherwise (the correct shape for an
+analytics cluster's driver-side endpoint: each request runs a bounded
+Spark job with page-sized limits and broadcast-probe lookups). The
+HANDLER semantics — scoring, paging, facets, hydration — are the same
+engine functions either way, suite-asserted value-identical.
 
 Stdlib-only by design (http.server + ThreadingHTTPServer): the
 container has no web framework, and the surface is nine GET routes.
@@ -171,6 +173,7 @@ class GrebiApiServer:
         host: str = "127.0.0.1",
         port: int = 0,
         kv_stores: dict[str, str] | None = None,
+        solr_cores: dict[str, str] | None = None,
     ):
         """``kv_stores`` maps subgraph name → a sqlite store built by
         ``sinks.kv.build_kv_store``. When present for a subgraph, the
@@ -178,12 +181,36 @@ class GrebiApiServer:
         (the reference's resolver-service shape: RocksDB multiGet, no
         query engine on the hot path) and edge pages hydrate each
         edge's stored JSON from it — the production serving wiring the
-        module docstring promises, exercised behind this flag."""
+        module docstring promises, exercised behind this flag.
+
+        ``solr_cores`` maps subgraph name → an executed search-core root
+        (``sinks.solr_jsonl.build_solr_core`` / ``refresh_solr_core``).
+        When present, /search and /suggest serve from the MAINTAINED
+        core's live documents — the reference's actual read path
+        (GrebiApi.java:185-227 queries Solr, the incrementally refreshed
+        store, never the graph build): a maintenance fold +
+        ``refresh_solr_core`` changes what /search returns with no frame
+        rebuild. Responses are value-identical to the frame-backed
+        handlers (suite-asserted); subgraphs without a core fall back to
+        the frames."""
         self.graphs = graphs
         self.kv_stores = kv_stores or {}
+        self.solr_cores = solr_cores or {}
         self._host, self._port = host, port
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+
+    def _core_docs(self, subgraph: str):
+        """Live documents of the subgraph's maintained core, re-resolved
+        per request so a refresh between requests is immediately
+        visible (the segment list is the core's publication point)."""
+        root = self.solr_cores.get(subgraph)
+        if not root:
+            return None
+        from ..sinks.solr_jsonl import read_solr_core
+
+        spark = self.graphs[subgraph].nodes.sparkSession
+        return read_solr_core(spark, root)
 
     # --- routing -----------------------------------------------------
 
@@ -245,17 +272,33 @@ class GrebiApiServer:
                     for k, vs in query.items()
                     if k not in reserved
                 )
-                page_df, facets = search_nodes(
-                    g,
-                    g1("q", ""),
-                    page=page,
-                    size=size,
-                    type_filter=g1("type"),
-                    facet_fields=tuple(query.get("facet", [])),
-                    filters=filters,
-                    exclude_obsolete=g1("includeObsoleteEntries", "false")
-                    != "true",
-                )
+                core_docs = self._core_docs(rest[1])
+                if core_docs is not None:
+                    from ..sinks.solr_jsonl import search_core_docs
+
+                    page_df, facets = search_core_docs(
+                        core_docs,
+                        g1("q", ""),
+                        page=page,
+                        size=size,
+                        type_filter=g1("type"),
+                        facet_fields=tuple(query.get("facet", [])),
+                        filters=filters,
+                        exclude_obsolete=g1("includeObsoleteEntries", "false")
+                        != "true",
+                    )
+                else:
+                    page_df, facets = search_nodes(
+                        g,
+                        g1("q", ""),
+                        page=page,
+                        size=size,
+                        type_filter=g1("type"),
+                        facet_fields=tuple(query.get("facet", [])),
+                        filters=filters,
+                        exclude_obsolete=g1("includeObsoleteEntries", "false")
+                        != "true",
+                    )
                 body = _page_envelope(_rows(page_df), page, size)
                 if facets:
                     body["facetFieldsToCounts"] = {
@@ -264,6 +307,14 @@ class GrebiApiServer:
                     }
                 return 200, body
             if tail == ["suggest"]:
+                core_docs = self._core_docs(rest[1])
+                if core_docs is not None:
+                    from ..sinks.solr_jsonl import suggest_core_docs
+
+                    return 200, [
+                        r["name"]
+                        for r in _rows(suggest_core_docs(core_docs, g1("q", "")))
+                    ]
                 return 200, [r["name"] for r in _rows(suggest(g, g1("q", "")))]
             if len(tail) == 2 and tail[0] == "resolve":
                 kv = self.kv_stores.get(rest[1])

@@ -1577,6 +1577,60 @@ def kv_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _refreshed_core_root(spark: SparkSession, sf_dir: str) -> str:
+    """One maintained search core per (session, sf_dir): built from the
+    PRE-verb 'base' state, then delta-refreshed with the add verb — the
+    shared serving artifact behind ``solr_refresh_roundtrip`` (doc
+    profile) and ``core_search_serving`` (the /search read path)."""
+    import tempfile
+
+    from ..sinks.solr_jsonl import build_solr_core, refresh_solr_core
+
+    key = f"solrcoreroot:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _INC_CACHE:
+        base = _inc_state(spark, sf_dir, "base")
+        root = tempfile.mkdtemp(prefix="grebi_solrcore_")
+        build_solr_core(
+            base.graph.merged, base.graph.nodes, base.graph.edges, root
+        )
+        refresh_solr_core(spark, _inc_state(spark, sf_dir, "full"), root)
+        _INC_CACHE[key] = root
+    return _INC_CACHE[key]
+
+
+def core_search_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 SERVED FROM THE MAINTAINED CORE — the reference's actual read
+    path (GrebiApi.java:185-227 queries Solr, the incrementally
+    refreshed store, never the graph build): page 1 (size 5) of
+    /search?q=n:1 over the delta-refreshed segment/tombstone core's
+    live documents, id-contains scoring, node_id tiebreak. The facade's
+    /search serves exactly this when a core is configured
+    (api.http_api, ``solr_cores``); the oracle renders the same page
+    from the from-scratch post-verb graph, so a stale segment, an
+    uncovered tombstone, or a scoring drift all hash-mismatch."""
+    from ..sinks.solr_jsonl import read_solr_core, search_core_docs
+
+    docs = read_solr_core(spark, _refreshed_core_root(spark, sf_dir))
+    page, _facets = search_core_docs(docs, "n:1", page=1, size=5)
+    return page.select(
+        "node_id",
+        F.array_join("types", ",").alias("types"),
+        F.array_join("names", ",").alias("names"),
+        F.col("score").cast("long").alias("score"),
+    )
+
+
+ORACLE_CORE_SEARCH = """
+SELECT node_id, types, names, score FROM (
+  SELECT 'n:' || n_nationkey::varchar AS node_id,
+         'geo:Nation' AS types, n_name AS names, 1000::bigint AS score
+  FROM nation
+  WHERE contains('n:' || n_nationkey::varchar, 'n:1')
+) ORDER BY score DESC, node_id
+LIMIT 5 OFFSET 5
+"""
+
+
 def solr_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-tier maintenance, driver-visible and EXECUTED: build the
     segment/tombstone search core (sinks.solr_jsonl.build_solr_core)
@@ -1591,23 +1645,13 @@ def solr_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta refresh, the search core only emitted doc sets. The reference
     instead re-imports the whole core per release
     (07_create_db/solr/solr_import.dockerpy:50-90)."""
-    import tempfile
-
-    from ..sinks.solr_jsonl import (
-        build_solr_core,
-        read_solr_core,
-        refresh_solr_core,
-    )
+    from ..sinks.solr_jsonl import read_solr_core
 
     key = f"solrrefresh:{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _INC_CACHE:
         return _INC_CACHE[key]
 
-    base = _inc_state(spark, sf_dir, "base")
-    root = tempfile.mkdtemp(prefix="grebi_solrcore_")
-    build_solr_core(base.graph.merged, base.graph.nodes, base.graph.edges, root)
-    refresh_solr_core(spark, _inc_state(spark, sf_dir, "full"), root)
-    live = read_solr_core(spark, root, "nodes")
+    live = read_solr_core(spark, _refreshed_core_root(spark, sf_dir), "nodes")
     out = (
         live.select(
             F.col("grebi__nodeId").alias("node_id"),
@@ -1671,6 +1715,7 @@ QUERIES = {
     "graph_maintenance_stream_verbs": graph_maintenance_stream_verbs,
     "kv_refresh_roundtrip": kv_refresh_roundtrip,
     "solr_refresh_roundtrip": solr_refresh_roundtrip,
+    "core_search_serving": core_search_serving,
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
     "incremental_persist_roundtrip": incremental_persist_roundtrip,
     "state_rollback_roundtrip": state_rollback_roundtrip,
@@ -1704,6 +1749,7 @@ ORACLES = {
     "graph_maintenance_stream_verbs": ORACLE_INC_UPDATE_MERGED,
     "kv_refresh_roundtrip": ORACLE_MERGE_NODES,
     "solr_refresh_roundtrip": ORACLE_SOLR_REFRESH,
+    "core_search_serving": ORACLE_CORE_SEARCH,
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
     "incremental_persist_roundtrip": ORACLE_INC_FUSE_MERGED,
     "state_rollback_roundtrip": ORACLE_MERGE_NODES,

@@ -304,6 +304,94 @@ def read_solr_core(spark, root: str, kind: str = "nodes"):
     return live.drop("__seg")
 
 
+def search_core_docs(
+    docs: DataFrame,
+    q: str,
+    page: int = 0,
+    size: int = 10,
+    type_filter: str | None = None,
+    facet_fields: tuple[str, ...] = (),
+    filters: tuple[tuple[str, tuple[str, ...], bool], ...] = (),
+    exclude_obsolete: bool = True,
+):
+    """Q6 over the MAINTAINED core's documents — the reference's actual
+    read path: GrebiApi's /search queries Solr, the incrementally
+    refreshed store (GrebiApi.java:185-227), not the graph build. Same
+    semantics as plans.graph_queries.search_nodes (id beats name
+    scoring, OR-within/AND-across WHOLE_FIELD filters, negation, the
+    always-on obsolete exclusion, multi-select faceting where tagged
+    filters are excluded from facet counts) — value-identical output,
+    suite-asserted — but every predicate reads the flat doc's own
+    ``fields`` map: a point filter needs no join against the merged
+    long table, which is exactly why the reference fronts its graph
+    with a search core."""
+    ql = (q or "").lower()
+    if type_filter:
+        docs = docs.filter(F.array_contains("grebi__type", type_filter))
+    id_hit = F.when(F.lower(F.col("grebi__nodeId")).contains(ql), 1000).otherwise(0)
+    name_hit = F.when(
+        F.exists("grebi__name", lambda n: F.lower(n).contains(ql)), 900
+    ).otherwise(0)
+    scored = docs.withColumn("score", id_hit + name_hit).filter(F.col("score") > 0)
+
+    def apply(df: DataFrame, prop: str, values: tuple[str, ...], negate: bool):
+        if prop == "types":
+            vals = F.col("grebi__type")
+        elif prop == "datasources":
+            vals = F.col("grebi__datasources")
+        else:
+            vals = F.coalesce(
+                F.col("fields").getItem(prop.replace(":", "__")),
+                F.array().cast("array<string>"),
+            )
+        hit = F.arrays_overlap(vals, F.array(*[F.lit(v) for v in values]))
+        return df.filter(~hit if negate else hit)
+
+    all_filters = list(filters)
+    if exclude_obsolete:
+        all_filters.append(("ols:isObsolete", ("true",), True))
+    base = scored
+    for prop, values, negate in all_filters:
+        if prop not in facet_fields:
+            base = apply(base, prop, values, negate)
+    paged = base
+    for prop, values, negate in all_filters:
+        if prop in facet_fields:
+            paged = apply(paged, prop, values, negate)
+    page_df = (
+        paged.orderBy(F.desc("score"), "grebi__nodeId")
+        .offset(page * size)
+        .limit(size)
+        .select(
+            F.col("grebi__nodeId").alias("node_id"),
+            F.col("grebi__type").alias("types"),
+            F.col("grebi__name").alias("names"),
+            "score",
+        )
+    )
+    core_col = {"types": "grebi__type", "datasources": "grebi__datasources"}
+    facets = {
+        f: base.select(F.explode(core_col[f]).alias("value")).groupBy("value").count()
+        for f in facet_fields
+        if f in core_col
+    }
+    return page_df, facets
+
+
+def suggest_core_docs(docs: DataFrame, q: str, size: int = 10) -> DataFrame:
+    """Q7 autocomplete over the maintained core's name field — the
+    engine-side twin of the exported autocomplete core's suggester
+    (GrebiApi.java:228), same ranking as the frame-backed suggest."""
+    ql = (q or "").lower()
+    return (
+        docs.select(F.explode("grebi__name").alias("name"))
+        .filter(F.lower(F.col("name")).startswith(ql))
+        .distinct()
+        .orderBy(F.length("name"), "name")
+        .limit(size)
+    )
+
+
 def compact_solr_core(spark, root: str) -> int:
     """Segment merge (Lucene's background compaction): fold every
     segment's live docs into a fresh segment 0 and drop the tombstones.

@@ -239,3 +239,80 @@ def test_summary_routes_match_index_aggregates(server, graph):  # noqa: F811
     st, all_docs = _get(server, "/api/v1/summaries")
     assert st == 200 and set(all_docs) == {"main"}
     assert all_docs["main"] == doc
+
+
+@pytest.fixture(scope="module")
+def core_stack(spark):
+    """A maintained search core fronting the facade: graph state s1 →
+    build_solr_core → server configured with solr_cores. The test then
+    FOLDS a verb and refreshes the core — /search must change with no
+    frame rebuild (the reference's read path: GrebiApi queries Solr,
+    the incrementally refreshed store, GrebiApi.java:185-227)."""
+    import tempfile
+
+    from grebi_spark.incremental import build_graph_stateful
+    from grebi_spark.sinks.solr_jsonl import build_solr_core
+
+    from .test_pipeline import CONFIG
+    from .test_state_versions import _tiny_sources
+
+    a, b = _tiny_sources(spark)
+    s1 = build_graph_stateful([a], CONFIG)
+    root = tempfile.mkdtemp(prefix="grebi_core_api_")
+    build_solr_core(s1.graph.merged, s1.graph.nodes, s1.graph.edges, root)
+    srv = GrebiApiServer(
+        {"main": s1.graph}, solr_cores={"main": root}
+    ).start()
+    yield {"srv": srv, "s1": s1, "b": b, "root": root}
+    srv.stop()
+
+
+def test_core_backed_search_matches_frame_backed(core_stack):
+    """Value identity: the core-served /search and /suggest responses
+    must equal the frame-served ones over the same graph."""
+    frame_srv = GrebiApiServer({"main": core_stack["s1"].graph}).start()
+    try:
+        for path in (
+            "/api/v1/subgraphs/main/search?q=one&facet=types",
+            "/api/v1/subgraphs/main/search?q=x:&size=5",
+            "/api/v1/subgraphs/main/suggest?q=t",
+        ):
+            st_c, core_body = _get(core_stack["srv"], path)
+            st_f, frame_body = _get(frame_srv, path)
+            assert (st_c, core_body) == (st_f, frame_body), path
+    finally:
+        frame_srv.stop()
+
+
+def test_fold_plus_core_refresh_changes_search_without_frame_rebuild(
+    spark, core_stack
+):
+    """The serving loop: before the fold the core doesn't know x:3;
+    after add_datasource + refresh_solr_core the SAME server (still
+    holding the OLD s1 frames) serves it — proving /search reads the
+    maintained executed core, not the frames — and the refreshed answer
+    is value-identical to a frame-backed server over the folded graph."""
+    from grebi_spark.incremental import add_datasource
+    from grebi_spark.sinks.solr_jsonl import refresh_solr_core
+
+    srv = core_stack["srv"]
+    st, body = _get(srv, "/api/v1/subgraphs/main/search?q=three")
+    assert st == 200 and body["numElements"] == 0
+
+    s2 = add_datasource(core_stack["s1"], core_stack["b"])
+    refresh_solr_core(spark, s2, core_stack["root"])
+
+    st, body = _get(srv, "/api/v1/subgraphs/main/search?q=three")
+    assert st == 200 and body["numElements"] == 1
+    assert body["elements"][0]["node_id"] == "x:3"
+
+    frame_srv = GrebiApiServer({"main": s2.graph}).start()
+    try:
+        _, frame_body = _get(frame_srv, "/api/v1/subgraphs/main/search?q=three")
+        assert body == frame_body
+        # suggest follows the refreshed core too
+        _, names = _get(srv, "/api/v1/subgraphs/main/suggest?q=thr")
+        _, fnames = _get(frame_srv, "/api/v1/subgraphs/main/suggest?q=thr")
+        assert names == fnames == ["three"]
+    finally:
+        frame_srv.stop()

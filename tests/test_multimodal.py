@@ -56,3 +56,50 @@ def test_sample_frames_default_stride(spark):
     df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
     rows = sample_frames(df).collect()
     assert sorted(r["frame_idx"] for r in rows) == [0, FRAME_STRIDE, 2 * FRAME_STRIDE]
+
+
+def test_png_pixel_decode_is_bit_exact_across_all_filters(spark):
+    """The stdlib pixel decode must invert every PNG scanline filter
+    (the fixture varies the filter per row: None/Sub/Up/Average/Paeth)
+    and reproduce the closed-form pixel function exactly."""
+    from grebi_spark.functions.multimodal import build_png_rgb, decode_png_pixels
+
+    for d in (0, 1, 2, 3, 4, 37, 1001):
+        s = decode_png_pixels(build_png_rgb(d))
+        w, h = 4 + d % 8, 4 + (d * 3) % 8
+        exp = [
+            (d * 31 + y * 17 + x * 7 + c * 13) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        ]
+        assert (s["width"], s["height"]) == (w, h)
+        assert s["pixel_sum"] == sum(exp)
+        assert (s["pixel_min"], s["pixel_max"]) == (min(exp), max(exp))
+
+
+def test_png_pixel_decode_rejects_unsupported_honestly(spark):
+    """Outside the implemented envelope (8-bit RGB/RGBA, no interlace)
+    the decoder must still raise, not silently mis-decode."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from grebi_spark.functions.multimodal import _PNG_SIG, decode_png_pixels
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth: honest NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(bad)
+    with pytest.raises(ValueError):
+        decode_png_pixels(b"not a png at all")

@@ -138,6 +138,77 @@ def _artifact_listing(out_dir: str) -> list[str]:
     )
 
 
+def make_multi_release(
+    spark,
+    subgraphs: dict[str, dict],
+    out_dir: str,
+    kv_shards: int = 4,
+) -> dict:
+    """Multi-subgraph release orchestration — the reference's top-level
+    driver loop (scripts/dataload.py:13-16 iterates GREBI_CONFIG's
+    ``subgraphs`` and launches one build DAG per name) as one call:
+    every subgraph builds from its own datasource configs + engine
+    config into ``out_dir/<name>/`` (a full ``make_release`` each), and
+    a root ``metadata.json`` records the subgraph universe — the
+    handoff a multi-graph service map loads.
+
+    ``subgraphs`` maps name → spec with:
+      * ``config``: the subgraph's SubgraphConfig;
+      * ``datasource_configs``: datasource YAML paths (the reference's
+        configs/datasource_configs shape, run through S13's driver); and/or
+      * ``sources``: already-ingested long-row DataFrames.
+
+    Returns {"metadata", "manifests", "graphs"} — feed ``graphs`` +
+    ``out_dir`` to ``release_server`` to serve every subgraph from its
+    own maintained artifacts."""
+    from .pipeline import build_graph
+    from .sources.datasources import load_datasource_config, run_ingest_job
+
+    releases, graphs = {}, {}
+    for name in sorted(subgraphs):
+        spec = subgraphs[name]
+        sources = list(spec.get("sources") or [])
+        for cfg_path in spec.get("datasource_configs", ()):
+            for job in load_datasource_config(cfg_path):
+                sources.append(run_ingest_job(spark, job, subgraph=name))
+        graph = build_graph(sources, spec["config"])
+        releases[name] = make_release(
+            graph, os.path.join(out_dir, name), name=name, kv_shards=kv_shards
+        )
+        graphs[name] = graph
+    metadata = {
+        "subgraphs": sorted(subgraphs),
+        "releases": {
+            n: {"n_nodes": m["n_nodes"], "n_edges": m["n_edges"]}
+            for n, m in releases.items()
+        },
+    }
+    with open(os.path.join(out_dir, "metadata.json"), "w") as fh:
+        json.dump(metadata, fh, indent=1)
+    return {"metadata": metadata, "manifests": releases, "graphs": graphs}
+
+
+def release_server(graphs: dict, out_dir: str, **kwargs):
+    """The facade over a (multi-)release root: each subgraph's /search
+    and /suggest serve its MAINTAINED solr core, /resolve and edge
+    hydration its executed KV store — one service map across every
+    subgraph (``/summaries`` aggregates them, GrebiSummarySvc.java:34).
+    Call ``.start()`` on the result."""
+    from .api.http_api import GrebiApiServer
+
+    kv_stores, solr_cores = {}, {}
+    for name in graphs:
+        kv = os.path.join(out_dir, name, "kv", "store.sqlite")
+        if os.path.exists(kv):
+            kv_stores[name] = kv
+        core = os.path.join(out_dir, name, "solr", "core")
+        if os.path.isdir(core):
+            solr_cores[name] = core
+    return GrebiApiServer(
+        graphs, kv_stores=kv_stores, solr_cores=solr_cores, **kwargs
+    )
+
+
 def refresh_release(state, out_dir: str, kv_shards: int = 4) -> dict:
     """Delta-maintain an existing release after an incremental verb:
     upsert the verb's delta into the EXECUTED serving halves — the KV

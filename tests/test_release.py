@@ -87,3 +87,83 @@ def test_refresh_release_after_verb(spark, tmp_path):
     assert manifest["refreshes"] == 1
     # the recounted KV rows reconcile against the refreshed store
     assert manifest["n_kv_rows"] >= 3
+
+
+def test_multi_subgraph_release_and_service_map(spark, tmp_path):
+    """The reference's top-level driver loop (scripts/dataload.py:13-16)
+    end to end: TWO config-driven subgraphs → one make_multi_release
+    root → the root metadata lists both, each subgraph has a full
+    release directory, and one facade serves both — /subgraphs,
+    /summaries across them, and per-subgraph /search from each
+    subgraph's OWN maintained core."""
+    import urllib.request
+
+    from grebi_spark.config import SubgraphConfig
+    from grebi_spark.release import make_multi_release, release_server
+
+    def write_ds(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "data.jsonl").write_text(
+            "\n".join(json.dumps(r) for r in rows) + "\n"
+        )
+        cfg = tmp_path / f"{name}.yaml"
+        cfg.write_text(
+            f"name: {name}\nenabled: true\ningests:\n"
+            f"  - globs: [\"{d}/*.jsonl\"]\n"
+            f"    command: 'grebi_transform_jsonl'\n"
+        )
+        return str(cfg)
+
+    genes_cfg = write_ds(
+        "genes",
+        [
+            {"id": "g:1", "grebi:type": ["t:Gene"], "grebi:name": ["alpha"]},
+            {"id": "g:2", "grebi:type": ["t:Gene"], "grebi:name": ["beta"]},
+        ],
+    )
+    drugs_cfg = write_ds(
+        "drugs",
+        [{"id": "d:1", "grebi:type": ["t:Drug"], "grebi:name": ["gamma"]}],
+    )
+
+    out = str(tmp_path / "multirel")
+    cfg = SubgraphConfig(identifier_props=("id",), exclude_edges=("id",))
+    result = make_multi_release(
+        spark,
+        {
+            "genes_kg": {"config": cfg, "datasource_configs": [genes_cfg]},
+            "drugs_kg": {"config": cfg, "datasource_configs": [drugs_cfg]},
+        },
+        out,
+    )
+    meta = json.load(open(os.path.join(out, "metadata.json")))
+    assert meta["subgraphs"] == ["drugs_kg", "genes_kg"]
+    assert meta["releases"]["genes_kg"]["n_nodes"] == 2
+    assert meta["releases"]["drugs_kg"]["n_nodes"] == 1
+    for name in ("genes_kg", "drugs_kg"):
+        sub = json.load(open(os.path.join(out, name, "metadata.json")))
+        assert sub["subgraph_name"] == name
+
+    srv = release_server(result["graphs"], out).start()
+    try:
+        def get(path):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}{path}", timeout=120
+            ) as r:
+                return json.loads(r.read())
+
+        assert get("/api/v1/subgraphs") == ["drugs_kg", "genes_kg"]
+        summaries = get("/api/v1/summaries")
+        assert set(summaries) == {"drugs_kg", "genes_kg"}
+        assert summaries["genes_kg"]["subgraph_name"] == "genes_kg"
+        # per-subgraph search serves from each subgraph's own core
+        hits = get("/api/v1/subgraphs/genes_kg/search?q=alpha")
+        assert [e["node_id"] for e in hits["elements"]] == ["g:1"]
+        assert get("/api/v1/subgraphs/drugs_kg/search?q=alpha")["numElements"] == 0
+        hits = get("/api/v1/subgraphs/drugs_kg/search?q=gamma")
+        assert [e["node_id"] for e in hits["elements"]] == ["d:1"]
+        # KV-backed resolve works per subgraph
+        assert get("/api/v1/subgraphs/genes_kg/resolve/g:2")
+    finally:
+        srv.stop()

@@ -121,8 +121,9 @@ def main() -> None:
             merged = compact_solr_core(spark, core)
             note = f"compacted state + {merged} solr segs in {time.time()-t:.1f}s"
             # durable checkpoint cadence: one versioned snapshot per
-            # compaction window (a full-table write — the price of a
-            # replayless restore point; rollback to it is O(1))
+            # compaction window — a MANIFEST save: the window's pending
+            # FrameLevels (delta-sized) + a manifest sharing everything
+            # else with the previous version; rollback to it is O(1)
             t = time.time()
             vname = save_state_version(state, f"{work}/snapshots")
             note += f"; snapshot {vname} in {time.time()-t:.1f}s"

@@ -316,3 +316,17 @@ def test_compact_state_versions_resets_chains_and_prune_reclaims(spark):
         segs = os.listdir(os.path.join(root, "data", fname))
         assert all(f"-{v3}-" in s for s in segs), (fname, segs)
     assert _canon(load_state_current(spark, root).graph.merged) == before
+
+
+def test_delta_manifest_read_plans_broadcast_antis_only(spark, mroot):
+    """The merge-on-read chain's shuffle contract: reading a frame from
+    a DELTA manifest (base segment + fold level) must apply tombstones
+    as BROADCAST anti-joins — no sort-merge join, no Exchange of the
+    corpus side introduced by the level folding."""
+    from grebi_spark.incremental import load_state_version
+
+    st = load_state_version(spark, mroot["root"], "v2")
+    plan = st.graph.merged._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

@@ -1418,8 +1418,8 @@ def prune_state_versions(spark, root: str) -> int:
             for key in ("seg", "agg"):
                 if lv.get(key):
                     referenced.add(lv[key])
-            for _col, path in lv.get("dels", []):
-                referenced.add(path)
+            for d in lv.get("dels", []):
+                referenced.add(d[1])
     jvm, fs = fs_of(spark, root)
     for frame_dir in hadoop_ls(spark, f"{root}/data", dirs_only=True):
         fname = frame_dir.getPath().getName()

@@ -33,7 +33,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     names = sys.argv[2:]
     spark = get_spark("soak", shuffle_partitions=32)
-    out = tempfile.mkdtemp(prefix=f"grebi_soak_{n}x_")
+    # SOAK_KEEP_DIR: build the replicated corpus at a persistent path and
+    # keep it — the full-board soak then runs `SPARK_GRAFT_SF_DIR=<dir>
+    # python bench.py` against it
+    keep = os.environ.get("SOAK_KEEP_DIR")
+    out = keep or tempfile.mkdtemp(prefix=f"grebi_soak_{n}x_")
+    if keep:
+        os.makedirs(out, exist_ok=True)
     from pyspark.sql import functions as F
 
     for t in COPIED:
@@ -58,7 +64,8 @@ def main() -> None:
         rows = qs[name](spark, out).collect()
         print(f"SOAK {n}x {name}: {time.time()-t0:.1f}s ({len(rows)} rows)", flush=True)
     spark.stop()
-    shutil.rmtree(out, ignore_errors=True)
+    if not keep:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -386,3 +386,34 @@ def test_stream_offsets_exactly_once_any_arrival_order(tmp_path_factory, files):
     for a, b in zip(checkpoints, checkpoints[1:]):
         replayed.extend(r[0] for r in rdr.readBetweenOffsets(a, b))
     assert sorted(replayed) == sorted(seen)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abchttp:/_.", min_size=1, max_size=12),
+        st.sampled_from(["x:", "y:", "z:"]),
+        min_size=0,
+        max_size=15,
+    ),
+    st.lists(
+        st.text(alphabet="abchttp:/_.", min_size=0, max_size=20),
+        max_size=30,
+    ),
+)
+def test_trie_pattern_matches_naive_longest_prefix(mapping, values):
+    """The trie-compiled regex (N1's Bioregistry-scale path) must agree
+    with naive longest-prefix-match on arbitrary prefix sets — including
+    prefixes that are prefixes of each other, where the trie's
+    terminal-last alternative ordering carries the longest-match
+    guarantee."""
+    pm = PrefixMap(mapping)
+
+    def naive(s):
+        best = None
+        for p in mapping:
+            if s.startswith(p) and (best is None or len(p) > len(best)):
+                best = p
+        return mapping[best] + s[len(best):] if best is not None else s
+
+    assert [pm.rewrite(v) for v in values] == [naive(v) for v in values]

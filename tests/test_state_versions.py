@@ -330,3 +330,68 @@ def test_delta_manifest_read_plans_broadcast_antis_only(spark, mroot):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_manifest_versions_across_all_three_verbs(spark):
+    """One chain exercising every verb's durable FrameLevels — add
+    (segments), remove (datasource tombstone, no adds), update (TWO
+    groups levels) — each fold snapshotted as a delta manifest; every
+    version must reload value-identical to the live state it captured,
+    and time travel must survive the final prune of retired versions'
+    unreferenced files."""
+    from grebi_spark.incremental import (
+        add_datasource,
+        build_graph_stateful,
+        load_state_version,
+        remove_datasource,
+        save_state_version,
+        update_datasource,
+    )
+
+    a, b = _tiny_sources(spark)
+    c = jsonl_to_nodes(
+        _lines_df(
+            spark,
+            FX.jsonl(
+                [{"id": "x:9", "grebi:type": ["t:C"], "grebi:name": ["nine"]}]
+            ),
+        ),
+        "srcc",
+    )
+    b2 = jsonl_to_nodes(
+        _lines_df(
+            spark,
+            FX.jsonl(
+                [
+                    {
+                        "id": "x:3",
+                        "grebi:type": ["t:B"],
+                        "grebi:name": ["three-revised"],
+                        "t:rel": ["x:2"],
+                    }
+                ]
+            ),
+        ),
+        "srcb",
+    )
+
+    root = tempfile.mkdtemp(prefix="grebi_state_verbs_")
+    live = {}
+    s = build_graph_stateful([a, b], CONFIG)
+    live[save_state_version(s, root)] = _canon(s.graph.merged)
+    s = add_datasource(s, c)
+    live[save_state_version(s, root)] = _canon(s.graph.merged)
+    s = remove_datasource(s, "srca")
+    live[save_state_version(s, root)] = _canon(s.graph.merged)
+    s = update_datasource(s, "srcb", b2)
+    live[save_state_version(s, root)] = _canon(s.graph.merged)
+
+    assert sorted(live) == ["v1", "v2", "v3", "v4"]
+    for vname, want in live.items():
+        got = load_state_version(spark, root, vname)
+        assert _canon(got.graph.merged) == want, vname
+
+    # prune retires v1-v3 and their unreferenced delta files; the kept
+    # manifest still reloads exactly
+    prune_state_versions(spark, root)
+    assert _canon(load_state_current(spark, root).graph.merged) == live["v4"]

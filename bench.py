@@ -103,6 +103,9 @@ def main() -> None:
     # ...and the versioned-snapshot root (two save_state_version writes
     # + rollback; the query then reads the rolled-back Parquet scans)
     queries["state_rollback_roundtrip"](spark, sf_dir).limit(1).collect()
+    # ...and the maintained search core (one-time build + delta refresh;
+    # the queries read the core's live documents)
+    queries["core_search_serving"](spark, sf_dir).limit(1).collect()
     # ...and the z-clustered events layout (one-time partitioned write;
     # the query is the pruned scan over it), its manifest twin (one-time
     # range-clustered write + stats scan), and the stored LSH posting

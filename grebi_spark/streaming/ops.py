@@ -203,12 +203,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         except Exception:
             pass  # conf locked down → the session owner already chose a policy
     schema = spark.read.parquet(path).schema
-    # the file stream source wants a directory; glob-filter to the table
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    if os.path.isdir(path):
+        # directory-shaped table (a real corpus / the replicated soak
+        # corpus): stream its part files directly — the glob filter
+        # below matches FILE names and would select nothing
+        stream = spark.readStream.schema(schema).parquet(path)
+    else:
+        # single-file fixture table: the file stream source wants a
+        # directory; glob-filter the sf_dir down to the table
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ts_dtype = dict(stream.dtypes).get("ts")
     if ts_dtype == "bigint":
         # TIMESTAMP(NANOS) storage read as long (see session.load_tables)
@@ -587,6 +596,37 @@ ORDER BY user_id
 _SESSION_STAGE_CACHE: dict[str, str] = {}
 
 
+def _single_parquet_file(src: str) -> str:
+    """Resolve a parquet TABLE path to ONE parquet file for the staging
+    helpers (which copy the events table as a single mtime-ordered
+    arrival file and pyarrow-read its schema/bounds). The harness
+    fixtures ship single-file tables; a real corpus — and the 8×
+    replicated soak corpus — is a DIRECTORY of part files, so
+    consolidate those once per path into a scratch single file (cached
+    per path; micro-corpora only — a production arrival feed stages
+    per-file, never consolidates)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(src):
+        return src
+    parts = sorted(
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet")
+    )
+    if len(parts) == 1:
+        return parts[0]
+    key = f"singlefile:{src}"
+    if key in _SESSION_STAGE_CACHE:
+        return _SESSION_STAGE_CACHE[key]
+    out = os.path.join(scratch_dir("grebi_singlefile_"), "data.parquet")
+    pq.write_table(pq.read_table(parts), out)
+    _SESSION_STAGE_CACHE[key] = out
+    return out
+
+
 def _session_stage(spark: SparkSession, src: str) -> str:
     """Stage dir for the bounded-drain protocol: the events file plus
     two far-future sentinel files behind it, mtime-ordered so the file
@@ -602,10 +642,11 @@ def _session_stage(spark: SparkSession, src: str) -> str:
     key = f"{spark.sparkContext.applicationId}:{src}"
     if key in _SESSION_STAGE_CACHE:
         return _SESSION_STAGE_CACHE[key]
+    src = _single_parquet_file(src)  # directory-shaped tables stage too
     stage = scratch_dir("grebi_sessions_")
     shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
     sch = pq.read_schema(src)
-    last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
+    last_ts = max(pq.read_table(src, columns=["ts"])["ts"].to_pylist())
     for i, days in enumerate((365, 366)):
         row = {
             "event_id": [10**12 + i],
@@ -717,6 +758,7 @@ def _late_stage(spark: SparkSession, src: str) -> str:
     key = f"{spark.sparkContext.applicationId}:{src}"
     if key in _LATE_STAGE_CACHE:
         return _LATE_STAGE_CACHE[key]
+    src = _single_parquet_file(src)  # directory-shaped tables stage too
     stage = scratch_dir("grebi_late_")
     shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
     tbl = pq.read_table(src)
@@ -828,10 +870,11 @@ def _outer_stage(spark: SparkSession, src: str) -> str:
     key = f"{spark.sparkContext.applicationId}:{src}"
     if key in _OUTER_STAGE_CACHE:
         return _OUTER_STAGE_CACHE[key]
+    src = _single_parquet_file(src)  # directory-shaped tables stage too
     stage = scratch_dir("grebi_outer_")
     shutil.copyfile(src, os.path.join(stage, "00_events.parquet"))
     sch = pq.read_schema(src)
-    last_ts = pq.read_table(src, columns=["ts"])["ts"].to_pylist()[-1]
+    last_ts = max(pq.read_table(src, columns=["ts"])["ts"].to_pylist())
     for i, days in enumerate((365, 366)):
         row = {
             "event_id": [10**12 + 2 * i, 10**12 + 2 * i + 1],

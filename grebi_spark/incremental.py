@@ -1213,6 +1213,35 @@ def _frame_from_levels(spark, root: str, fname: str, levels: list[dict]) -> Data
     return df.select(*cols) if cols else df
 
 
+def _compose_levels(levels: list[FrameLevel]) -> FrameLevel:
+    """Fold a frame's pending FrameLevels (one per verb since the last
+    snapshot) into ONE level, so a snapshot after N folds writes ~12
+    artifacts instead of N×12 and the version's read chain grows by one
+    level per SNAPSHOT rather than per fold.
+
+    Algebra: (old − T₁ + A₁) − T₂ + A₂ ≡ old − (T₁ ∪ T₂) +
+    ((A₁ − T₂) + A₂) — tombstones union per column, earlier adds pass
+    through the later tombstones' anti-joins (all delta × delta).
+    Signed count levels just concatenate (the read sums them)."""
+    if len(levels) == 1:
+        return levels[0]
+    if levels[0].agg is not None:
+        return FrameLevel(
+            agg=reduce(DataFrame.unionByName, [lv.agg for lv in levels])
+        )
+    adds: DataFrame | None = None
+    dels: dict[str, DataFrame] = {}
+    for lv in levels:
+        for col, keys_df in lv.dels:
+            keys = keys_df.select(F.col(keys_df.columns[0]).alias(col))
+            if adds is not None:
+                adds = adds.join(F.broadcast(keys), col, "left_anti")
+            dels[col] = keys if col not in dels else dels[col].unionByName(keys)
+        if lv.adds is not None:
+            adds = lv.adds if adds is None else adds.unionByName(lv.adds)
+    return FrameLevel(adds=adds, dels=list(dels.items()))
+
+
 def _write_level(
     root: str, fname: str, vname: str, j: int, lv: FrameLevel
 ) -> dict:
@@ -1291,8 +1320,8 @@ def save_state_version(state: GraphState, root: str) -> str:
     if base_manifest is not None:
         frames = {k: list(v) for k, v in base_manifest["frames"].items()}
         for fname, levels in state.pending.items():
-            for j, lv in enumerate(levels):
-                frames[fname].append(_write_level(root, fname, vname, j, lv))
+            lv = _compose_levels(levels)
+            frames[fname].append(_write_level(root, fname, vname, 0, lv))
         cfg = base_manifest["config_json"]
     else:
         fdict = _state_frames_dict(state)

@@ -395,3 +395,49 @@ def test_manifest_versions_across_all_three_verbs(spark):
     # manifest still reloads exactly
     prune_state_versions(spark, root)
     assert _canon(load_state_current(spark, root).graph.merged) == live["v4"]
+
+
+def test_multi_fold_snapshot_composes_one_level_per_frame(spark):
+    """THREE verbs between snapshots must persist as ONE composed level
+    per frame (tombstones unioned per column, earlier adds passed
+    through later tombstones) — snapshot write count and read-chain
+    growth are per SNAPSHOT, not per fold — and the reload must be
+    value-identical across all 12 frames."""
+    import json
+
+    from grebi_spark.incremental import (
+        _STATE_FRAMES,
+        _state_frames_dict,
+        add_datasource,
+        build_graph_stateful,
+        load_state_version,
+        remove_datasource,
+        save_state_version,
+    )
+
+    a, b = _tiny_sources(spark)
+    c = jsonl_to_nodes(
+        _lines_df(
+            spark,
+            FX.jsonl(
+                [{"id": "x:7", "grebi:type": ["t:C"], "grebi:name": ["seven"]}]
+            ),
+        ),
+        "srcc",
+    )
+    root = tempfile.mkdtemp(prefix="grebi_state_compose_")
+    s = build_graph_stateful([a], CONFIG)
+    save_state_version(s, root)
+    s = add_datasource(s, b)
+    s = add_datasource(s, c)
+    s = remove_datasource(s, "srcb")
+    v2 = save_state_version(s, root)
+
+    m2 = json.load(open(os.path.join(root, v2, "manifest.json")))
+    assert all(len(levels) == 2 for levels in m2["frames"].values()), {
+        k: len(v) for k, v in m2["frames"].items()
+    }
+    live = _state_frames_dict(s)
+    reloaded = _state_frames_dict(load_state_version(spark, root, v2))
+    for fname in _STATE_FRAMES:
+        assert _rows_canon(reloaded[fname]) == _rows_canon(live[fname]), fname

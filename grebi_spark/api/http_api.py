@@ -272,33 +272,27 @@ class GrebiApiServer:
                     for k, vs in query.items()
                     if k not in reserved
                 )
+                # one kwargs dict feeds BOTH read paths, so the
+                # value-identity contract between them cannot drift on
+                # a parameter change that misses one branch
+                kw = dict(
+                    page=page,
+                    size=size,
+                    type_filter=g1("type"),
+                    facet_fields=tuple(query.get("facet", [])),
+                    filters=filters,
+                    exclude_obsolete=g1("includeObsoleteEntries", "false")
+                    != "true",
+                )
                 core_docs = self._core_docs(rest[1])
                 if core_docs is not None:
                     from ..sinks.solr_jsonl import search_core_docs
 
                     page_df, facets = search_core_docs(
-                        core_docs,
-                        g1("q", ""),
-                        page=page,
-                        size=size,
-                        type_filter=g1("type"),
-                        facet_fields=tuple(query.get("facet", [])),
-                        filters=filters,
-                        exclude_obsolete=g1("includeObsoleteEntries", "false")
-                        != "true",
+                        core_docs, g1("q", ""), **kw
                     )
                 else:
-                    page_df, facets = search_nodes(
-                        g,
-                        g1("q", ""),
-                        page=page,
-                        size=size,
-                        type_filter=g1("type"),
-                        facet_fields=tuple(query.get("facet", [])),
-                        filters=filters,
-                        exclude_obsolete=g1("includeObsoleteEntries", "false")
-                        != "true",
-                    )
+                    page_df, facets = search_nodes(g, g1("q", ""), **kw)
                 body = _page_envelope(_rows(page_df), page, size)
                 if facets:
                     body["facetFieldsToCounts"] = {

@@ -699,15 +699,34 @@ def append_ann_index(spark: SparkSession, root: str, new_vectors: DataFrame) -> 
 
 
 def ingest_namespace(checkpoint_dir: str) -> str:
-    """Stable marker namespace for one stream lineage: a digest of the
-    stream's CHECKPOINT location. Micro-batch ids are only unique within
-    a checkpoint — a recreated/lost checkpoint restarts them at 0, and
-    un-namespaced markers would then silently drop genuinely new batches
-    as 'replays' of a dead stream's markers. Same checkpoint dir →
-    same namespace (restarts still dedupe); fresh checkpoint → fresh
-    namespace (no false skips)."""
-    import hashlib
+    """Stable marker namespace for one stream LINEAGE. Micro-batch ids
+    are only unique within a checkpoint lineage — a recreated/lost
+    checkpoint restarts them at 0, and un-namespaced markers would then
+    silently drop genuinely new batches as 'replays' of a dead stream's
+    markers.
 
+    The namespace is the checkpoint's own query id (the UUID Structured
+    Streaming writes to ``<checkpoint>/metadata`` at query start and
+    keeps across restarts of the SAME checkpoint): deleting and
+    recreating the checkpoint — even AT THE SAME PATH, the standard
+    corrupted-checkpoint remediation, since paths are fixed in job
+    config — mints a fresh id, so the new lineage's batch 0 folds
+    instead of matching the dead lineage's marker. Falls back to a
+    path digest when no metadata exists yet (call it from inside
+    foreachBatch — by the time a batch runs, the metadata file does
+    exist)."""
+    import hashlib
+    import json
+    import os
+
+    meta = os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as fh:
+            qid = json.load(fh).get("id")
+        if qid:
+            return str(qid).replace("-", "")[:16]
+    except (OSError, ValueError):
+        pass
     return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
 
 
@@ -976,17 +995,17 @@ def ann_stream_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(tmp, part), os.path.join(arrivals, f"{name}.parquet")
             )
 
-        ns = ingest_namespace(ckpt)
-
         def fold(batch_df: DataFrame, batch_id: int) -> None:
             if batch_df.isEmpty():
                 return
+            # resolve the lineage id INSIDE the batch: the checkpoint's
+            # metadata (the query id) exists once any batch runs
             fold_ann_batch(
                 spark,
                 root,
                 batch_df.select("vec_id", "embedding"),
                 batch_id,
-                run_id=ns,
+                run_id=ingest_namespace(ckpt),
             )
 
         def drain() -> None:

@@ -91,9 +91,17 @@ class PrefixMap:
 
 # per-worker compiled-pattern cache: a Bioregistry-scale trie pattern is
 # megabytes of regex — compile it once per executor process, NOT once per
-# Arrow batch. Keyed by the identity of the worker-cached broadcast value
-# (held alongside the pattern so the key can never be a stale reuse).
-_WORKER_PAT_CACHE: dict[int, tuple[object, re.Pattern]] = {}
+# Arrow batch. Keyed by the pattern STRING itself (the broadcast hands
+# each worker one cached str object, so its hash is computed once) and
+# BOUNDED: a long maintenance loop creates a fresh broadcast per fold,
+# and an unbounded identity-keyed cache would pin every dead broadcast's
+# mapping + compiled trie in executor memory forever.
+@lru_cache(maxsize=4)
+def _compile_cached(pattern: str) -> re.Pattern:
+    # a def (not lru_cache(re.compile) directly): cloudpickle must be
+    # able to pickle the UDF closure's reference to this by module path,
+    # and a wrapper masquerading as re.compile defeats that check
+    return re.compile(pattern)
 
 
 def make_rewrite_udf(spark, prefix_map: PrefixMap):
@@ -110,16 +118,10 @@ def make_rewrite_udf(spark, prefix_map: PrefixMap):
 
     @pandas_udf("string")
     def rewrite(col: pd.Series) -> pd.Series:
-        val = bc.value  # deserialized once per worker; identity is stable
-        pattern, mapping = val
+        pattern, mapping = bc.value
         if pattern is None:
             return col
-        cached = _WORKER_PAT_CACHE.get(id(val))
-        if cached is not None and cached[0] is val:
-            pat = cached[1]
-        else:
-            pat = re.compile(pattern)
-            _WORKER_PAT_CACHE[id(val)] = (val, pat)
+        pat = _compile_cached(pattern)
 
         def one(s):
             if s is None:

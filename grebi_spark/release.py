@@ -164,6 +164,7 @@ def make_multi_release(
     from .pipeline import build_graph
     from .sources.datasources import load_datasource_config, run_ingest_job
 
+    os.makedirs(out_dir, exist_ok=True)
     releases, graphs = {}, {}
     for name in sorted(subgraphs):
         spec = subgraphs[name]

@@ -54,7 +54,10 @@ def main() -> None:
         for p in parts[1:]:
             u = u.unionByName(p)
         u.coalesce(8).write.mode("overwrite").parquet(f"{out}/_{t}")
-        # the harness expects <table>.parquet as a single path; a dir works
+        # the harness expects <table>.parquet as a single path; a dir
+        # works. Clear a previous keep-dir run's table first: os.rename
+        # onto an existing non-empty directory raises.
+        shutil.rmtree(f"{out}/{t}.parquet", ignore_errors=True)
         os.rename(f"{out}/_{t}", f"{out}/{t}.parquet")
         print(f"replicated {t}: {u.count()} rows", flush=True)
 

@@ -133,6 +133,22 @@ def test_fresh_checkpoint_lineage_is_not_swallowed_by_old_markers(spark):
     _write_index_version(spark, f"{root}/{vname}", base, cents, routed, k_int)
     _publish_index_version(spark, root, vname)
 
+    # the namespace is the checkpoint's QUERY ID (its metadata file):
+    # recreating a checkpoint AT THE SAME PATH — the standard corrupted-
+    # checkpoint remediation — mints a fresh id and thus a fresh
+    # namespace; a path digest alone would still collide
+    import json
+    import os as _os
+
+    ckpt = f"{root}/ckpt_same_path"
+    _os.makedirs(ckpt)
+    with open(f"{ckpt}/metadata", "w") as fh:
+        json.dump({"id": "11111111-aaaa-bbbb-cccc-222222222222"}, fh)
+    ns_first = ingest_namespace(ckpt)
+    with open(f"{ckpt}/metadata", "w") as fh:  # recreated at the same path
+        json.dump({"id": "33333333-dddd-eeee-ffff-444444444444"}, fh)
+    assert ingest_namespace(ckpt) != ns_first
+
     batch = (
         e_full.filter(F.col("vec_id") % 8 == 3)
         .limit(3)

@@ -42,18 +42,20 @@ def fs_of(spark: SparkSession, path: str):
 # serving; publication and rollback are O(1) pointer swaps that never
 # move data, so in-flight readers keep the directory they resolved.
 #
-# SINGLE-WRITER CONTRACT: one publisher per root at a time. next_version
-# elects a name by listing (two concurrent publishers can elect the same
-# name), and publish_version's delete+rename pointer swing is atomic per
-# rename but not as a pair — concurrent publication can corrupt the
-# CURRENT pointer. Readers are unrestricted and crash-safe at any
-# concurrency; serialize WRITERS externally (the maintenance loop is one
-# driver; a multi-driver deployment takes a coordination lock first, or
-# moves to a table format with a compare-and-swap commit).
+# CONCURRENT PUBLISHERS: enforced, not just documented. Version-name
+# election is a CAS (claim_version atomically creates v<N>/_CLAIMED, so
+# two concurrent publishers write DISJOINT directories), and
+# publish_version serializes its delete+rename pointer swing behind an
+# atomic create-if-absent lock file (_PUBLISH_LOCK, with stale-lock
+# breaking for a crashed holder). Readers are unrestricted and
+# crash-safe at any concurrency. next_version remains the pure peek;
+# writers should claim_version.
 
 
 def next_version(spark: SparkSession, root: str) -> str:
-    """The next unused version name (v1, v2, …) under ``root``."""
+    """The next unused version name (v1, v2, …) under ``root`` — a pure
+    PEEK by listing; two concurrent callers can elect the same name.
+    Writers use ``claim_version`` (the CAS form) instead."""
     vs = [
         int(s.getPath().getName()[1:])
         for s in hadoop_ls(spark, root, dirs_only=True)
@@ -63,24 +65,108 @@ def next_version(spark: SparkSession, root: str) -> str:
     return f"v{max(vs) + 1 if vs else 1}"
 
 
+def _atomic_create(spark: SparkSession, path: str) -> bool:
+    """Create ``path`` if and only if it does not already exist,
+    atomically; True when THIS caller created it. HDFS/S3A-style
+    filesystems: ``FileSystem.create(overwrite=false)`` is an atomic
+    create-if-absent. file://: Hadoop's local FS implements that as a
+    RACY exists-then-create, so route through
+    ``java.io.File.createNewFile`` (O_CREAT|O_EXCL — truly atomic)."""
+    jvm, fs = fs_of(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    scheme = fs.getUri().getScheme()
+    if scheme in (None, "file"):
+        f = jvm.java.io.File(p.toUri().getPath())
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        return bool(f.createNewFile())
+    try:
+        out = fs.create(p, False)
+        out.close()
+        return True
+    except Exception:
+        return False
+
+
+def claim_version(spark: SparkSession, root: str) -> str:
+    """Atomically CLAIM the next unused version name: elect by listing,
+    then CAS-create ``v<N>/_CLAIMED``; a lost race re-elects (the
+    winner's directory now shows up in the listing). Concurrent
+    publishers therefore write disjoint version directories — the
+    election half of the old single-writer contract, enforced. A
+    claimed-but-never-committed directory is invisible to readers
+    (resolve/committed_versions key on _COMMITTED) and is swept by
+    prune."""
+    for _ in range(1000):
+        name = next_version(spark, root)
+        if _atomic_create(spark, f"{root}/{name}/_CLAIMED"):
+            return name
+    raise IOError(f"could not claim a version name under {root}")
+
+
+def acquire_publish_lock(
+    spark: SparkSession,
+    root: str,
+    timeout_sec: float = 60.0,
+    stale_sec: float = 600.0,
+) -> None:
+    """Take ``root``'s publisher lock (atomic create-if-absent of
+    _PUBLISH_LOCK). A lock older than ``stale_sec`` is presumed to
+    belong to a crashed holder and is broken; waiting past
+    ``timeout_sec`` raises rather than deadlocking a maintenance
+    job."""
+    import time as _time
+
+    jvm, fs = fs_of(spark, root)
+    P = jvm.org.apache.hadoop.fs.Path
+    lock = f"{root}/_PUBLISH_LOCK"
+    deadline = _time.monotonic() + timeout_sec
+    while not _atomic_create(spark, lock):
+        try:
+            st = fs.getFileStatus(P(lock))
+            if _time.time() - st.getModificationTime() / 1000.0 > stale_sec:
+                fs.delete(P(lock), False)  # break a crashed holder's lock
+                continue
+        except Exception:
+            continue  # lock vanished between create and stat — retry now
+        if _time.monotonic() > deadline:
+            raise TimeoutError(
+                f"publish lock at {lock} held longer than {timeout_sec}s"
+            )
+        _time.sleep(0.05)
+
+
+def release_publish_lock(spark: SparkSession, root: str) -> None:
+    jvm, fs = fs_of(spark, root)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/_PUBLISH_LOCK"), False)
+
+
 def publish_version(spark: SparkSession, root: str, vname: str) -> None:
     """Make ``vname`` the served version: land its _COMMITTED marker,
     then swing the CURRENT pointer (tmp-write + rename). Readers that
     resolved the OLD version keep their directory — nothing under it is
     deleted — so an in-flight query completes against the artifact it
-    opened (blue/green isolation, asserted by the suite)."""
-    jvm, fs = fs_of(spark, root)
-    P = jvm.org.apache.hadoop.fs.Path
-    out = fs.create(P(f"{root}/{vname}/_COMMITTED"), True)
-    out.close()
-    tmp = P(f"{root}/CURRENT.tmp")
-    o = fs.create(tmp, True)
-    o.write(bytearray(vname.encode()))
-    o.close()
-    cur = P(f"{root}/CURRENT")
-    fs.delete(cur, False)
-    if not fs.rename(tmp, cur):
-        raise IOError(f"could not publish {vname} at {root}")
+    opened (blue/green isolation, asserted by the suite). The swing is
+    serialized behind the root's publisher lock: delete+rename is
+    atomic per rename but not as a pair, and two unserialized swings
+    could interleave into a missing or torn CURRENT."""
+    acquire_publish_lock(spark, root)
+    try:
+        jvm, fs = fs_of(spark, root)
+        P = jvm.org.apache.hadoop.fs.Path
+        out = fs.create(P(f"{root}/{vname}/_COMMITTED"), True)
+        out.close()
+        tmp = P(f"{root}/CURRENT.tmp")
+        o = fs.create(tmp, True)
+        o.write(bytearray(vname.encode()))
+        o.close()
+        cur = P(f"{root}/CURRENT")
+        fs.delete(cur, False)
+        if not fs.rename(tmp, cur):
+            raise IOError(f"could not publish {vname} at {root}")
+    finally:
+        release_publish_lock(spark, root)
 
 
 def committed_versions(spark: SparkSession, root: str) -> list[int]:

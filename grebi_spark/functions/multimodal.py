@@ -549,18 +549,37 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def build_png_rgb(doc_id: int) -> bytes:
-    """A COMPLETE, spec-valid 8-bit RGB PNG (signature, IHDR, one IDAT,
-    IEND — CRCs real) whose pixels are a closed-form function of the id:
-    channel c of pixel (x, y) = (doc_id·31 + y·17 + x·7 + c·13) mod 256.
-    Scanline filters VARY by row (row mod 5 → None/Sub/Up/Average/
-    Paeth) so the decoder's whole unfilter matrix is exercised."""
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_palette_entry(j: int) -> tuple[int, int, int]:
+    """Closed-form PLTE entry j (oracle-recomputable)."""
+    return (j, (j * 7) % 256, (j * 13) % 256)
+
+
+def _build_png(doc_id: int, ctype: int) -> bytes:
+    """A COMPLETE, spec-valid 8-bit PNG (signature, IHDR, [PLTE], one
+    IDAT, IEND — CRCs real) whose pixels are a closed-form function of
+    the id: sample c of pixel (x, y) = (doc_id·31 + y·17 + x·7 + c·13)
+    mod 256 (grayscale/palette use c=0 only; palette indices map
+    through the closed-form PLTE). Scanline filters VARY by row (row
+    mod 5 → None/Sub/Up/Average/Paeth) so the decoder's whole unfilter
+    matrix is exercised. ``ctype``: 0 grayscale, 2 RGB, 3 palette."""
     import struct
     import zlib
 
     w = 4 + doc_id % 8
     h = 4 + (doc_id * 3) % 8
-    bpp = 3
+    bpp = 3 if ctype == 2 else 1
 
     def px(x: int, y: int, c: int) -> int:
         return (doc_id * 31 + y * 17 + x * 7 + c * 13) % 256
@@ -591,35 +610,136 @@ def build_png_rgb(doc_id: int) -> bytes:
             filtered.append(f & 0xFF)
         prior = row
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+    if ctype == 3:
+        plte = bytes(
+            v for j in range(256) for v in _png_palette_entry(j)
         )
+        parts.append(_png_chunk(b"PLTE", plte))
+    parts.append(_png_chunk(b"IDAT", zlib.compress(bytes(filtered))))
+    parts.append(_png_chunk(b"IEND", b""))
+    return b"".join(parts)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
-        + chunk(b"IEND", b"")
-    )
+
+def build_png_rgb(doc_id: int) -> bytes:
+    """8-bit RGB fixture PNG (see ``_build_png``)."""
+    return _build_png(doc_id, 2)
+
+
+def build_png_gray(doc_id: int) -> bytes:
+    """8-bit grayscale (color type 0) fixture PNG."""
+    return _build_png(doc_id, 0)
+
+
+def build_png_palette(doc_id: int) -> bytes:
+    """8-bit palette (color type 3) fixture PNG with a 256-entry
+    closed-form PLTE."""
+    return _build_png(doc_id, 3)
+
+
+def _unfilter_rows(data: bytes, w: int, h: int, bpp: int):
+    """Invert the PNG scanline filters over an inflated IDAT stream →
+    (h, w·bpp) uint8 array. None/Sub/Up rows are numpy-vectorized —
+    Sub is a per-lane MODULAR PREFIX SUM (``np.add.accumulate`` at
+    uint8 wraps exactly like the spec's mod-256 arithmetic), Up is one
+    wrapping vector add against the prior row. Average and Paeth are
+    inherently left-to-right scans (each byte needs the RECONSTRUCTED
+    left neighbour through a floor/branch, so no prefix-sum
+    decomposition exists); those rows run a tight scalar loop over
+    plain Python lists with the Paeth predictor inlined — deliberately
+    NOT the encoder's ``_paeth`` helper, so a symmetric
+    encoder/decoder arithmetic bug cannot round-trip invisibly."""
+    import numpy as np
+
+    stride = w * bpp
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr.size != h * (stride + 1):
+        raise ValueError(
+            f"IDAT size {arr.size} != expected {h * (stride + 1)}"
+        )
+    out = np.empty((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        t = int(arr[y * (stride + 1)])
+        row = arr[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        if t == 0:
+            recon = row.copy()
+        elif t == 1:
+            recon = np.add.accumulate(
+                row.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif t == 2:
+            recon = row + prior  # uint8: wraps mod 256
+        elif t == 3:
+            # per-LANE scans (a pixel's left neighbour is the previous
+            # byte of the SAME channel, so channels never interact):
+            # a zip loop with a local `prev` beats index arithmetic
+            rl, pl = row.tolist(), prior.tolist()
+            rec = [0] * stride
+            for c in range(bpp):
+                lf, lu = rl[c::bpp], pl[c::bpp]
+                prev = (lf[0] + (lu[0] >> 1)) & 0xFF
+                out_lane = [prev]
+                ap = out_lane.append
+                for f, u in zip(lf[1:], lu[1:]):
+                    prev = (f + ((prev + u) >> 1)) & 0xFF
+                    ap(prev)
+                rec[c::bpp] = out_lane
+            recon = np.array(rec, dtype=np.uint8)
+        elif t == 4:
+            rl, pl = row.tolist(), prior.tolist()
+            rec = [0] * stride
+            for c in range(bpp):
+                lf, lu = rl[c::bpp], pl[c::bpp]
+                # x = 0: left = ul = 0 → predictor is `up`
+                prev = (lf[0] + lu[0]) & 0xFF
+                out_lane = [prev]
+                ap = out_lane.append
+                for f, b, cc in zip(lf[1:], lu[1:], lu[:-1]):
+                    a = prev
+                    p = a + b - cc
+                    pa = p - a
+                    if pa < 0:
+                        pa = -pa
+                    pb = p - b
+                    if pb < 0:
+                        pb = -pb
+                    pc = p - cc
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = cc
+                    prev = (f + pred) & 0xFF
+                    ap(prev)
+                rec[c::bpp] = out_lane
+            recon = np.array(rec, dtype=np.uint8)
+        else:
+            raise ValueError(f"bad filter type {t}")
+        out[y] = recon
+        prior = recon
+    return out
 
 
 def decode_png_pixels(payload: bytes) -> dict:
-    """REAL PNG pixel decode, stdlib-only: chunk walk → concatenated
-    IDAT inflate (zlib) → per-scanline unfilter (all five PNG filters,
-    incl. the Paeth predictor) → exact integer pixel statistics. 8-bit
-    RGB (color type 2) and RGBA (6), no interlace — the fixture corpus'
-    envelope; anything else still raises, honestly."""
+    """REAL PNG pixel decode, stdlib+numpy only: chunk walk →
+    concatenated IDAT inflate (zlib) → vectorized per-scanline unfilter
+    (all five PNG filters — see ``_unfilter_rows``) → exact integer
+    pixel statistics over every SAMPLE byte (RGBA includes alpha;
+    palette indices are expanded through the PLTE first, so the stats
+    describe pixel CONTENT, not index values). Supports 8-bit
+    grayscale (color type 0), RGB (2), palette (3) and RGBA (6),
+    non-interlaced; anything else still raises, honestly."""
     import struct
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, idat, meta = 8, bytearray(), None
+    pos, idat, meta, plte = 8, bytearray(), None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -629,66 +749,58 @@ def decode_png_pixels(payload: bytes) -> dict:
                 ">IIBBBBB", body
             )
             meta = (w, h, depth, ctype, interlace)
+        elif tag == b"PLTE":
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
             break
         pos += 12 + length
     w, h, depth, ctype, interlace = meta
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace != 0:
         raise NotImplementedError(
-            f"PNG decode implemented for 8-bit RGB/RGBA non-interlaced; "
-            f"got depth={depth} color_type={ctype} interlace={interlace}"
+            f"PNG decode implemented for 8-bit gray/RGB/palette/RGBA "
+            f"non-interlaced; got depth={depth} color_type={ctype} "
+            f"interlace={interlace}"
         )
-    bpp = 3 if ctype == 2 else 4
-    stride = w * bpp
-    data = zlib.decompress(bytes(idat))
-    prior = bytes(stride)
-    total, lo, hi = 0, 255, 0
-    for y in range(h):
-        t = data[y * (stride + 1)]
-        row = data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        recon = bytearray(stride)
-        for i, f in enumerate(row):
-            left = recon[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            ul = prior[i - bpp] if i >= bpp else 0
-            if t == 0:
-                v = f
-            elif t == 1:
-                v = f + left
-            elif t == 2:
-                v = f + up
-            elif t == 3:
-                v = f + (left + up) // 2
-            elif t == 4:
-                v = f + _paeth(left, up, ul)
-            else:
-                raise ValueError(f"bad filter type {t}")
-            recon[i] = v & 0xFF
-        prior = bytes(recon)
-        total += sum(recon)
-        lo = min(lo, min(recon))
-        hi = max(hi, max(recon))
+    import numpy as np
+
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    px = _unfilter_rows(zlib.decompress(bytes(idat)), w, h, bpp)
+    if ctype == 3:
+        if plte is None or len(plte) % 3 != 0 or not plte:
+            raise ValueError("palette PNG without a valid PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(-1)
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of PLTE range")
+        px = pal[idx]
+    samples = px.reshape(-1).astype(np.int64)
     return {
         "width": w,
         "height": h,
-        "pixel_sum": total,
-        "pixel_min": lo,
-        "pixel_max": hi,
+        "pixel_sum": int(samples.sum()),
+        "pixel_min": int(samples.min()),
+        "pixel_max": int(samples.max()),
     }
 
 
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image CONTENT statistics over a binary column with the pixel
-    decode REAL end to end: each doc carries a complete spec-valid
-    8-bit RGB PNG (filters varying per scanline), one mapInPandas pass
-    inflates the IDAT with stdlib zlib, inverts all five PNG scanline
-    filters, and emits exact integer per-image sum/extrema — the
-    brightness/degenerate-image gates an image-curation pipeline runs.
-    Replaces the former NotImplementedError pixel path; the closed-form
-    oracle recomputes every pixel, so one wrong Paeth branch or a
-    one-byte stride error hash-mismatches."""
+    decode REAL end to end — and the binary column REAL too: stage 1
+    builds each doc's complete spec-valid 8-bit PNG (color type
+    rotating gray/RGB/palette by doc_id, scanline filters varying per
+    row) and MATERIALIZES it as a persisted `payload binary` column;
+    stage 2 decodes FROM that column only (it never sees doc_id→bytes),
+    inflating the IDAT with zlib and inverting all five PNG scanline
+    filters vectorized (``_unfilter_rows``), emitting exact integer
+    per-image sum/extrema — the brightness/degenerate-image gates an
+    image-curation pipeline runs. The decoder's Paeth is inlined
+    independently of the encoder's ``_paeth`` and the suite pins
+    byte-literal fixtures, so a symmetric encoder/decoder filter bug
+    cannot round-trip invisibly; the closed-form oracle recomputes
+    every pixel, so one wrong filter branch or a one-byte stride error
+    hash-mismatches."""
     from ..session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)
@@ -696,11 +808,20 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     ids = d.select("doc_id").repartition(par)
 
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctypes = (0, 2, 3)  # doc_id % 3 → gray / RGB / palette
+        for batch in batches:
+            rows = [
+                (int(i), _build_png(int(i), ctypes[int(i) % 3]))
+                for i in batch["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for i in batch["doc_id"]:
-                s = decode_png_pixels(build_png_rgb(int(i)))
+            for i, payload in zip(batch["doc_id"], batch["payload"]):
+                s = decode_png_pixels(bytes(payload))
                 rows.append(
                     (int(i), s["width"], s["height"], s["pixel_sum"],
                      s["pixel_min"], s["pixel_max"])
@@ -719,7 +840,10 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup._probe_artifacts / text._bigram_rows contract)
     key = f"pixstats:{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _PIX_CACHE:
-        _PIX_CACHE[key] = ids.mapInPandas(
+        payloads = ids.mapInPandas(
+            build, schema="doc_id long, payload binary"
+        ).persist()
+        _PIX_CACHE[key] = payloads.mapInPandas(
             run,
             schema=(
                 "doc_id long, width long, height long, pixel_sum long, "
@@ -729,22 +853,37 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PIX_CACHE[key].orderBy("doc_id").limit(_IMG_TOPK)
 
 
+# per-sample closed form mirrored from _build_png/_png_palette_entry:
+# base_v = (doc_id·31 + y·17 + x·7) mod 256; gray emits base_v, RGB
+# emits (base_v + c·13) mod 256 per channel, palette expands index
+# base_v through PLTE entry (j, 7j mod 256, 13j mod 256)
 ORACLE_PIXEL_STATS = f"""
 WITH px AS (
   SELECT doc_id,
          4 + doc_id % 8 AS width,
          4 + (doc_id * 3) % 8 AS height,
-         (doc_id * 31 + y.y * 17 + x.x * 7 + c.c * 13) % 256 AS v
+         doc_id % 3 AS kind,
+         (doc_id * 31 + y.y * 17 + x.x * 7) % 256 AS base_v
   FROM documents,
        unnest(range(0, 4 + (doc_id * 3) % 8)) AS y(y),
-       unnest(range(0, 4 + doc_id % 8)) AS x(x),
-       unnest(range(0, 3)) AS c(c)
+       unnest(range(0, 4 + doc_id % 8)) AS x(x)
+), samples AS (
+  SELECT doc_id, width, height,
+         CASE
+           WHEN kind = 1 THEN (base_v + c.c * 13) % 256
+           WHEN kind = 0 THEN base_v
+           WHEN c.c = 0 THEN base_v
+           WHEN c.c = 1 THEN (base_v * 7) % 256
+           ELSE (base_v * 13) % 256
+         END AS v
+  FROM px, unnest(range(0, 3)) AS c(c)
+  WHERE kind <> 0 OR c.c = 0
 )
 SELECT doc_id, width, height,
        sum(v)::bigint AS pixel_sum,
        min(v)::bigint AS pixel_min,
        max(v)::bigint AS pixel_max
-FROM px
+FROM samples
 GROUP BY doc_id, width, height
 ORDER BY doc_id
 LIMIT {_IMG_TOPK}

@@ -611,7 +611,8 @@ def _write_index_version(
 # The version-pointer machinery is shared with the graph-state
 # snapshots (incremental.save_state_version) — one blue/green layout
 # for every durable artifact the engine maintains.
-from ..fsutil import next_version as _next_index_version  # noqa: E402
+# the CAS form: concurrent index publishers claim disjoint directories
+from ..fsutil import claim_version as _next_index_version  # noqa: E402
 from ..fsutil import publish_version as _publish_index_version  # noqa: E402
 from ..fsutil import resolve_version_dir as _resolve_index_dir  # noqa: E402
 
@@ -712,22 +713,49 @@ def ingest_namespace(checkpoint_dir: str) -> str:
     corrupted-checkpoint remediation, since paths are fixed in job
     config — mints a fresh id, so the new lineage's batch 0 folds
     instead of matching the dead lineage's marker. Falls back to a
-    path digest when no metadata exists yet (call it from inside
-    foreachBatch — by the time a batch runs, the metadata file does
-    exist)."""
+    path digest only when no metadata file EXISTS yet (call it from
+    inside foreachBatch — by the time a batch runs, the metadata file
+    does exist).
+
+    The metadata is read through the scheme-aware Hadoop FileSystem,
+    not ``open()``: checkpoints live on hdfs:// / s3a:// in
+    production, and a local ``open()`` there raises and would silently
+    fall into the path digest — which is STABLE across checkpoint
+    recreation at the same path, reinstating exactly the
+    swallowed-first-batches bug the lineage namespace exists to
+    prevent. A metadata file that exists but cannot be parsed raises
+    instead of falling back, for the same reason."""
     import hashlib
     import json
-    import os
 
-    meta = os.path.join(checkpoint_dir, "metadata")
+    from ..incremental import _read_text
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "ingest_namespace needs an active SparkSession to read the "
+            f"checkpoint metadata at {checkpoint_dir!r} through the "
+            "scheme-aware filesystem"
+        )
+    meta = checkpoint_dir.rstrip("/") + "/metadata"
+    text = _read_text(spark, meta)  # None only when the file is ABSENT
+    if text is None:
+        return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
     try:
-        with open(meta) as fh:
-            qid = json.load(fh).get("id")
-        if qid:
-            return str(qid).replace("-", "")[:16]
-    except (OSError, ValueError):
-        pass
-    return hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+        qid = json.loads(text).get("id")
+    except ValueError as exc:
+        raise ValueError(
+            f"checkpoint metadata at {meta} exists but is not JSON — "
+            "refusing the path-digest fallback (it is stable across "
+            "checkpoint recreation and would swallow a new lineage's "
+            "first batches as replays)"
+        ) from exc
+    if not qid:
+        raise ValueError(
+            f"checkpoint metadata at {meta} has no 'id' field — "
+            "refusing the path-digest fallback"
+        )
+    return str(qid).replace("-", "")[:16]
 
 
 def fold_ann_batch(

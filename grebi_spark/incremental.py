@@ -1157,15 +1157,25 @@ def _write_bucketed_seg(df: DataFrame, root: str, relpath: str, key: str) -> dic
 def _read_bucketed_seg(spark, root: str, relpath: str, bucket: dict) -> DataFrame:
     """Reopen a bucketed segment AS a bucketed table (re-registering the
     external table from the manifest's spec): downstream joins keyed on
-    the bucket key then read co-located buckets with no Exchange."""
+    the bucket key then read co-located buckets with no Exchange.
+
+    The catalog entry is transient — created, resolved, dropped —
+    mirroring ``_write_bucketed_seg``: ``spark.table`` analyzes eagerly
+    (the returned DataFrame holds the resolved bucketed relation), and
+    a permanent entry would dangle at a deleted LOCATION after
+    compaction/prune removes the segment. The location path is escaped
+    for the SQL string literal."""
     name = _bucket_table_name(root, relpath)
-    if not spark.catalog.tableExists(name):
-        spark.sql(
-            f"CREATE TABLE {name} ({bucket['ddl']}) USING parquet "
-            f"CLUSTERED BY ({bucket['key']}) SORTED BY ({bucket['key']}) "
-            f"INTO {bucket['n']} BUCKETS LOCATION '{root}/{relpath}'"
-        )
-    return spark.table(name)
+    loc = f"{root}/{relpath}".replace("\\", "\\\\").replace("'", "\\'")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({bucket['ddl']}) USING parquet "
+        f"CLUSTERED BY ({bucket['key']}) SORTED BY ({bucket['key']}) "
+        f"INTO {bucket['n']} BUCKETS LOCATION '{loc}'"
+    )
+    df = spark.table(name)  # eager analysis pins the resolved relation
+    spark.sql(f"DROP TABLE IF EXISTS {name}")  # external: files stay
+    return df
 
 
 def _frame_from_levels(spark, root: str, fname: str, levels: list[dict]) -> DataFrame:
@@ -1310,10 +1320,11 @@ def save_state_version(state: GraphState, root: str) -> str:
     import dataclasses
     import json as _json
 
-    from .fsutil import next_version, publish_version
+    from .fsutil import claim_version, publish_version
 
     spark = state.rows.sparkSession
-    vname = next_version(spark, root)
+    # CAS claim: concurrent snapshot publishers get disjoint directories
+    vname = claim_version(spark, root)
     base_manifest = None
     if state.base_root == root and state.base_version:
         base_manifest = _try_read_manifest(spark, f"{root}/{state.base_version}")
@@ -1469,6 +1480,39 @@ def compact_state_versions(spark, root: str) -> str:
     st = load_state_current(spark, root)
     st.base_root = st.base_version = None  # force the full-base path
     return save_state_version(st, root)
+
+
+def state_chain_length(spark, root: str) -> int:
+    """The CURRENT version's longest frame level chain — the
+    merge-on-read amplification metric (levels folded since the last
+    full base). 1 means a freshly-compacted (or first) snapshot; 0
+    means a pre-manifest flat layout."""
+    from .fsutil import resolve_version_dir
+
+    m = _try_read_manifest(spark, resolve_version_dir(spark, root))
+    if m is None:
+        return 0
+    return max(len(levels) for levels in m["frames"].values())
+
+
+def maintain_state_versions(
+    spark, root: str, max_chain: int = 8
+) -> str | None:
+    """AUTO-compaction policy (the ``compact_ann_index`` max_files
+    shape, applied to snapshot level chains): every ``save_state_version``
+    appends one level per touched frame, so the merge-on-read reload
+    plan grows one anti-join per fold; when CURRENT's longest chain
+    exceeds ``max_chain``, rewrite it as a fresh full base
+    (``compact_state_versions``) — resetting reload cost to one bucketed
+    scan per frame — else no-op. Call it after each snapshot in a
+    maintenance loop; values are untouched (suite-asserted) and the
+    superseded delta files become reclaimable by the next
+    ``prune_state_versions`` (left to the operator: readers of old
+    versions must drain first). Returns the compacted version name, or
+    None when the chain is within bounds."""
+    if state_chain_length(spark, root) <= max_chain:
+        return None
+    return compact_state_versions(spark, root)
 
 
 def compact_state(state: GraphState) -> GraphState:

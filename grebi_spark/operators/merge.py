@@ -47,8 +47,12 @@ def merge_nodes(assigned: DataFrame, config: SubgraphConfig | None = None) -> Da
     if config and config.exclude_props:
         rows = rows.filter(~F.col("prop_key").isin(list(config.exclude_props)))
 
+    # collect_set, not collect_list+array_distinct: the set dedups IN the
+    # aggregation buffer, so a mega-clique hot key (100k aliases sharing
+    # one (node, prop, value)) costs memory proportional to its DISTINCT
+    # provenance, not its input rows — same sorted-distinct result
     return rows.groupBy("node_id", "subgraph", "prop_key", "value", "value_props").agg(
-        F.array_sort(F.array_distinct(F.collect_list("datasource"))).alias("datasources"),
+        F.array_sort(F.collect_set("datasource")).alias("datasources"),
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("source_ids")))).alias(
             "source_ids"
         ),

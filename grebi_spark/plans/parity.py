@@ -1631,6 +1631,85 @@ LIMIT 5 OFFSET 5
 """
 
 
+_CORE_BM25_TERMS = ("customer", "united", "east")
+_CORE_BM25_TOPK = 15
+
+
+def core_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 SERVED FROM THE MAINTAINED CORE — Solr's actual ranking
+    model (Lucene BM25Similarity), not just its filter/facet semantics,
+    over the delta-refreshed segment/tombstone store: df, idf and avgdl
+    are computed from the core's LIVE documents after the add verb, so
+    the verb's new region docs ('MIDDLE EAST' carries the only 'east')
+    participate in both matching and the corpus statistics. The oracle
+    recomputes the whole model from the from-scratch post-verb doc set
+    — a stale segment, an uncovered tombstone, or any scoring drift
+    shifts scores and hash-mismatches. Reference: GrebiApi's /search
+    delegates ranking to Solr (GrebiSolrClient.java:105-147); here the
+    serving tier ranks natively."""
+    from ..sinks.solr_jsonl import bm25_core_docs, read_solr_core
+
+    key = f"corebm25:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _INC_CACHE:
+        docs = read_solr_core(spark, _refreshed_core_root(spark, sf_dir))
+        scored = bm25_core_docs(docs, _CORE_BM25_TERMS)
+        _INC_CACHE[key] = (
+            scored.orderBy(F.desc("score"), "node_id")
+            .limit(_CORE_BM25_TOPK)
+            .localCheckpoint()
+        )
+    return _INC_CACHE[key]
+
+
+ORACLE_CORE_BM25 = f"""
+WITH names AS (
+  SELECT 'c:' || c_custkey::varchar AS node_id, c_name AS name FROM customer
+  UNION ALL
+  SELECT 'n:' || n_nationkey::varchar, n_name FROM nation
+  UNION ALL
+  SELECT 'r:' || r_regionkey::varchar, r_name FROM region
+), toks AS (
+  SELECT node_id,
+         list_filter(string_split_regex(lower(name), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM names
+), lens AS (
+  SELECT node_id, length(toks) AS dl FROM toks
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl)::bigint AS total_dl FROM lens
+), qt AS (
+  SELECT node_id,
+         unnest(list_filter(toks,
+                x -> x IN ('customer', 'united', 'east'))) AS tok
+  FROM toks
+), tf AS (
+  SELECT node_id, tok, count(*) AS tf FROM qt GROUP BY node_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), w AS (
+  SELECT tf.node_id, tf.tok,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * tf.tf * (1.2 + 1.0)
+         / (tf.tf + 1.2 * (1.0 - 0.75
+              + 0.75 * lens.dl * stats.n_docs / stats.total_dl)) AS w
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN lens ON tf.node_id = lens.node_id
+  CROSS JOIN stats
+), s AS (
+  SELECT node_id,
+         round(0.0 + coalesce(sum(CASE WHEN tok = 'customer' THEN w END), 0.0)
+                   + coalesce(sum(CASE WHEN tok = 'united'   THEN w END), 0.0)
+                   + coalesce(sum(CASE WHEN tok = 'east'     THEN w END), 0.0),
+               4) AS score
+  FROM w GROUP BY node_id
+)
+SELECT node_id, score FROM s
+ORDER BY score DESC, node_id
+LIMIT {_CORE_BM25_TOPK}
+"""
+
+
 def solr_refresh_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-tier maintenance, driver-visible and EXECUTED: build the
     segment/tombstone search core (sinks.solr_jsonl.build_solr_core)
@@ -1716,6 +1795,7 @@ QUERIES = {
     "kv_refresh_roundtrip": kv_refresh_roundtrip,
     "solr_refresh_roundtrip": solr_refresh_roundtrip,
     "core_search_serving": core_search_serving,
+    "core_search_bm25": core_search_bm25,
     "incremental_add_merge_nodes": incremental_add_merge_nodes,
     "incremental_persist_roundtrip": incremental_persist_roundtrip,
     "state_rollback_roundtrip": state_rollback_roundtrip,
@@ -1750,6 +1830,7 @@ ORACLES = {
     "kv_refresh_roundtrip": ORACLE_MERGE_NODES,
     "solr_refresh_roundtrip": ORACLE_SOLR_REFRESH,
     "core_search_serving": ORACLE_CORE_SEARCH,
+    "core_search_bm25": ORACLE_CORE_BM25,
     "incremental_add_merge_nodes": ORACLE_MERGE_NODES,
     "incremental_persist_roundtrip": ORACLE_INC_FUSE_MERGED,
     "state_rollback_roundtrip": ORACLE_MERGE_NODES,

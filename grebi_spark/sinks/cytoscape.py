@@ -48,7 +48,15 @@ def cytoscape_edge_json(edges: DataFrame) -> DataFrame:
 
 def cytoscape_json(nodes: DataFrame, edges: DataFrame) -> dict:
     """The cytoscape_data document (directed multigraph), assembled from
-    the engine-rendered element JSON. Export-sized subgraphs only."""
+    the engine-rendered element JSON.
+
+    BOUNDEDNESS: the collect()s here are a deliberate driver-side
+    document assembly and assume an export-sized (notebook
+    neighbourhood) subgraph — element rendering
+    (cytoscape_node_json/cytoscape_edge_json) is distributed; only the
+    dict construction is driver-side, because the output is one JSON
+    document for a visualisation client, inherently bounded by what a
+    browser can draw."""
     n = [
         {"data": json.loads(r["j"])}
         for r in cytoscape_node_json(nodes).orderBy("sort_key").collect()

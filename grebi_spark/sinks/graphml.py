@@ -114,8 +114,13 @@ def graphml_document(nodes: DataFrame, edges: DataFrame) -> DataFrame:
 
 def graphml_string(nodes: DataFrame, edges: DataFrame) -> str:
     """Collect the document as one string — the apoc ``stream:true``
-    shape the notebook writes to a local .graphml file. Export-sized
-    subgraphs only (the notebook's is a 2-hop neighbourhood)."""
+    shape the notebook writes to a local .graphml file.
+
+    BOUNDEDNESS: the collect() here is a deliberate driver-side
+    assembly and assumes an export-sized (notebook 2-hop
+    neighbourhood) subgraph — element RENDERING is distributed
+    (graphml_document), only the final line join is driver-side. For
+    an unbounded graph use ``write_graphml``, which never collects."""
     return "\n".join(r["line"] for r in graphml_document(nodes, edges).collect())
 
 

@@ -378,6 +378,89 @@ def search_core_docs(
     return page_df, facets
 
 
+def bm25_core_docs(
+    docs: DataFrame,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 over the MAINTAINED core's live documents — Solr's
+    actual ranking model (Lucene's BM25Similarity, the default since
+    Solr 6), served from the same segment/tombstone store /search
+    filters against. ``docs`` is ``read_solr_core``'s live view, so
+    df/idf/avgdl are computed from the POST-refresh doc set: a stale
+    segment or an uncovered tombstone shifts the corpus statistics and
+    every score with them — the suite's oracle recomputes from scratch.
+
+    Token rule (oracle-mirrorable): lowercase the name field, split on
+    non-alphanumeric runs, drop empties. All scoring is JVM-side
+    aggregates (no UDF); df and the one-row corpus stats broadcast;
+    per-doc scores are fixed-order sums of per-term weights (one w row
+    per (doc, term)), so parity cannot flip on FP accumulation order.
+    Returns (node_id, score) for docs matching ≥1 term."""
+    toks = F.filter(
+        F.split(
+            F.lower(F.array_join(F.col("grebi__name"), " ")), "[^a-z0-9]+"
+        ),
+        lambda t: t != "",
+    )
+    base = docs.select(
+        F.col("grebi__nodeId").alias("node_id"), toks.alias("toks")
+    )
+    lens = base.select("node_id", F.size("toks").alias("dl")).persist()
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    qt = base.select(
+        "node_id",
+        F.explode(F.filter(F.col("toks"), lambda t: t.isin(*terms))).alias(
+            "tok"
+        ),
+    )
+    tf = qt.groupBy("node_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "tok")
+        .join(lens, "node_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+                )
+            ),
+        )
+    )
+    per_term = w.groupBy("node_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("tok") == t, F.col("w"))), F.lit(0.0)
+            ).alias(f"w_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.col(f"w_{i}")
+    return per_term.select("node_id", F.round(score, 4).alias("score"))
+
+
 def suggest_core_docs(docs: DataFrame, q: str, size: int = 10) -> DataFrame:
     """Q7 autocomplete over the maintained core's name field — the
     engine-side twin of the exported autocomplete core's suggester

@@ -168,3 +168,46 @@ def test_fresh_checkpoint_lineage_is_not_swallowed_by_old_markers(spark):
         f"{_resolve_index_dir(spark, root)}/lists"
     ).count()
     assert n_after == n_before + 3
+
+
+def test_ingest_namespace_refuses_silent_digest_fallback(spark):
+    """The path-digest fallback is only legitimate when no metadata
+    file EXISTS yet. A metadata file that exists but cannot be parsed
+    must raise — the digest is STABLE across checkpoint recreation at
+    the same path, so silently falling back would swallow a new
+    lineage's first batches as fake replays (the exact bug the
+    namespace exists to prevent). The read goes through the
+    scheme-aware Hadoop FS, not a local open()."""
+    import json
+    import os
+    import tempfile
+
+    import pytest
+
+    from grebi_spark.functions.similarity import ingest_namespace
+
+    root = tempfile.mkdtemp(prefix="grebi_ns_guard_")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(ckpt)
+
+    # no metadata file at all: legit pre-start fallback, stable digest
+    ns_absent = ingest_namespace(ckpt)
+    assert ns_absent == ingest_namespace(ckpt)
+
+    # corrupt metadata: REFUSE the fallback
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="not JSON"):
+        ingest_namespace(ckpt)
+
+    # metadata without an id field: refuse too
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        json.dump({"something": "else"}, fh)
+    with pytest.raises(ValueError, match="no 'id'"):
+        ingest_namespace(ckpt)
+
+    # healthy metadata: the query id wins, and differs from the digest
+    with open(os.path.join(ckpt, "metadata"), "w") as fh:
+        json.dump({"id": "0a1b2c3d-4e5f-6789-abcd-ef0123456789"}, fh)
+    assert ingest_namespace(ckpt) == "0a1b2c3d4e5f6789"
+    assert ingest_namespace(ckpt) != ns_absent

@@ -103,3 +103,192 @@ def test_png_pixel_decode_rejects_unsupported_honestly(spark):
         decode_png_pixels(bad)
     with pytest.raises(ValueError):
         decode_png_pixels(b"not a png at all")
+
+
+def test_png_pixel_decode_gray_and_palette(spark):
+    """Color types 0 (grayscale) and 3 (palette) decode exactly: gray
+    emits the closed-form base value per pixel; palette expands each
+    index through the closed-form PLTE so the stats describe pixel
+    CONTENT, not index values."""
+    from grebi_spark.functions.multimodal import (
+        _png_palette_entry,
+        build_png_gray,
+        build_png_palette,
+        decode_png_pixels,
+    )
+
+    for d in (0, 1, 2, 5, 37, 1001):
+        w, h = 4 + d % 8, 4 + (d * 3) % 8
+        base = [
+            (d * 31 + y * 17 + x * 7) % 256
+            for y in range(h)
+            for x in range(w)
+        ]
+        g = decode_png_pixels(build_png_gray(d))
+        assert (g["width"], g["height"]) == (w, h)
+        assert g["pixel_sum"] == sum(base)
+        assert (g["pixel_min"], g["pixel_max"]) == (min(base), max(base))
+        p = decode_png_pixels(build_png_palette(d))
+        expanded = [v for j in base for v in _png_palette_entry(j)]
+        assert p["pixel_sum"] == sum(expanded)
+        assert (p["pixel_min"], p["pixel_max"]) == (
+            min(expanded),
+            max(expanded),
+        )
+
+
+def test_png_decoder_conformance_on_pinned_byte_fixtures(spark):
+    """Byte-LITERAL PNGs whose filtered streams were computed BY HAND
+    (the arithmetic is spelled out below), decoded against hand-summed
+    expected stats. This pins decoder spec-conformance independently of
+    the repo's own encoder: a symmetric encoder/decoder filter bug
+    round-trips `build_png → decode_png_pixels` cleanly but cannot
+    fake these fixed bytes."""
+    import struct
+    import zlib
+
+    from grebi_spark.functions.multimodal import _PNG_SIG, decode_png_pixels
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # --- 2x2 RGB: row0 Sub, row1 Paeth --------------------------------
+    # pixels row0 = (10,20,30)(40,50,60), row1 = (15,25,35)(45,55,65)
+    # Sub row0:   f = v - left        → 10,20,30, 30,30,30
+    # Paeth row1: x=0 left=ul=0 → pred=up → f = 15-10,25-20,35-30 = 5,5,5
+    #             x=1 a=(15,25,35) b=(40,50,60) c=(10,20,30)
+    #                 p=a+b-c=(45,55,65); |p-a|=30 |p-b|=5 |p-c|=35
+    #                 → pred=b → f = 45-40,55-50,65-60 = 5,5,5
+    stream = bytes([1, 10, 20, 30, 30, 30, 30, 4, 5, 5, 5, 5, 5, 5])
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    s = decode_png_pixels(png)
+    # sum = 10+20+30+40+50+60 + 15+25+35+45+55+65 = 450
+    assert (s["width"], s["height"]) == (2, 2)
+    assert (s["pixel_sum"], s["pixel_min"], s["pixel_max"]) == (450, 10, 65)
+
+    # --- 3x2 grayscale: row0 Average, row1 None ------------------------
+    # pixels row0 = 100,101,103; row1 = 7,8,9
+    # Average row0 (prior row all 0):
+    #   f0 = 100 - (0+0)//2   = 100
+    #   f1 = 101 - (100+0)//2 = 51
+    #   f2 = 103 - (101+0)//2 = 53
+    stream = bytes([3, 100, 51, 53, 0, 7, 8, 9])
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    s = decode_png_pixels(png)
+    # sum = 100+101+103+7+8+9 = 328
+    assert (s["width"], s["height"]) == (3, 2)
+    assert (s["pixel_sum"], s["pixel_min"], s["pixel_max"]) == (328, 7, 103)
+
+    # --- 2x1 palette: indices (1,0), PLTE (0,0,0),(255,10,20) ----------
+    stream = bytes([0, 1, 0])  # filter None, raw indices
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([0, 0, 0, 255, 10, 20]))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    s = decode_png_pixels(png)
+    # samples = 255,10,20, 0,0,0 → sum 285
+    assert (s["pixel_sum"], s["pixel_min"], s["pixel_max"]) == (285, 0, 255)
+
+
+def test_png_unfilter_vectorized_speedup(spark):
+    """The numpy unfilter must beat the per-byte reference loop:
+    None/Sub/Up rows are fully vectorized (measured ~20-45x); Average/
+    Paeth are inherent left-to-right scans and stay scalar, so a
+    worst-case all-five-filters-cycling image lands ~3x overall.
+    Gates are set at half the quiet-machine measurements to survive a
+    loaded CI box."""
+    import time
+    import zlib
+
+    import numpy as np
+
+    from grebi_spark.functions.multimodal import _paeth, _unfilter_rows
+
+    w, h, bpp = 192, 120, 3
+    rng = np.random.RandomState(11)
+    raw = rng.randint(0, 256, size=(h, w * bpp), dtype=np.uint8)
+
+    def encode(filters):
+        filtered = bytearray()
+        prior = bytes(w * bpp)
+        for y in range(h):
+            t = filters[y % len(filters)]
+            filtered.append(t)
+            row = raw[y].tolist()
+            for i, v in enumerate(row):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if t == 0:
+                    f = v
+                elif t == 1:
+                    f = v - left
+                elif t == 2:
+                    f = v - up
+                elif t == 3:
+                    f = v - (left + up) // 2
+                else:
+                    f = v - _paeth(left, up, ul)
+                filtered.append(f & 0xFF)
+            prior = bytes(row)
+        return bytes(filtered)
+
+    def naive(data):
+        stride = w * bpp
+        prior = bytes(stride)
+        out = []
+        for y in range(h):
+            t = data[y * (stride + 1)]
+            row = data[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            recon = bytearray(stride)
+            for i, f in enumerate(row):
+                left = recon[i - bpp] if i >= bpp else 0
+                up = prior[i]
+                ul = prior[i - bpp] if i >= bpp else 0
+                if t == 0:
+                    v = f
+                elif t == 1:
+                    v = f + left
+                elif t == 2:
+                    v = f + up
+                elif t == 3:
+                    v = f + (left + up) // 2
+                else:
+                    v = f + _paeth(left, up, ul)
+                recon[i] = v & 0xFF
+            prior = bytes(recon)
+            out.append(bytes(recon))
+        return out
+
+    for filters, floor in (((0, 1, 2), 10.0), ((0, 1, 2, 3, 4), 2.0)):
+        data = encode(filters)
+        t0 = time.perf_counter()
+        fast = _unfilter_rows(data, w, h, bpp)
+        t_fast = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ref = naive(data)
+        t_ref = time.perf_counter() - t0
+        assert [bytes(fast[y]) for y in range(h)] == ref
+        assert (fast == raw).all()
+        assert t_ref / t_fast >= floor, (
+            f"unfilter speedup {t_ref / t_fast:.1f}x under floor "
+            f"{floor}x for filters {filters}"
+        )

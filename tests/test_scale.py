@@ -54,3 +54,67 @@ def test_skew_report(spark):
     df = spark.createDataFrame([(1,)] * 50 + [(2,)] * 3, ["k"])
     top = skewed_key_report(df, "k").collect()
     assert top[0]["k"] == 1 and top[0]["n"] == 50
+
+
+def test_mega_clique_100k_aliases_within_memory_bounds(spark):
+    """Pathological equivalence clique — 100k entities all aliased to
+    one hub id (the reference's >50 warning canary fires, but the
+    ENGINE must survive): one hot groupBy key flows through CC,
+    canonical election, the J2 provenance merge and node_table. The
+    merge's datasource buffers dedup in-buffer (collect_set), so the
+    hot key's memory is proportional to DISTINCT provenance, not the
+    100k input rows; the inherently-large artifacts (the hub node's
+    100k-element source_ids array) are the data model's own output,
+    same as the reference's. Wall time is recorded in PERFORMANCE.md;
+    this gate asserts completion + exact row-level correctness."""
+    import time
+
+    from grebi_spark.pipeline import build_graph
+
+    n = 100_000
+    base = spark.range(n)
+    eid = F.concat(F.lit("x:"), F.col("id").cast("string"))
+
+    def row(key, val):
+        return (
+            F.lit("mega").alias("subgraph"),
+            F.lit("megads").alias("datasource"),
+            eid.alias("entity_id"),
+            F.lit(key).alias("prop_key"),
+            val.alias("value"),
+            F.lit(None).cast("string").alias("value_props"),
+        )
+
+    src = (
+        base.select(*row("id", eid))
+        .unionAll(base.select(*row("id", F.lit("dup:hub"))))
+        .unionAll(base.select(*row("grebi:type", F.lit("thing:T"))))
+        .unionAll(
+            base.select(
+                *row(
+                    "grebi:name",
+                    F.concat(F.lit("name"), (F.col("id") % 100).cast("string")),
+                )
+            )
+        )
+    )
+    t0 = time.perf_counter()
+    g = build_graph([src], SubgraphConfig(exclude_edges=("id",)))
+    nodes = g.nodes.collect()
+    wall = time.perf_counter() - t0
+    # the whole clique fused into ONE canonical node
+    assert len(nodes) == 1
+    hub = nodes[0]
+    assert hub["types"] == ["thing:T"]
+    assert hub["datasources"] == ["megads"]
+    merged = g.merged
+    # provenance dedup: the type row carries ONE datasource entry
+    type_row = merged.filter(F.col("prop_key") == "grebi:type").collect()
+    assert len(type_row) == 1
+    assert type_row[0]["datasources"] == ["megads"]
+    # 100 distinct names survive as 100 merged rows; id rows carry the
+    # full alias set (the inherently-large, data-model-true artifact)
+    assert merged.filter(F.col("prop_key") == "grebi:name").count() == 100
+    id_vals = merged.filter(F.col("prop_key") == "id").count()
+    assert id_vals == n + 1  # every alias + the hub id
+    print(f"mega-clique 100k: {wall:.1f}s", flush=True)

@@ -441,3 +441,198 @@ def test_multi_fold_snapshot_composes_one_level_per_frame(spark):
     reloaded = _state_frames_dict(load_state_version(spark, root, v2))
     for fname in _STATE_FRAMES:
         assert _rows_canon(reloaded[fname]) == _rows_canon(live[fname]), fname
+
+
+def test_bucketed_seg_catalog_entries_are_transient(spark, mroot):
+    """Reopening a bucketed segment must not leak a permanent catalog
+    table: the entry is created, eagerly resolved into the returned
+    DataFrame, and dropped (mirroring the writer) — a permanent entry
+    would dangle at a deleted LOCATION after compaction/prune removes
+    the segment, for the whole warehouse lifetime."""
+    from grebi_spark.incremental import load_state_version
+
+    st = load_state_version(spark, mroot["root"], "v1")
+    # the load resolved bucketed base segments; no snap table may linger
+    leaked = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("grebi_snap_")
+    ]
+    assert leaked == [], leaked
+    # and the resolved frames stay readable after the drop
+    assert st.graph.merged.count() > 0
+
+
+def test_concurrent_publishers_get_disjoint_versions_and_sane_pointer(spark):
+    """Two publishers racing on ONE root (the 100 TB multi-maintenance-
+    job scenario): claim_version's CAS must hand them DISJOINT version
+    directories, and the lock-serialized pointer swings must leave
+    CURRENT existing and naming a committed version — the enforced form
+    of what used to be a documented single-writer contract."""
+    import tempfile
+    import threading
+
+    from grebi_spark.fsutil import (
+        claim_version,
+        publish_version,
+        resolve_version_dir,
+    )
+
+    root = tempfile.mkdtemp(prefix="grebi_pub_race_")
+    claimed: list[str] = []
+    errors: list[BaseException] = []
+    gate = threading.Barrier(4)
+
+    def publisher() -> None:
+        try:
+            gate.wait(timeout=30)
+            for _ in range(3):
+                v = claim_version(spark, root)
+                claimed.append(v)  # list.append is atomic under the GIL
+                publish_version(spark, root, v)
+        except BaseException as exc:  # noqa: BLE001 — surfaced below
+            errors.append(exc)
+
+    threads = [threading.Thread(target=publisher) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    # 12 claims, all distinct — no two publishers shared a directory
+    assert len(claimed) == 12 and len(set(claimed)) == 12, sorted(claimed)
+    # the pointer survived 12 racing swings and names a committed version
+    served = resolve_version_dir(spark, root)
+    assert served.rsplit("/", 1)[-1] in set(claimed)
+    import os
+
+    assert os.path.exists(os.path.join(root, "CURRENT"))
+    assert os.path.exists(os.path.join(served, "_COMMITTED"))
+
+
+def test_publish_lock_stale_break_and_timeout(spark):
+    """A crashed holder's lock (old mtime) is broken and publication
+    proceeds; a LIVE lock makes a second acquirer time out loudly
+    instead of deadlocking or silentlydouble-publishing."""
+    import os
+    import tempfile
+    import time
+
+    import pytest
+
+    from grebi_spark.fsutil import (
+        acquire_publish_lock,
+        release_publish_lock,
+    )
+
+    root = tempfile.mkdtemp(prefix="grebi_pub_lock_")
+    lock = os.path.join(root, "_PUBLISH_LOCK")
+
+    # stale lock: pretend a holder died 1h ago → broken, acquired
+    open(lock, "w").close()
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))
+    acquire_publish_lock(spark, root, timeout_sec=5, stale_sec=600)
+    assert os.path.exists(lock)
+
+    # live lock (the one we now hold): a second acquire times out
+    with pytest.raises(TimeoutError):
+        acquire_publish_lock(spark, root, timeout_sec=0.5, stale_sec=600)
+    release_publish_lock(spark, root)
+    assert not os.path.exists(lock)
+
+
+def test_maintain_state_versions_bounds_the_chain(spark):
+    """The AUTO-compaction policy: repeated folds grow the manifest
+    level chain one level per save; maintain_state_versions(max_chain)
+    must leave it alone within bounds, compact past them (chain resets
+    to 1), and preserve VALUES exactly — the bounded-reload contract
+    the 50-fold soak measures at scale."""
+    from grebi_spark.incremental import (
+        maintain_state_versions,
+        remove_datasource,
+        state_chain_length,
+    )
+
+    a, b = _tiny_sources(spark)
+    root = tempfile.mkdtemp(prefix="grebi_chain_policy_")
+    s = build_graph_stateful([a], CONFIG)
+    save_state_version(s, root)
+    assert state_chain_length(spark, root) == 1
+    # within bounds: a no-op
+    assert maintain_state_versions(spark, root, max_chain=3) is None
+
+    observed = []
+    for i in range(6):
+        st = load_state_current(spark, root)
+        ds_b = b.select("datasource").first()["datasource"]
+        st2 = (
+            add_datasource(st, b)
+            if i % 2 == 0
+            else remove_datasource(st, ds_b)
+        )
+        save_state_version(st2, root)
+        maintain_state_versions(spark, root, max_chain=3)
+        observed.append(state_chain_length(spark, root))
+    # the chain never runs away: compaction resets it to 1 whenever a
+    # save pushes past max_chain
+    assert max(observed) <= 4, observed
+    assert 1 in observed, observed  # at least one compaction fired
+
+    # value identity: the maintained root serves exactly the from-
+    # scratch state of the same verb sequence (6 folds end on remove)
+    final = load_state_current(spark, root)
+    ref = build_graph_stateful([a], CONFIG)
+    assert _canon(final.graph.merged) == _canon(ref.graph.merged)
+    assert _canon(final.graph.edges) == _canon(ref.graph.edges)
+
+
+def test_crash_mid_write_level_orphan_segments_ignored_and_pruned(spark):
+    """A save killed MID-_write_level leaves partial data segments in
+    the shared pool with no manifest referencing them (the manifest
+    write and publication come last). Readers must never see them —
+    resolution goes pointer → manifest → referenced paths only — and
+    prune_state_versions must sweep them as unreachable garbage. Runs
+    on a PRIVATE root: the sweep prunes old versions too, which the
+    shared mroot fixture must never experience."""
+    import os
+
+    from grebi_spark.incremental import (
+        load_state_current,
+        prune_state_versions,
+    )
+
+    a, b = _tiny_sources(spark)
+    root = tempfile.mkdtemp(prefix="grebi_crash_orphan_")
+    s1 = build_graph_stateful([a], CONFIG)
+    save_state_version(s1, root)
+    s2 = add_datasource(s1, b)
+    save_state_version(s2, root)
+    # fabricate the crash artifacts: a half-written delta segment and a
+    # torn tombstone set for a would-have-been v9, plus a claimed-but-
+    # never-committed version directory (the CAS claim marker)
+    orphan_seg = os.path.join(root, "data", "merged", "seg-v9-0")
+    os.makedirs(orphan_seg)
+    with open(os.path.join(orphan_seg, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"PAR1 torn mid-write")
+    orphan_del = os.path.join(root, "data", "merged", "del-v9-0-node_id")
+    os.makedirs(orphan_del)
+    with open(os.path.join(orphan_del, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"PAR1 torn too")
+    os.makedirs(os.path.join(root, "v9"))
+    open(os.path.join(root, "v9", "_CLAIMED"), "w").close()
+
+    before = _canon(s2.graph.merged)
+    # the orphans are invisible: the served state is exactly v2's
+    cur = load_state_current(spark, root)
+    assert _canon(cur.graph.merged) == before
+    # ...and the reachability sweep deletes them
+    prune_state_versions(spark, root)
+    assert not os.path.exists(orphan_seg)
+    assert not os.path.exists(orphan_del)
+    assert not os.path.exists(os.path.join(root, "v9"))
+    after = load_state_current(spark, root)
+    assert _canon(after.graph.merged) == before
+    # re-snapshot onto the pruned root still works (fresh claim → v10+)
+    s3 = load_state_current(spark, root)
+    vname = save_state_version(s3, root)
+    assert vname not in ("v1", "v2")

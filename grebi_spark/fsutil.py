@@ -123,6 +123,11 @@ def acquire_publish_lock(
     lock = f"{root}/_PUBLISH_LOCK"
     deadline = _time.monotonic() + timeout_sec
     while not _atomic_create(spark, lock):
+        if _time.monotonic() > deadline:  # checked EVERY iteration — the
+            # stale-break/vanished branches must not starve it
+            raise TimeoutError(
+                f"publish lock at {lock} held longer than {timeout_sec}s"
+            )
         try:
             st = fs.getFileStatus(P(lock))
             if _time.time() - st.getModificationTime() / 1000.0 > stale_sec:
@@ -130,10 +135,6 @@ def acquire_publish_lock(
                 continue
         except Exception:
             continue  # lock vanished between create and stat — retry now
-        if _time.monotonic() > deadline:
-            raise TimeoutError(
-                f"publish lock at {lock} held longer than {timeout_sec}s"
-            )
         _time.sleep(0.05)
 
 

@@ -112,9 +112,14 @@ def test_mega_clique_100k_aliases_within_memory_bounds(spark):
     type_row = merged.filter(F.col("prop_key") == "grebi:type").collect()
     assert len(type_row) == 1
     assert type_row[0]["datasources"] == ["megads"]
-    # 100 distinct names survive as 100 merged rows; id rows carry the
-    # full alias set (the inherently-large, data-model-true artifact)
+    # 100 distinct names survive as 100 merged rows
     assert merged.filter(F.col("prop_key") == "grebi:name").count() == 100
-    id_vals = merged.filter(F.col("prop_key") == "id").count()
-    assert id_vals == n + 1  # every alias + the hub id
+    # the global id rewrite maps every alias VALUE to the canonical, so
+    # the id rows collapse to ONE merged row whose source_ids provenance
+    # carries the full alias set — the inherently-large, data-model-true
+    # artifact (one 100k-element array row, not 100k rows)
+    id_rows = merged.filter(F.col("prop_key") == "id").collect()
+    assert len(id_rows) == 1
+    assert len(id_rows[0]["source_ids"]) == n + 1  # aliases + hub id
+    assert len(hub["source_ids"]) == n + 1
     print(f"mega-clique 100k: {wall:.1f}s", flush=True)

@@ -266,6 +266,7 @@ class GrebiApiServer:
                 reserved = {
                     "q", "page", "size", "exactMatch",
                     "includeObsoleteEntries", "lang", "facet", "type",
+                    "rank",
                 }
                 filters = tuple(
                     (k.lstrip("-"), tuple(vs), k.startswith("-"))
@@ -286,11 +287,21 @@ class GrebiApiServer:
                 )
                 core_docs = self._core_docs(rest[1])
                 if core_docs is not None:
-                    from ..sinks.solr_jsonl import search_core_docs
-
-                    page_df, facets = search_core_docs(
-                        core_docs, g1("q", ""), **kw
+                    # rank=bm25 serves Lucene's actual relevance model
+                    # (Okapi BM25 over the live core's names); default
+                    # stays the id/name boost ladder. Both share the
+                    # same filter/facet semantics (_apply_core_filters).
+                    from ..sinks.solr_jsonl import (
+                        search_core_docs,
+                        search_core_docs_bm25,
                     )
+
+                    ranker = (
+                        search_core_docs_bm25
+                        if g1("rank") == "bm25"
+                        else search_core_docs
+                    )
+                    page_df, facets = ranker(core_docs, g1("q", ""), **kw)
                 else:
                     page_df, facets = search_nodes(g, g1("q", ""), **kw)
                 body = _page_envelope(_rows(page_df), page, size)

@@ -333,31 +333,9 @@ def search_core_docs(
         F.exists("grebi__name", lambda n: F.lower(n).contains(ql)), 900
     ).otherwise(0)
     scored = docs.withColumn("score", id_hit + name_hit).filter(F.col("score") > 0)
-
-    def apply(df: DataFrame, prop: str, values: tuple[str, ...], negate: bool):
-        if prop == "types":
-            vals = F.col("grebi__type")
-        elif prop == "datasources":
-            vals = F.col("grebi__datasources")
-        else:
-            vals = F.coalesce(
-                F.col("fields").getItem(prop.replace(":", "__")),
-                F.array().cast("array<string>"),
-            )
-        hit = F.arrays_overlap(vals, F.array(*[F.lit(v) for v in values]))
-        return df.filter(~hit if negate else hit)
-
-    all_filters = list(filters)
-    if exclude_obsolete:
-        all_filters.append(("ols:isObsolete", ("true",), True))
-    base = scored
-    for prop, values, negate in all_filters:
-        if prop not in facet_fields:
-            base = apply(base, prop, values, negate)
-    paged = base
-    for prop, values, negate in all_filters:
-        if prop in facet_fields:
-            paged = apply(paged, prop, values, negate)
+    base, paged = _apply_core_filters(
+        scored, filters, facet_fields, exclude_obsolete
+    )
     page_df = (
         paged.orderBy(F.desc("score"), "grebi__nodeId")
         .offset(page * size)
@@ -369,13 +347,115 @@ def search_core_docs(
             "score",
         )
     )
+    return page_df, _core_facets(base, facet_fields)
+
+
+def _apply_one_core_filter(
+    df: DataFrame, prop: str, values: tuple[str, ...], negate: bool
+) -> DataFrame:
+    """One WHOLE_FIELD filter over a core doc frame (OR within values,
+    negation supported), reading the flat doc's own columns/fields map."""
+    if prop == "types":
+        vals = F.col("grebi__type")
+    elif prop == "datasources":
+        vals = F.col("grebi__datasources")
+    else:
+        vals = F.coalesce(
+            F.col("fields").getItem(prop.replace(":", "__")),
+            F.array().cast("array<string>"),
+        )
+    hit = F.arrays_overlap(vals, F.array(*[F.lit(v) for v in values]))
+    return df.filter(~hit if negate else hit)
+
+
+def _apply_core_filters(
+    scored: DataFrame,
+    filters: tuple[tuple[str, tuple[str, ...], bool], ...],
+    facet_fields: tuple[str, ...],
+    exclude_obsolete: bool,
+):
+    """(base, paged): multi-select faceting — filters on FACETED fields
+    are excluded from the facet-count frame (base) but applied to the
+    page frame (paged); the always-on obsolete exclusion applies to
+    both. Shared by the boost-ladder and BM25 rankings so the filter
+    semantics cannot drift between them."""
+    all_filters = list(filters)
+    if exclude_obsolete:
+        all_filters.append(("ols:isObsolete", ("true",), True))
+    base = scored
+    for prop, values, negate in all_filters:
+        if prop not in facet_fields:
+            base = _apply_one_core_filter(base, prop, values, negate)
+    paged = base
+    for prop, values, negate in all_filters:
+        if prop in facet_fields:
+            paged = _apply_one_core_filter(paged, prop, values, negate)
+    return base, paged
+
+
+def _core_facets(base: DataFrame, facet_fields: tuple[str, ...]):
     core_col = {"types": "grebi__type", "datasources": "grebi__datasources"}
-    facets = {
+    return {
         f: base.select(F.explode(core_col[f]).alias("value")).groupBy("value").count()
         for f in facet_fields
         if f in core_col
     }
-    return page_df, facets
+
+
+def search_core_docs_bm25(
+    docs: DataFrame,
+    q: str,
+    page: int = 0,
+    size: int = 10,
+    type_filter: str | None = None,
+    facet_fields: tuple[str, ...] = (),
+    filters: tuple[tuple[str, tuple[str, ...], bool], ...] = (),
+    exclude_obsolete: bool = True,
+):
+    """Q6 over the maintained core with Lucene's ACTUAL ranking model:
+    same WHOLE_FIELD filter / multi-select facet semantics as
+    ``search_core_docs`` (shared ``_apply_core_filters``), but
+    relevance is Okapi BM25 over the name field (``bm25_core_docs`` —
+    df/idf/avgdl from the post-filter live doc set) instead of the
+    id/name boost ladder. The facade serves this under
+    ``/search?...&rank=bm25``. The query is tokenized by the same
+    lowercase/non-alphanumeric rule the scorer uses; at most 8 terms
+    participate (Solr's edismax clause bound, kept small so the
+    fixed-order score sum stays engine-exact)."""
+    import re as _re
+
+    terms = tuple(
+        t for t in _re.split(r"[^a-z0-9]+", (q or "").lower()) if t
+    )[:8]
+    base, paged = _apply_core_filters(
+        docs if not type_filter
+        else docs.filter(F.array_contains("grebi__type", type_filter)),
+        filters,
+        facet_fields,
+        exclude_obsolete,
+    )
+    if not terms:
+        empty = paged.select(
+            F.col("grebi__nodeId").alias("node_id"),
+            F.col("grebi__type").alias("types"),
+            F.col("grebi__name").alias("names"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
+        return empty, _core_facets(base, facet_fields)
+    scored = bm25_core_docs(paged, terms, persist=False)
+    meta = paged.select(
+        F.col("grebi__nodeId").alias("node_id"),
+        F.col("grebi__type").alias("types"),
+        F.col("grebi__name").alias("names"),
+    )
+    page_df = (
+        scored.join(meta, "node_id")
+        .orderBy(F.desc("score"), "node_id")
+        .offset(page * size)
+        .limit(size)
+        .select("node_id", "types", "names", "score")
+    )
+    return page_df, _core_facets(base, facet_fields)
 
 
 def bm25_core_docs(
@@ -383,6 +463,7 @@ def bm25_core_docs(
     terms: tuple[str, ...],
     k1: float = 1.2,
     b: float = 0.75,
+    persist: bool = True,
 ) -> DataFrame:
     """Okapi BM25 over the MAINTAINED core's live documents — Solr's
     actual ranking model (Lucene's BM25Similarity, the default since
@@ -407,7 +488,11 @@ def bm25_core_docs(
     base = docs.select(
         F.col("grebi__nodeId").alias("node_id"), toks.alias("toks")
     )
-    lens = base.select("node_id", F.size("toks").alias("dl")).persist()
+    lens = base.select("node_id", F.size("toks").alias("dl"))
+    if persist:  # shares the doc scan between stats and the probe join;
+        # per-request callers (the facade) pass False to avoid stacking
+        # persisted frames across requests
+        lens = lens.persist()
     stats = lens.agg(
         F.count("*").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),

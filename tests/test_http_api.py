@@ -316,3 +316,59 @@ def test_fold_plus_core_refresh_changes_search_without_frame_rebuild(
         assert names == fnames == ["three"]
     finally:
         frame_srv.stop()
+
+
+def test_core_search_bm25_ranking(spark):
+    """rank=bm25 serves Lucene's actual relevance model from the
+    maintained core: hand-computed Okapi scores over a 2-doc corpus
+    (names 'one', 'two'; dl=1, avgdl=1, so the per-term weight reduces
+    to the idf: ln((N - df + .5)/(df + .5) + 1) = ln 2 ≈ 0.6931).
+    Own core root: the shared core_stack is mutated by the refresh
+    test. Filter semantics stay shared with the default ranking."""
+    import tempfile
+
+    from grebi_spark.incremental import build_graph_stateful
+    from grebi_spark.sinks.solr_jsonl import build_solr_core
+
+    from .test_pipeline import CONFIG
+    from .test_state_versions import _tiny_sources
+
+    a, _b = _tiny_sources(spark)
+    s1 = build_graph_stateful([a], CONFIG)
+    root = tempfile.mkdtemp(prefix="grebi_core_bm25_")
+    build_solr_core(s1.graph.merged, s1.graph.nodes, s1.graph.edges, root)
+    srv = GrebiApiServer({"main": s1.graph}, solr_cores={"main": root}).start()
+    try:
+        st, body = _get(
+            srv, "/api/v1/subgraphs/main/search?q=one&rank=bm25"
+        )
+        assert st == 200 and body["numElements"] == 1
+        el = body["elements"][0]
+        assert el["node_id"] == "x:1"
+        assert abs(el["score"] - 0.6931) < 1e-9  # round(ln 2, 4)
+
+        # both terms hit: equal scores, node_id tiebreak
+        st, body = _get(
+            srv, "/api/v1/subgraphs/main/search?q=one+two&rank=bm25"
+        )
+        assert st == 200 and body["numElements"] == 2
+        assert [e["node_id"] for e in body["elements"]] == ["x:1", "x:2"]
+        assert body["elements"][0]["score"] == body["elements"][1]["score"]
+
+        # WHOLE_FIELD filters apply to the BM25 path too (shared
+        # _apply_core_filters): negating x:1's name drops it
+        st, body = _get(
+            srv,
+            "/api/v1/subgraphs/main/search?q=one+two&rank=bm25"
+            "&-grebi:name=one",
+        )
+        assert st == 200
+        assert [e["node_id"] for e in body["elements"]] == ["x:2"]
+
+        # no matching term: empty page, not an error
+        st, body = _get(
+            srv, "/api/v1/subgraphs/main/search?q=zzz&rank=bm25"
+        )
+        assert st == 200 and body["numElements"] == 0
+    finally:
+        srv.stop()

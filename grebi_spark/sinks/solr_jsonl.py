@@ -442,20 +442,30 @@ def search_core_docs_bm25(
             F.lit(0.0).alias("score"),
         ).limit(0)
         return empty, _core_facets(base, facet_fields)
-    scored = bm25_core_docs(paged, terms, persist=False)
+    # Lucene semantics: BM25 statistics (df/idf/avgdl) come from the
+    # INDEX — the whole live corpus — never from the filtered subset;
+    # an fq filter narrows the result set but does not change scores.
+    scored = bm25_core_docs(docs, terms, persist=False)
     meta = paged.select(
         F.col("grebi__nodeId").alias("node_id"),
         F.col("grebi__type").alias("types"),
         F.col("grebi__name").alias("names"),
     )
     page_df = (
-        scored.join(meta, "node_id")
+        scored.join(meta, "node_id")  # inner: filters narrow the page
         .orderBy(F.desc("score"), "node_id")
         .offset(page * size)
         .limit(size)
         .select("node_id", "types", "names", "score")
     )
-    return page_df, _core_facets(base, facet_fields)
+    # facet counts cover MATCHING docs (q hit >=1 term), mirroring the
+    # boost-ladder path's score>0 restriction
+    matched = base.join(
+        scored.select("node_id"),
+        base["grebi__nodeId"] == F.col("node_id"),
+        "left_semi",
+    )
+    return page_df, _core_facets(matched, facet_fields)
 
 
 def bm25_core_docs(

@@ -356,7 +356,10 @@ def test_core_search_bm25_ranking(spark):
         assert body["elements"][0]["score"] == body["elements"][1]["score"]
 
         # WHOLE_FIELD filters apply to the BM25 path too (shared
-        # _apply_core_filters): negating x:1's name drops it
+        # _apply_core_filters): negating x:1's name drops it — and,
+        # Lucene semantics, the filter does NOT change x:2's score
+        # (BM25 statistics come from the index, not the filtered set)
+        unfiltered_x2 = body["elements"][1]["score"]
         st, body = _get(
             srv,
             "/api/v1/subgraphs/main/search?q=one+two&rank=bm25"
@@ -364,6 +367,7 @@ def test_core_search_bm25_ranking(spark):
         )
         assert st == 200
         assert [e["node_id"] for e in body["elements"]] == ["x:2"]
+        assert body["elements"][0]["score"] == unfiltered_x2
 
         # no matching term: empty page, not an error
         st, body = _get(

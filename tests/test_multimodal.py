@@ -79,7 +79,7 @@ def test_png_pixel_decode_is_bit_exact_across_all_filters(spark):
 
 
 def test_png_pixel_decode_rejects_unsupported_honestly(spark):
-    """Outside the implemented envelope (8-bit RGB/RGBA, no interlace)
+    """Outside the implemented envelope (8-bit, the four color types)
     the decoder must still raise, not silently mis-decode."""
     import struct
     import zlib
@@ -341,3 +341,71 @@ def test_jpeg_header_parse_walks_real_segments(spark):
     assert parse_jpeg_header(b"nope")["width"] == -1
     assert parse_jpeg_header(b"\xff\xd8")["width"] == -1
     assert parse_jpeg_header(b"\xff\xd8\xff\xd9")["width"] == -1
+
+
+def test_adam7_interlaced_decode_matches_progressive(spark):
+    """Adam7 reassembly: an interlaced PNG of the same closed-form
+    pixels must decode to identical stats as the progressive one, for
+    every color type."""
+    from grebi_spark.functions.multimodal import _build_png, decode_png_pixels
+
+    for d in (0, 1, 2, 3, 4, 5, 6, 7, 37, 1001):
+        for ct in (0, 2, 3):
+            a = decode_png_pixels(_build_png(d, ct, interlace=0))
+            b = decode_png_pixels(_build_png(d, ct, interlace=1))
+            assert a == b, (d, ct)
+
+
+def test_adam7_pass_grid_pinned_by_hand_fixture(spark):
+    """A hand-assembled 3×3 grayscale Adam7 stream pins the PASS ORDER
+    and grid placement independently of the repo's own encoder (a
+    symmetric pass-permutation bug in encoder+decoder would round-trip
+    invisibly; these literal bytes cannot lie).
+
+    3×3 → non-empty passes and their pixels (PNG spec §8.2 grid):
+      pass 1 (x0=0,y0=0,dx=8,dy=8): (0,0)
+      pass 4 (x0=2,y0=0,dx=4,dy=4): (2,0)
+      pass 5 (x0=0,y0=2,dx=2,dy=4): (0,2) (2,2)
+      pass 6 (x0=1,y0=0,dx=2,dy=2): (1,0) (1,2)
+      pass 7 (x0=0,y0=1,dx=1,dy=2): (0,1) (1,1) (2,1)
+    Image (value = 10·(y·3+x+1)):
+      10  20  30
+      40  50  60
+      70  80  90
+    Streams (filter byte + filtered bytes per scanline):
+      p1: [0, 10]
+      p4: [0, 30]
+      p5: [0, 70, 90]            (one row, filter None)
+      p6: [0, 20], [2, 80-20=60] (second row filter Up: f = v - up)
+      p7: [1, 40, 50-40=10, 60-50=10]  (filter Sub: f = v - left)
+    """
+    import struct
+    import zlib
+
+    from grebi_spark.functions.multimodal import _PNG_SIG, decode_png_pixels
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    stream = bytes(
+        [0, 10]            # pass 1
+        + [0, 30]          # pass 4
+        + [0, 70, 90]      # pass 5
+        + [0, 20, 2, 60]   # pass 6 (rows y=0 and y=2; Up against 20)
+        + [1, 40, 10, 10]  # pass 7 (row y=1; Sub)
+    )
+    png = (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(stream))
+        + chunk(b"IEND", b"")
+    )
+    s = decode_png_pixels(png)
+    # sum 10+20+...+90 = 450
+    assert (s["width"], s["height"]) == (3, 3)
+    assert (s["pixel_sum"], s["pixel_min"], s["pixel_max"]) == (450, 10, 90)

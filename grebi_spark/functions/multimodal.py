@@ -742,29 +742,42 @@ def _filter_scanlines(raw_rows: list[bytes], bpp: int) -> bytearray:
     return filtered
 
 
-def _build_png(doc_id: int, ctype: int, interlace: int = 0) -> bytes:
-    """A COMPLETE, spec-valid 8-bit PNG (signature, IHDR, [PLTE], one
-    IDAT, IEND — CRCs real) whose pixels are a closed-form function of
-    the id: sample c of pixel (x, y) = (doc_id·31 + y·17 + x·7 + c·13)
-    mod 256 (grayscale/palette use c=0 only; palette indices map
-    through the closed-form PLTE). Scanline filters VARY by row (row
-    mod 5 → None/Sub/Up/Average/Paeth) so the decoder's whole unfilter
-    matrix is exercised. ``ctype``: 0 grayscale, 2 RGB, 3 palette.
-    ``interlace=1`` emits the seven Adam7 passes in transmission order,
-    each filtered as its own scope (PNG spec §8.2)."""
+def _build_png(
+    doc_id: int, ctype: int, interlace: int = 0, depth: int = 8
+) -> bytes:
+    """A COMPLETE, spec-valid PNG (signature, IHDR, [PLTE], one IDAT,
+    IEND — CRCs real) whose pixels are a closed-form function of the
+    id: at depth 8, sample c of pixel (x, y) = (doc_id·31 + y·17 + x·7
+    + c·13) mod 256 (grayscale/palette use c=0 only; palette indices
+    map through the closed-form PLTE); at depth 16, (doc_id·4099 +
+    y·257 + x·31 + c·13) mod 65536, big-endian. Scanline filters VARY
+    by row (row mod 5 → None/Sub/Up/Average/Paeth) so the decoder's
+    whole unfilter matrix is exercised. ``ctype``: 0 grayscale, 2 RGB,
+    3 palette (depth 8 only, per spec). ``interlace=1`` emits the seven
+    Adam7 passes in transmission order, each filtered as its own scope
+    (PNG spec §8.2)."""
     import struct
     import zlib
 
     w = 4 + doc_id % 8
     h = 4 + (doc_id * 3) % 8
-    bpp = 3 if ctype == 2 else 1
+    nchan = 3 if ctype == 2 else 1
+    sw = depth // 8  # sample width in bytes
+    bpp = nchan * sw  # filter unit: BYTES per pixel (spec §9.2)
 
     def px(x: int, y: int, c: int) -> int:
+        if depth == 16:
+            return (doc_id * 4099 + y * 257 + x * 31 + c * 13) % 65536
         return (doc_id * 31 + y * 17 + x * 7 + c * 13) % 256
 
     def rows_for(xs: list[int], ys: list[int]) -> list[bytes]:
         return [
-            bytes(px(x, y, c) for x in xs for c in range(bpp)) for y in ys
+            b"".join(
+                px(x, y, c).to_bytes(sw, "big")
+                for x in xs
+                for c in range(nchan)
+            )
+            for y in ys
         ]
 
     if interlace == 0:
@@ -780,7 +793,7 @@ def _build_png(doc_id: int, ctype: int, interlace: int = 0) -> bytes:
                 continue  # empty pass: wholly omitted, no filter bytes
             filtered += _filter_scanlines(rows_for(xs, ys), bpp)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
     parts = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
     if ctype == 3:
         plte = bytes(
@@ -929,8 +942,9 @@ def decode_png_pixels(payload: bytes) -> dict:
     (all five PNG filters — see ``_unfilter_rows``) → exact integer
     pixel statistics over every SAMPLE byte (RGBA includes alpha;
     palette indices are expanded through the PLTE first, so the stats
-    describe pixel CONTENT, not index values). Supports 8-bit
-    grayscale (color type 0), RGB (2), palette (3) and RGBA (6), both
+    describe pixel CONTENT, not index values; 16-bit samples are
+    big-endian u16 values). Supports 8-bit grayscale (color type 0),
+    RGB (2), palette (3) and RGBA (6), 16-bit gray/RGB/RGBA, both
     non-interlaced and Adam7-interlaced (``_deinterlace_adam7``);
     anything else still raises, honestly."""
     import struct
@@ -956,15 +970,20 @@ def decode_png_pixels(payload: bytes) -> dict:
             break
         pos += 12 + length
     w, h, depth, ctype, interlace = meta
-    if depth != 8 or ctype not in (0, 2, 3, 6) or interlace not in (0, 1):
+    supported = (
+        (depth == 8 and ctype in (0, 2, 3, 6))
+        or (depth == 16 and ctype in (0, 2, 6))  # no 16-bit palette (spec)
+    ) and interlace in (0, 1)
+    if not supported:
         raise NotImplementedError(
-            f"PNG decode implemented for 8-bit gray/RGB/palette/RGBA, "
-            f"interlace 0/1 (Adam7); got depth={depth} "
-            f"color_type={ctype} interlace={interlace}"
+            f"PNG decode implemented for 8-bit gray/RGB/palette/RGBA and "
+            f"16-bit gray/RGB/RGBA, interlace 0/1 (Adam7); got "
+            f"depth={depth} color_type={ctype} interlace={interlace}"
         )
     import numpy as np
 
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    nchan = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    bpp = nchan * (depth // 8)  # filter unit: BYTES per pixel (spec §9.2)
     raw = zlib.decompress(bytes(idat))
     if interlace == 1:
         px = _deinterlace_adam7(raw, w, h, bpp)
@@ -978,7 +997,12 @@ def decode_png_pixels(payload: bytes) -> dict:
         if int(idx.max(initial=0)) >= pal.shape[0]:
             raise ValueError("palette index out of PLTE range")
         px = pal[idx]
-    samples = px.reshape(-1).astype(np.int64)
+    if depth == 16:
+        # big-endian u16 samples: stats describe SAMPLE VALUES, not bytes
+        flat = np.ascontiguousarray(px).reshape(-1).astype(np.int64)
+        samples = flat[0::2] * 256 + flat[1::2]
+    else:
+        samples = px.reshape(-1).astype(np.int64)
     return {
         "width": w,
         "height": h,

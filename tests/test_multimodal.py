@@ -96,8 +96,13 @@ def test_png_pixel_decode_rejects_unsupported_honestly(spark):
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    # 16-bit depth: honest NotImplementedError
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    # sub-byte depth (4-bit palette): honest NotImplementedError
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 3, 0, 0, 0)
+    bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(bad)
+    # 16-bit palette: no such type in the spec — raises too
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
     bad = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png_pixels(bad)
@@ -409,3 +414,34 @@ def test_adam7_pass_grid_pinned_by_hand_fixture(spark):
     # sum 10+20+...+90 = 450
     assert (s["width"], s["height"]) == (3, 3)
     assert (s["pixel_sum"], s["pixel_min"], s["pixel_max"]) == (450, 10, 90)
+
+
+def test_png_16bit_decode_gray_and_rgb(spark):
+    """Depth-16 decode: the filter unit is BYTES per pixel (spec §9.2,
+    so the byte-level unfilter is unchanged), and the stats describe
+    big-endian u16 SAMPLE VALUES — progressive and Adam7 both. 16-bit
+    palette stays an honest raise (the spec has no such type)."""
+    import pytest
+
+    from grebi_spark.functions.multimodal import _build_png, decode_png_pixels
+
+    for d in (0, 1, 2, 5, 37, 999):
+        w, h = 4 + d % 8, 4 + (d * 3) % 8
+        for ct in (0, 2):
+            nch = 3 if ct == 2 else 1
+            exp = [
+                (d * 4099 + y * 257 + x * 31 + c * 13) % 65536
+                for y in range(h)
+                for x in range(w)
+                for c in range(nch)
+            ]
+            for il in (0, 1):
+                s = decode_png_pixels(_build_png(d, ct, interlace=il, depth=16))
+                assert (s["width"], s["height"]) == (w, h), (d, ct, il)
+                assert s["pixel_sum"] == sum(exp), (d, ct, il)
+                assert (s["pixel_min"], s["pixel_max"]) == (
+                    min(exp),
+                    max(exp),
+                ), (d, ct, il)
+    with pytest.raises(NotImplementedError):
+        decode_png_pixels(_build_png(3, 3, depth=16))

@@ -237,16 +237,40 @@ def rollback_version(spark: SparkSession, root: str) -> str:
     return vname
 
 
-def prune_versions(spark: SparkSession, root: str) -> int:
+def prune_versions(
+    spark: SparkSession, root: str, claim_grace_sec: float = 0.0
+) -> int:
     """Delete every version directory except CURRENT's — run once old
-    readers are drained. Returns the number of versions removed."""
+    readers are drained. Returns the number of versions removed.
+
+    ``claim_grace_sec``: with concurrent publishers (claim_version +
+    the publish lock), a maintenance prune can race an IN-FLIGHT save —
+    the save claimed its directory but hasn't committed yet. Passing a
+    grace (e.g. the expected save duration, 600 s) makes prune skip
+    uncommitted directories whose ``_CLAIMED`` marker is younger than
+    the grace; older uncommitted claims are crash debris and are swept.
+    The default 0 keeps single-writer behavior: sweep everything
+    not serving."""
+    import time as _time
+
     jvm, fs = fs_of(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
     keep = resolve_version_dir(spark, root).rsplit("/", 1)[-1]
     removed = 0
     for s in hadoop_ls(spark, root, dirs_only=True):
         name = s.getPath().getName()
-        if name.startswith("v") and name[1:].isdigit() and name != keep:
-            fs.delete(P(f"{root}/{name}"), True)
-            removed += 1
+        if not (name.startswith("v") and name[1:].isdigit()) or name == keep:
+            continue
+        if claim_grace_sec > 0 and not fs.exists(
+            P(f"{root}/{name}/_COMMITTED")
+        ):
+            try:
+                st = fs.getFileStatus(P(f"{root}/{name}/_CLAIMED"))
+                age = _time.time() - st.getModificationTime() / 1000.0
+                if age < claim_grace_sec:
+                    continue  # an in-flight publisher's claim — spare it
+            except Exception:
+                pass  # no claim marker: plain torn dir, sweep
+        fs.delete(P(f"{root}/{name}"), True)
+        removed += 1
     return removed

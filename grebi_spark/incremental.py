@@ -1434,7 +1434,9 @@ def rollback_state(spark, root: str) -> str:
     return rollback_version(spark, root)
 
 
-def prune_state_versions(spark, root: str) -> int:
+def prune_state_versions(
+    spark, root: str, claim_grace_sec: float = 0.0
+) -> int:
     """Delete every snapshot version except CURRENT's — run once old
     readers are drained. Returns the number of version directories
     removed.
@@ -1445,10 +1447,12 @@ def prune_state_versions(spark, root: str) -> int:
     data directory referenced by NO retained manifest is garbage and is
     deleted (the Iceberg expire-snapshots shape). Files the kept version
     references are never touched — time-travel reads of the kept version
-    stay isolated across the prune."""
+    stay isolated across the prune. ``claim_grace_sec`` > 0 spares an
+    in-flight concurrent save's claimed-but-uncommitted directory (see
+    fsutil.prune_versions)."""
     from .fsutil import fs_of, hadoop_ls, prune_versions, resolve_version_dir
 
-    removed = prune_versions(spark, root)
+    removed = prune_versions(spark, root, claim_grace_sec=claim_grace_sec)
     kept = _try_read_manifest(spark, resolve_version_dir(spark, root))
     if kept is None:
         return removed  # pre-manifest layout: directory prune was complete

@@ -636,3 +636,37 @@ def test_crash_mid_write_level_orphan_segments_ignored_and_pruned(spark):
     s3 = load_state_current(spark, root)
     vname = save_state_version(s3, root)
     assert vname not in ("v1", "v2")
+
+
+def test_prune_claim_grace_spares_inflight_publisher(spark):
+    """With concurrent publishers, a maintenance prune must not sweep a
+    save that has CLAIMED its directory but not yet committed: a grace
+    window spares fresh claims, while old uncommitted claims (crash
+    debris) and the default grace=0 behavior still sweep."""
+    import os
+    import tempfile
+    import time
+
+    from grebi_spark.fsutil import claim_version, prune_versions
+
+    a, _b = _tiny_sources(spark)
+    root = tempfile.mkdtemp(prefix="grebi_prune_grace_")
+    s1 = build_graph_stateful([a], CONFIG)
+    save_state_version(s1, root)
+
+    vname = claim_version(spark, root)  # an in-flight publisher
+    claim = os.path.join(root, vname, "_CLAIMED")
+    assert os.path.exists(claim)
+    # graced prune spares the fresh claim
+    prune_versions(spark, root, claim_grace_sec=600)
+    assert os.path.exists(claim)
+    # an OLD claim is crash debris: swept even with the grace on
+    os.utime(claim, (time.time() - 3600, time.time() - 3600))
+    prune_versions(spark, root, claim_grace_sec=600)
+    assert not os.path.exists(os.path.join(root, vname))
+    # default grace=0: single-writer behavior, fresh claims sweep too
+    v2 = claim_version(spark, root)
+    prune_versions(spark, root)
+    assert not os.path.exists(os.path.join(root, v2))
+    # serving untouched throughout
+    assert load_state_current(spark, root).graph.merged.count() > 0

@@ -105,24 +105,67 @@ def claim_version(spark: SparkSession, root: str) -> str:
     raise IOError(f"could not claim a version name under {root}")
 
 
+def _read_small(spark: SparkSession, path: str) -> str | None:
+    """Tiny-file read through the scheme-aware FS; None when absent or
+    unreadable (e.g. deleted between exists and open)."""
+    jvm, fs = fs_of(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    try:
+        stream = fs.open(p)
+        try:
+            return bytes(stream.readAllBytes()).decode()
+        finally:
+            stream.close()
+    except Exception:
+        return None
+
+
 def acquire_publish_lock(
     spark: SparkSession,
     root: str,
     timeout_sec: float = 60.0,
     stale_sec: float = 600.0,
-) -> None:
+) -> str:
     """Take ``root``'s publisher lock (atomic create-if-absent of
-    _PUBLISH_LOCK). A lock older than ``stale_sec`` is presumed to
-    belong to a crashed holder and is broken; waiting past
-    ``timeout_sec`` raises rather than deadlocking a maintenance
-    job."""
+    _PUBLISH_LOCK) and return this holder's OWNER TOKEN. A lock older
+    than ``stale_sec`` is presumed to belong to a crashed holder and is
+    broken; waiting past ``timeout_sec`` raises rather than deadlocking
+    a maintenance job.
+
+    Stale-break safety (two waiters observing the same stale lock must
+    not cascade into deleting each other's FRESH locks): the break is a
+    RENAME to a unique tombstone, not a delete — rename is atomic, so
+    of N racing breakers exactly one moves the stale file and the rest
+    fail and re-loop; a fresh lock created by the winner in the same
+    window is a different inode/path entry and is never the rename
+    source. Before renaming, the breaker re-stats and only proceeds if
+    the mtime still matches the stale observation (a holder that
+    released and a NEW holder that locked in between show a fresh
+    mtime). The owner token written into the lock body lets
+    ``release_publish_lock`` delete ONLY its own lock — a >stale_sec
+    holder whose lock was broken and replaced must not delete the
+    usurper's."""
     import time as _time
+    import uuid as _uuid
 
     jvm, fs = fs_of(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
     lock = f"{root}/_PUBLISH_LOCK"
+    token = _uuid.uuid4().hex
     deadline = _time.monotonic() + timeout_sec
-    while not _atomic_create(spark, lock):
+
+    def claim() -> bool:
+        if not _atomic_create(spark, lock):
+            return False
+        # the CREATE is the atomic claim; the token body is identity
+        # metadata for release/break (nobody else can create while the
+        # path exists, so this overwrite only ever touches our own file)
+        out = fs.create(P(lock), True)
+        out.write(bytearray(token.encode()))
+        out.close()
+        return True
+
+    while not claim():
         if _time.monotonic() > deadline:  # checked EVERY iteration — the
             # stale-break/vanished branches must not starve it
             raise TimeoutError(
@@ -130,17 +173,36 @@ def acquire_publish_lock(
             )
         try:
             st = fs.getFileStatus(P(lock))
-            if _time.time() - st.getModificationTime() / 1000.0 > stale_sec:
-                fs.delete(P(lock), False)  # break a crashed holder's lock
+            observed_mtime = st.getModificationTime()
+            if _time.time() - observed_mtime / 1000.0 > stale_sec:
+                # re-stat immediately before the break: a release+relock
+                # since the first stat shows as a changed mtime
+                st2 = fs.getFileStatus(P(lock))
+                if st2.getModificationTime() == observed_mtime:
+                    tomb = P(f"{root}/_PUBLISH_LOCK.tomb.{_uuid.uuid4().hex}")
+                    if fs.rename(P(lock), tomb):  # exactly one breaker wins
+                        fs.delete(tomb, False)
                 continue
         except Exception:
             continue  # lock vanished between create and stat — retry now
         _time.sleep(0.05)
+    return token
 
 
-def release_publish_lock(spark: SparkSession, root: str) -> None:
+def release_publish_lock(
+    spark: SparkSession, root: str, token: str | None = None
+) -> None:
+    """Release the publisher lock. With ``token`` (what
+    ``acquire_publish_lock`` returned), the delete happens ONLY if the
+    lock body still carries that token — a holder whose lock was
+    stale-broken and replaced by another publisher leaves the usurper's
+    fresh lock alone. ``token=None`` keeps the legacy unconditional
+    delete for operator tooling that knows it is the only writer."""
     jvm, fs = fs_of(spark, root)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/_PUBLISH_LOCK"), False)
+    lock = f"{root}/_PUBLISH_LOCK"
+    if token is not None and _read_small(spark, lock) != token:
+        return  # not ours any more (broken + re-acquired) — hands off
+    fs.delete(jvm.org.apache.hadoop.fs.Path(lock), False)
 
 
 def publish_version(spark: SparkSession, root: str, vname: str) -> None:
@@ -152,7 +214,7 @@ def publish_version(spark: SparkSession, root: str, vname: str) -> None:
     serialized behind the root's publisher lock: delete+rename is
     atomic per rename but not as a pair, and two unserialized swings
     could interleave into a missing or torn CURRENT."""
-    acquire_publish_lock(spark, root)
+    token = acquire_publish_lock(spark, root)
     try:
         jvm, fs = fs_of(spark, root)
         P = jvm.org.apache.hadoop.fs.Path
@@ -167,7 +229,7 @@ def publish_version(spark: SparkSession, root: str, vname: str) -> None:
         if not fs.rename(tmp, cur):
             raise IOError(f"could not publish {vname} at {root}")
     finally:
-        release_publish_lock(spark, root)
+        release_publish_lock(spark, root, token)
 
 
 def committed_versions(spark: SparkSession, root: str) -> list[int]:
@@ -237,26 +299,33 @@ def rollback_version(spark: SparkSession, root: str) -> str:
     return vname
 
 
-def prune_versions(
-    spark: SparkSession, root: str, claim_grace_sec: float = 0.0
-) -> int:
+def prune_versions_report(
+    spark: SparkSession, root: str, claim_grace_sec: float = 600.0
+) -> tuple[int, list[str]]:
     """Delete every version directory except CURRENT's — run once old
-    readers are drained. Returns the number of versions removed.
+    readers are drained. Returns ``(removed, spared)`` where ``spared``
+    is the list of claimed-but-uncommitted version names the grace
+    window protected: callers that sweep a SHARED data pool (the
+    manifest snapshots' reachability prune) must also spare those
+    publishers' freshly written data files, which only the in-flight
+    manifest — not the kept one — will reference.
 
     ``claim_grace_sec``: with concurrent publishers (claim_version +
     the publish lock), a maintenance prune can race an IN-FLIGHT save —
-    the save claimed its directory but hasn't committed yet. Passing a
-    grace (e.g. the expected save duration, 600 s) makes prune skip
-    uncommitted directories whose ``_CLAIMED`` marker is younger than
-    the grace; older uncommitted claims are crash debris and are swept.
-    The default 0 keeps single-writer behavior: sweep everything
-    not serving."""
+    the save claimed its directory but hasn't committed yet. The grace
+    makes prune skip uncommitted directories whose ``_CLAIMED`` marker
+    is younger than the grace; older uncommitted claims are crash
+    debris and are swept. Safe by DEFAULT (600 s — a generous save
+    duration): sparing a live publisher must not depend on every prune
+    caller remembering to opt in. Pass 0 for the aggressive
+    single-writer sweep when the operator KNOWS no save is in flight
+    (e.g. after confirming a publisher crashed)."""
     import time as _time
 
     jvm, fs = fs_of(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
     keep = resolve_version_dir(spark, root).rsplit("/", 1)[-1]
-    removed = 0
+    removed, spared = 0, []
     for s in hadoop_ls(spark, root, dirs_only=True):
         name = s.getPath().getName()
         if not (name.startswith("v") and name[1:].isdigit()) or name == keep:
@@ -268,9 +337,23 @@ def prune_versions(
                 st = fs.getFileStatus(P(f"{root}/{name}/_CLAIMED"))
                 age = _time.time() - st.getModificationTime() / 1000.0
                 if age < claim_grace_sec:
-                    continue  # an in-flight publisher's claim — spare it
+                    spared.append(name)  # in-flight publisher — spare it
+                    continue
             except Exception:
                 pass  # no claim marker: plain torn dir, sweep
         fs.delete(P(f"{root}/{name}"), True)
         removed += 1
+    return removed, spared
+
+
+def prune_versions(
+    spark: SparkSession, root: str, claim_grace_sec: float = 600.0
+) -> int:
+    """``prune_versions_report`` returning just the removed count — for
+    self-contained version layouts (each version dir holds its own
+    files, e.g. the ANN index) where spared claims need no further
+    protection."""
+    removed, _spared = prune_versions_report(
+        spark, root, claim_grace_sec=claim_grace_sec
+    )
     return removed

@@ -648,12 +648,22 @@ def retrain_ann_index(spark: SparkSession, root: str) -> str:
     return vname
 
 
-def prune_ann_index_versions(spark: SparkSession, root: str) -> int:
+def prune_ann_index_versions(
+    spark: SparkSession, root: str, claim_grace_sec: float = 600.0
+) -> int:
     """Delete every version directory except CURRENT's — run once old
-    readers are drained. Returns the number of versions removed."""
+    readers are drained. Returns the number of versions removed.
+
+    In-flight-writer audit: ANN index versions are SELF-CONTAINED
+    (retrain_ann_index claims a directory and writes lists/centroids/
+    mode INSIDE it — no shared data pool), so sparing a concurrent
+    retrainer's claimed-but-uncommitted DIRECTORY (which the default
+    600 s grace does, fsutil.prune_versions) is the whole fix; there
+    are no cross-version files for the sweep to orphan. Pass
+    ``claim_grace_sec=0`` only when no retrain is in flight."""
     from ..fsutil import prune_versions
 
-    return prune_versions(spark, root)
+    return prune_versions(spark, root, claim_grace_sec=claim_grace_sec)
 
 
 def _index_assign(vec, cents, routed: bool, k_int: int):

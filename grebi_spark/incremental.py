@@ -1164,10 +1164,18 @@ def _read_bucketed_seg(spark, root: str, relpath: str, bucket: dict) -> DataFram
     (the returned DataFrame holds the resolved bucketed relation), and
     a permanent entry would dangle at a deleted LOCATION after
     compaction/prune removes the segment. The location path is escaped
-    for the SQL string literal."""
-    name = _bucket_table_name(root, relpath)
+    for the SQL string literal.
+
+    The name is unique PER CALL (uuid suffix on the segment digest):
+    concurrent loads of the same segment are real (the HTTP facade's
+    ThreadingHTTPServer serving while a maintenance loop reloads, two
+    threads calling load_state_version), and a shared deterministic
+    name would let one call's DROP land between another's CREATE and
+    ``spark.table`` — AnalysisException on a healthy segment."""
+    import uuid as _uuid
+
+    name = f"{_bucket_table_name(root, relpath)}_{_uuid.uuid4().hex[:12]}"
     loc = f"{root}/{relpath}".replace("\\", "\\\\").replace("'", "\\'")
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql(
         f"CREATE TABLE {name} ({bucket['ddl']}) USING parquet "
         f"CLUSTERED BY ({bucket['key']}) SORTED BY ({bucket['key']}) "
@@ -1434,12 +1442,30 @@ def rollback_state(spark, root: str) -> str:
     return rollback_version(spark, root)
 
 
+def _segment_vname(segname: str) -> str | None:
+    """The publishing version a data-segment directory belongs to —
+    segment names embed it by construction (``seg-<vname>-…``,
+    ``del-<vname>-…-<col>``, ``agg-<vname>-…``, ``_write_level`` /
+    ``_write_full_level``). None for a name outside that vocabulary."""
+    parts = segname.split("-")
+    if (
+        len(parts) >= 2
+        and parts[0] in ("seg", "del", "agg")
+        and parts[1].startswith("v")
+        and parts[1][1:].isdigit()
+    ):
+        return parts[1]
+    return None
+
+
 def prune_state_versions(
-    spark, root: str, claim_grace_sec: float = 0.0
-) -> int:
+    spark, root: str, claim_grace_sec: float = 600.0, report: bool = False
+):
     """Delete every snapshot version except CURRENT's — run once old
     readers are drained. Returns the number of version directories
-    removed.
+    removed (or, with ``report=True``, a dict with the versions removed,
+    the orphan data segments swept, and the in-flight claims spared —
+    the observability a 100 TB operator wants from a GC pass).
 
     With manifest versions this is a REACHABILITY sweep, not a directory
     delete: version directories hold only manifests, and data files are
@@ -1447,15 +1473,39 @@ def prune_state_versions(
     data directory referenced by NO retained manifest is garbage and is
     deleted (the Iceberg expire-snapshots shape). Files the kept version
     references are never touched — time-travel reads of the kept version
-    stay isolated across the prune. ``claim_grace_sec`` > 0 spares an
-    in-flight concurrent save's claimed-but-uncommitted directory (see
-    fsutil.prune_versions)."""
-    from .fsutil import fs_of, hadoop_ls, prune_versions, resolve_version_dir
+    stay isolated across the prune.
 
-    removed = prune_versions(spark, root, claim_grace_sec=claim_grace_sec)
+    CONCURRENT-PUBLISHER safety: ``save_state_version`` writes its data
+    segments BEFORE its manifest lands (the longest phase of a save), so
+    an in-flight publisher's fresh ``seg-/del-/agg-<vname>-*`` dirs are
+    referenced by NO committed manifest yet. The grace window therefore
+    protects BOTH halves of such a save: ``prune_versions_report``
+    spares the claimed-but-uncommitted version DIRECTORY, and the data
+    sweep here skips every segment whose name embeds a spared claim's
+    vname (segment names encode their publisher by construction) — the
+    publisher then commits a manifest whose files all still exist. Safe
+    by default (600 s grace); pass ``claim_grace_sec=0`` only when the
+    operator knows no save is in flight."""
+    from .fsutil import (
+        fs_of,
+        hadoop_ls,
+        prune_versions_report,
+        resolve_version_dir,
+    )
+
+    removed, spared = prune_versions_report(
+        spark, root, claim_grace_sec=claim_grace_sec
+    )
+    spared_set = set(spared)
     kept = _try_read_manifest(spark, resolve_version_dir(spark, root))
     if kept is None:
-        return removed  # pre-manifest layout: directory prune was complete
+        # pre-manifest layout: directory prune was complete
+        return (
+            {"versions_removed": removed, "orphan_segments_removed": 0,
+             "spared_claims": spared}
+            if report
+            else removed
+        )
     referenced = set()
     for levels in kept["frames"].values():
         for lv in levels:
@@ -1465,12 +1515,22 @@ def prune_state_versions(
             for d in lv.get("dels", []):
                 referenced.add(d[1])
     jvm, fs = fs_of(spark, root)
+    orphans = 0
     for frame_dir in hadoop_ls(spark, f"{root}/data", dirs_only=True):
         fname = frame_dir.getPath().getName()
         for seg in hadoop_ls(spark, frame_dir.getPath(), dirs_only=True):
-            rel = f"data/{fname}/{seg.getPath().getName()}"
-            if rel not in referenced:
-                fs.delete(seg.getPath(), True)
+            segname = seg.getPath().getName()
+            rel = f"data/{fname}/{segname}"
+            if rel in referenced or _segment_vname(segname) in spared_set:
+                continue  # kept-manifest file, or an in-flight save's
+            fs.delete(seg.getPath(), True)
+            orphans += 1
+    if report:
+        return {
+            "versions_removed": removed,
+            "orphan_segments_removed": orphans,
+            "spared_claims": spared,
+        }
     return removed
 
 

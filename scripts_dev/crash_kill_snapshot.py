@@ -111,8 +111,10 @@ def main() -> None:
     assert sorted(map(tuple, cur.graph.merged.collect())) == v1_rows
     print("parent: serving still v1-exact after the kill", flush=True)
 
-    # 2. prune sweeps the orphans
-    prune_state_versions(spark, root)
+    # 2. prune sweeps the orphans. grace=0 is the operator's statement
+    # of fact — we KNOW the publisher is dead (we killed it); the
+    # default 600 s grace would spare the fresh claim as in-flight
+    prune_state_versions(spark, root, claim_grace_sec=0)
     assert not os.path.exists(v2), "claimed torn version dir must be swept"
     leftover = [
         f"{frame}/{seg}"

@@ -620,6 +620,13 @@ def test_crash_mid_write_level_orphan_segments_ignored_and_pruned(spark):
         fh.write(b"PAR1 torn too")
     os.makedirs(os.path.join(root, "v9"))
     open(os.path.join(root, "v9", "_CLAIMED"), "w").close()
+    # the crash happened an hour ago: the claim marker has aged past the
+    # DEFAULT grace window, so the sweep treats it as debris, not as an
+    # in-flight publisher (a fresh claim would be spared by default)
+    import time as _time
+
+    old = _time.time() - 3600
+    os.utime(os.path.join(root, "v9", "_CLAIMED"), (old, old))
 
     before = _canon(s2.graph.merged)
     # the orphans are invisible: the served state is exactly v2's
@@ -657,16 +664,141 @@ def test_prune_claim_grace_spares_inflight_publisher(spark):
     vname = claim_version(spark, root)  # an in-flight publisher
     claim = os.path.join(root, vname, "_CLAIMED")
     assert os.path.exists(claim)
-    # graced prune spares the fresh claim
-    prune_versions(spark, root, claim_grace_sec=600)
+    # the DEFAULT prune is graced: the fresh claim is spared without the
+    # caller remembering to opt in (safe-by-default)
+    prune_versions(spark, root)
     assert os.path.exists(claim)
     # an OLD claim is crash debris: swept even with the grace on
     os.utime(claim, (time.time() - 3600, time.time() - 3600))
     prune_versions(spark, root, claim_grace_sec=600)
     assert not os.path.exists(os.path.join(root, vname))
-    # default grace=0: single-writer behavior, fresh claims sweep too
+    # explicit grace=0: aggressive single-writer sweep, fresh claims too
     v2 = claim_version(spark, root)
-    prune_versions(spark, root)
+    prune_versions(spark, root, claim_grace_sec=0)
     assert not os.path.exists(os.path.join(root, v2))
     # serving untouched throughout
     assert load_state_current(spark, root).graph.merged.count() > 0
+
+
+def test_prune_spares_inflight_publishers_data_segments(spark, monkeypatch):
+    """THE concurrent-prune data race: ``save_state_version`` lands its
+    delta SEGMENTS (the longest phase) before its manifest, so a
+    maintenance prune racing the save sees fresh seg-/del-/agg-<vname>
+    dirs referenced by NO committed manifest. Sparing the publisher's
+    version DIRECTORY is not enough — the orphan sweep must also spare
+    its data segments, or the publisher commits a manifest pointing at
+    deleted files. Interleaves a graced prune at exactly the race point
+    (after the level writes, before the manifest write) inside a REAL
+    save and proves the committed version loads row-identical."""
+    import grebi_spark.incremental as inc
+    from grebi_spark.incremental import load_state_version
+
+    a, b = _tiny_sources(spark)
+    root = tempfile.mkdtemp(prefix="grebi_prune_race_")
+    s1 = build_graph_stateful([a], CONFIG)
+    save_state_version(s1, root)
+    s2 = add_datasource(s1, b)
+    want = _canon(s2.graph.merged)
+
+    real_write_text = inc._write_text
+    raced: dict = {}
+
+    def racing_write_text(spark_, path, text):
+        if path.endswith("/manifest.json") and "report" not in raced:
+            # segments are on disk, manifest is not: the race point
+            raced["report"] = prune_state_versions(
+                spark_, root, claim_grace_sec=600, report=True
+            )
+        real_write_text(spark_, path, text)
+
+    monkeypatch.setattr(inc, "_write_text", racing_write_text)
+    vname = save_state_version(s2, root)
+    monkeypatch.undo()
+
+    rep = raced["report"]
+    assert vname in rep["spared_claims"], rep
+    # the publisher's freshly written segments survived the sweep: its
+    # committed version (and the now-serving state) load row-identical
+    assert _canon(load_state_version(spark, root, vname).graph.merged) == want
+    assert _canon(load_state_current(spark, root).graph.merged) == want
+    # the report shape is the GC observability surface
+    assert set(rep) == {
+        "versions_removed", "orphan_segments_removed", "spared_claims"
+    }
+
+
+def test_publish_lock_owner_token_and_stale_break_safety(spark):
+    """A >stale_sec holder whose lock was broken and replaced must NOT
+    delete the usurper's fresh lock on release: releases are scoped to
+    the owner token the acquire returned."""
+    import time
+
+    from grebi_spark.fsutil import (
+        _read_small,
+        acquire_publish_lock,
+        release_publish_lock,
+    )
+
+    root = tempfile.mkdtemp(prefix="grebi_lock_token_")
+    lock = os.path.join(root, "_PUBLISH_LOCK")
+
+    tok_a = acquire_publish_lock(spark, root, timeout_sec=5, stale_sec=600)
+    # holder A stalls past the stale threshold (simulated by aging)
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    # waiter B breaks the stale lock (rename-to-tombstone) and acquires
+    tok_b = acquire_publish_lock(spark, root, timeout_sec=5, stale_sec=600)
+    assert tok_a != tok_b
+    # A wakes up and releases: a no-op against B's fresh lock
+    release_publish_lock(spark, root, tok_a)
+    assert os.path.exists(lock)
+    assert _read_small(spark, lock) == tok_b
+    # B's own release removes it
+    release_publish_lock(spark, root, tok_b)
+    assert not os.path.exists(lock)
+
+
+def test_publish_lock_contention_single_entry(spark):
+    """Forced stale break under real thread contention: four waiters
+    all observe the same crashed holder's stale lock; the rename-based
+    break admits them strictly one at a time (critical-section
+    occupancy never exceeds 1), and every waiter eventually enters."""
+    import threading
+    import time
+
+    from grebi_spark.fsutil import acquire_publish_lock, release_publish_lock
+
+    root = tempfile.mkdtemp(prefix="grebi_lock_race_")
+    lock = os.path.join(root, "_PUBLISH_LOCK")
+    open(lock, "w").close()  # a crashed holder's stale lock
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+
+    mu = threading.Lock()
+    inside, peak, entered, errors = [], [0], [0], []
+
+    def worker():
+        try:
+            tok = acquire_publish_lock(
+                spark, root, timeout_sec=60, stale_sec=600
+            )
+            with mu:
+                inside.append(1)
+                peak[0] = max(peak[0], len(inside))
+                entered[0] += 1
+            time.sleep(0.05)
+            with mu:
+                inside.pop()
+            release_publish_lock(spark, root, tok)
+        except Exception as exc:  # surfaced below — threads must not hide
+            errors.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert errors == []
+    assert entered[0] == 4
+    assert peak[0] == 1, f"{peak[0]} holders inside the critical section"
+    assert not os.path.exists(lock)

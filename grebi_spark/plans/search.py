@@ -10,7 +10,7 @@ filter applied, stable pagination.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import load_tables
@@ -312,6 +312,29 @@ _RRF_LEG_TOPK = 20
 _RRF_TOPK = 10
 
 
+def _rank_leg(scored: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+    """One retrieval leg's (doc_id, rank) table, rank 1.._RRF_LEG_TOPK
+    by (score DESC, doc_id) — with NO window function. The top-K is a
+    TakeOrderedAndProject (per-partition heaps + driver merge, the
+    doc_search_bm25 pattern); ranks are then assigned over the ≤K
+    COLLECTED rows, which are returned already in sort order. An
+    unpartitioned ``row_number().over(Window.orderBy(...))`` on the
+    unbounded scored set would plan as a single-partition WindowExec —
+    moving the whole corpus to one task, the scale-killer this shape
+    exists to avoid."""
+    spark = scored.sparkSession
+    rows = (
+        scored.orderBy(F.desc(score_col), "doc_id")
+        .limit(_RRF_LEG_TOPK)
+        .collect()
+    )
+    id_ddl = scored.schema["doc_id"].dataType.simpleString()
+    return spark.createDataFrame(
+        [(r["doc_id"], i + 1) for i, r in enumerate(rows)],
+        f"doc_id {id_ddl}, {rank_name} int",
+    )
+
+
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval — the RAG-serving query shape: a lexical BM25
     leg and a dense embedding-cosine leg, fused by reciprocal-rank
@@ -322,34 +345,30 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id tiebreaks — engine-exact: each fused score is a fixed-order
     sum of exactly two double reciprocals of small integers.
 
-    Scale shape: each leg is its own bounded top-K (the lexical leg's
-    plan is doc_search_bm25's; the dense leg is one scan + TakeOrdered);
-    the fusion is a full-outer join of two 20-row tables. Docs without
-    an embedding simply never enter the dense leg (the realistic
-    contract: only embedded docs participate in dense retrieval)."""
+    Scale shape: each leg is its own bounded top-K — the lexical leg's
+    plan is doc_search_bm25's, the dense leg is one scan +
+    TakeOrderedAndProject (a per-partition heap + driver merge; NO
+    single-partition WindowExec anywhere, at any corpus size) — and
+    ranks 1..K are assigned over the ≤K collected rows driver-side,
+    the serving-tier pattern (a leg's top-20 IS driver-sized by
+    construction). The fusion is a full-outer join of two 20-row
+    tables. Docs without an embedding simply never enter the dense leg
+    (the realistic contract: only embedded docs participate in dense
+    retrieval)."""
     from ..functions.similarity import _query_vector, as_double, cosine
 
     e = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     q = F.array(*[F.lit(x) for x in _query_vector(e, sf_dir)])
     v = as_double(F.col("embedding"))
 
-    wlex = Window.orderBy(F.desc("score"), "doc_id")
-    lex = (
-        _bm25_scored(spark, sf_dir)
-        .withColumn("r", F.row_number().over(wlex))
-        .filter(F.col("r") <= _RRF_LEG_TOPK)
-        .select("doc_id", F.col("r").alias("r_lex"))
-    )
-    wden = Window.orderBy(F.desc("cos"), "doc_id")
-    dense = (
-        e.filter(F.col("vec_id") != 0)
-        .select(
+    lex = _rank_leg(_bm25_scored(spark, sf_dir), "score", "r_lex")
+    dense = _rank_leg(
+        e.filter(F.col("vec_id") != 0).select(
             F.col("vec_id").alias("doc_id"),
             F.round(cosine(v, as_double(q)), 4).alias("cos"),
-        )
-        .withColumn("r", F.row_number().over(wden))
-        .filter(F.col("r") <= _RRF_LEG_TOPK)
-        .select("doc_id", F.col("r").alias("r_den"))
+        ),
+        "cos",
+        "r_den",
     )
     fused = (
         lex.join(dense, "doc_id", "full_outer")

@@ -560,15 +560,33 @@ def test_pq_encode_is_map_only_takeordered(spark, sf_dir):
 
 def test_hybrid_rrf_fuses_bounded_legs(spark, sf_dir):
     """The RRF fusion itself must be an equi full-outer join on doc_id
-    (hash or merge), never a cartesian. The single allowed
-    BroadcastNestedLoopJoin is BM25's one-row corpus-stats crossJoin —
-    the standard scalar-broadcast pattern, not a pair enumeration."""
+    (hash or merge) of two rank tables built WITHOUT any window — no
+    single-partition WindowExec may appear anywhere in the fused plan
+    (each leg is a TakeOrderedAndProject + driver-side rank
+    assignment), and never a cartesian."""
     from grebi_spark.plans.search import hybrid_search_rrf
 
     plan = plan_of(hybrid_search_rrf(spark, sf_dir), mode="simple")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Window" not in plan, plan
     assert "FullOuter" in plan
+
+
+def test_hybrid_rrf_legs_are_take_ordered(spark, sf_dir):
+    """Each retrieval leg's top-K must plan as TakeOrderedAndProject
+    (per-partition heaps + driver merge), not a global sort and not an
+    unpartitioned row_number window over the scored corpus — the
+    WindowExec 'moving all data to a single partition' scale-killer."""
+    from grebi_spark.plans.search import _RRF_LEG_TOPK, _bm25_scored
+
+    leg = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RRF_LEG_TOPK)
+    )
+    plan = plan_of(leg, mode="simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_boilerplate_no_cartesian_one_span_shuffle(spark, sf_dir):

@@ -288,20 +288,27 @@ class GrebiApiServer:
                 core_docs = self._core_docs(rest[1])
                 if core_docs is not None:
                     # rank=bm25 serves Lucene's actual relevance model
-                    # (Okapi BM25 over the live core's names); default
-                    # stays the id/name boost ladder. Both share the
-                    # same filter/facet semantics (_apply_core_filters).
+                    # (Okapi BM25 over the live core's names), scored
+                    # from the core's STORED postings index (index_root)
+                    # — no per-request corpus tokenize; default stays
+                    # the id/name boost ladder. Both share the same
+                    # filter/facet semantics (_apply_core_filters).
                     from ..sinks.solr_jsonl import (
                         search_core_docs,
                         search_core_docs_bm25,
                     )
 
-                    ranker = (
-                        search_core_docs_bm25
-                        if g1("rank") == "bm25"
-                        else search_core_docs
-                    )
-                    page_df, facets = ranker(core_docs, g1("q", ""), **kw)
+                    if g1("rank") == "bm25":
+                        page_df, facets = search_core_docs_bm25(
+                            core_docs,
+                            g1("q", ""),
+                            index_root=self.solr_cores.get(rest[1]),
+                            **kw,
+                        )
+                    else:
+                        page_df, facets = search_core_docs(
+                            core_docs, g1("q", ""), **kw
+                        )
                 else:
                     page_df, facets = search_nodes(g, g1("q", ""), **kw)
                 body = _page_envelope(_rows(page_df), page, size)

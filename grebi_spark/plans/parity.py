@@ -1636,23 +1636,28 @@ _CORE_BM25_TOPK = 15
 
 
 def core_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 SERVED FROM THE MAINTAINED CORE — Solr's actual ranking
-    model (Lucene BM25Similarity), not just its filter/facet semantics,
-    over the delta-refreshed segment/tombstone store: df, idf and avgdl
-    are computed from the core's LIVE documents after the add verb, so
+    """BM25 SERVED FROM THE MAINTAINED CORE'S STORED POSTINGS INDEX —
+    Solr's actual ranking model (Lucene BM25Similarity) under Lucene's
+    actual index-vs-query split: tokenization happens at index/refresh
+    time (build_solr_core / refresh_core_index write per-segment
+    postings + a live-corpus stats snapshot), and this request probes
+    the postings by query term (pushdown-pruned), applies the
+    delta-sized tombstones, and reads ONE stored stats row — no
+    request-time tokenize, nothing corpus-proportional. The delta
+    refresh rolled the stats forward (new = old − killed + added), so
     the verb's new region docs ('MIDDLE EAST' carries the only 'east')
-    participate in both matching and the corpus statistics. The oracle
-    recomputes the whole model from the from-scratch post-verb doc set
-    — a stale segment, an uncovered tombstone, or any scoring drift
-    shifts scores and hash-mismatches. Reference: GrebiApi's /search
-    delegates ranking to Solr (GrebiSolrClient.java:105-147); here the
-    serving tier ranks natively."""
-    from ..sinks.solr_jsonl import bm25_core_docs, read_solr_core
+    participate in matching AND in df/avgdl. The oracle recomputes the
+    whole model from the from-scratch post-verb doc set — a stale
+    postings segment, an unapplied tombstone, or a drifted stats
+    snapshot shifts scores and hash-mismatches. Reference: GrebiApi's
+    /search delegates ranking to Solr (GrebiSolrClient.java:105-147);
+    here the serving tier ranks natively from its own index."""
+    from ..sinks.solr_jsonl import bm25_index_scored
 
     key = f"corebm25:{spark.sparkContext.applicationId}:{sf_dir}"
     if key not in _INC_CACHE:
-        docs = read_solr_core(spark, _refreshed_core_root(spark, sf_dir))
-        scored = bm25_core_docs(docs, _CORE_BM25_TERMS)
+        root = _refreshed_core_root(spark, sf_dir)
+        scored = bm25_index_scored(spark, root, _CORE_BM25_TERMS)
         _INC_CACHE[key] = (
             scored.orderBy(F.desc("score"), "node_id")
             .limit(_CORE_BM25_TOPK)

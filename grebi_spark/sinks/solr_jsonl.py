@@ -217,14 +217,22 @@ def _core_segments(spark, root: str, kind: str) -> list[int]:
 
 def build_solr_core(merged, node_meta, edges, root: str) -> None:
     """Materialise the executed search core from scratch: node and edge
-    docs as segment 0, no tombstones. Same doc rendering as the JSONL
-    export (solr_node_docs / solr_edge_docs)."""
+    docs as segment 0, no tombstones, plus the nodes' BM25 POSTINGS
+    INDEX segment (tokenize-at-index-time — Lucene's index-vs-query
+    split; /search?rank=bm25 then probes postings instead of
+    re-tokenizing the corpus per request). Same doc rendering as the
+    JSONL export (solr_node_docs / solr_edge_docs)."""
+    spark = merged.sparkSession
     solr_node_docs(merged, node_meta).write.mode("overwrite").parquet(
         f"{root}/nodes/segments/seg=0"
     )
     solr_edge_docs(edges).write.mode("overwrite").parquet(
         f"{root}/edges/segments/seg=0"
     )
+    # index the just-written segment (read back: cheaper than re-running
+    # the doc-render joins, and indexes exactly what the core stores)
+    docs0 = spark.read.parquet(f"{root}/nodes/segments/seg=0")
+    _write_index_segment(spark, root, 0, docs0, base_stats=(0, 0))
 
 
 def refresh_solr_core(spark, state, root: str) -> dict[str, int]:
@@ -262,6 +270,12 @@ def refresh_solr_core(spark, state, root: str) -> dict[str, int]:
         )
         counts[f"{kind[:-1]}_upserts"] = ups.count()
         counts[f"{kind[:-1]}_deletions"] = dels.count()
+    # delta-maintain the BM25 postings index alongside the doc segments
+    # (index the new segment's docs, roll the live stats forward); a
+    # pre-index core (no index dir) simply stays doc-only — the serving
+    # path falls back to query-time scoring there
+    if _index_segments(spark, root):
+        refresh_core_index(spark, root, new_seg)
     return counts
 
 
@@ -411,22 +425,33 @@ def search_core_docs_bm25(
     facet_fields: tuple[str, ...] = (),
     filters: tuple[tuple[str, tuple[str, ...], bool], ...] = (),
     exclude_obsolete: bool = True,
+    index_root: str | None = None,
 ):
     """Q6 over the maintained core with Lucene's ACTUAL ranking model:
     same WHOLE_FIELD filter / multi-select facet semantics as
     ``search_core_docs`` (shared ``_apply_core_filters``), but
-    relevance is Okapi BM25 over the name field (``bm25_core_docs`` —
-    df/idf/avgdl from the post-filter live doc set) instead of the
-    id/name boost ladder. The facade serves this under
+    relevance is Okapi BM25 over the name field instead of the id/name
+    boost ladder. The facade serves this under
     ``/search?...&rank=bm25``. The query is tokenized by the same
-    lowercase/non-alphanumeric rule the scorer uses; at most 8 terms
-    participate (Solr's edismax clause bound, kept small so the
-    fixed-order score sum stays engine-exact)."""
+    lowercase/non-alphanumeric rule the index uses; duplicate terms are
+    dropped (first-seen order kept — a repeated word in the query box
+    must not double-count its clause or silently eat the clause
+    budget), then at most 8 terms participate (Solr's edismax clause
+    bound, kept small so the fixed-order score sum stays engine-exact).
+
+    With ``index_root`` (the core's root — the facade passes it),
+    scoring probes the STORED postings index (``bm25_index_scored``):
+    no request-time tokenize, no corpus-proportional work — Lucene's
+    actual index-vs-query split. Without it, scoring falls back to
+    query-time recompute over ``docs`` (``bm25_core_docs``), the
+    pre-index behavior kept for doc-only cores."""
     import re as _re
 
-    terms = tuple(
-        t for t in _re.split(r"[^a-z0-9]+", (q or "").lower()) if t
-    )[:8]
+    seen: dict[str, None] = {}
+    for t in _re.split(r"[^a-z0-9]+", (q or "").lower()):
+        if t:
+            seen.setdefault(t)
+    terms = tuple(seen)[:8]
     base, paged = _apply_core_filters(
         docs if not type_filter
         else docs.filter(F.array_contains("grebi__type", type_filter)),
@@ -445,7 +470,12 @@ def search_core_docs_bm25(
     # Lucene semantics: BM25 statistics (df/idf/avgdl) come from the
     # INDEX — the whole live corpus — never from the filtered subset;
     # an fq filter narrows the result set but does not change scores.
-    scored = bm25_core_docs(docs, terms, persist=False)
+    if index_root is not None and _index_segments(
+        docs.sparkSession, index_root
+    ):
+        scored = bm25_index_scored(docs.sparkSession, index_root, terms)
+    else:
+        scored = bm25_core_docs(docs, terms, persist=False)
     meta = paged.select(
         F.col("grebi__nodeId").alias("node_id"),
         F.col("grebi__type").alias("types"),
@@ -556,6 +586,259 @@ def bm25_core_docs(
     return per_term.select("node_id", F.round(score, 4).alias("score"))
 
 
+# --- the BM25 postings index: Lucene's index-vs-query split -----------------
+#
+# Lucene tokenizes at INDEX time — a query probes the term dictionary
+# and posting lists; it never re-reads stored documents to score
+# (GrebiSolrClient.java:105-147 sends edismax queries to exactly such
+# an index). The maintained core mirrors that split: each doc segment
+# gets a postings segment (tok, node_id, tf, dl — dl denormalized so a
+# term probe is self-contained), a lens segment (node_id, dl — includes
+# zero-token docs, which count toward n_docs/avgdl), and a one-row
+# LIVE-corpus stats snapshot (n_docs, total_dl) maintained incrementally
+# at refresh time. A /search?rank=bm25 request then reads: postings
+# filtered to the query terms (predicate pushdown + tok-sorted row
+# groups — a probe-sized scan), the delta-sized tombstones (broadcast),
+# and one stats row. Nothing per-request is proportional to the corpus.
+
+
+def _name_tokens():
+    """The index-time token rule (shared verbatim with the query-time
+    fallback ``bm25_core_docs`` so the two paths cannot drift):
+    lowercase the name field, split on non-alphanumeric runs, drop
+    empties."""
+    return F.filter(
+        F.split(
+            F.lower(F.array_join(F.col("grebi__name"), " ")), "[^a-z0-9]+"
+        ),
+        lambda t: t != "",
+    )
+
+
+def _index_rows(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(postings, lens) for one segment's node docs. postings = one row
+    per (doc, distinct token): (tok, node_id, tf, dl); lens =
+    (node_id, dl) for every doc, tokens or not."""
+    base = docs.select(
+        F.col("grebi__nodeId").alias("node_id"), _name_tokens().alias("toks")
+    )
+    lens = base.select("node_id", F.size("toks").alias("dl"))
+    postings = (
+        base.select(
+            "node_id", F.size("toks").alias("dl"),
+            F.explode("toks").alias("tok"),
+        )
+        .groupBy("tok", "node_id", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    return postings, lens
+
+
+def _write_index_segment(
+    spark, root: str, seg: int, docs: DataFrame, base_stats: tuple[int, int]
+) -> None:
+    """Write segment ``seg``'s postings + lens, and the cumulative LIVE
+    stats snapshot as of this segment: ``base_stats`` (n_docs, total_dl
+    of the live corpus EXCLUDING this segment — the refresh caller has
+    already subtracted the docs this segment's tombstones kill) plus
+    this segment's own aggregates. Postings are RANGE-partitioned and
+    sorted by tok — each file covers a disjoint token range, so a
+    query-term probe prunes whole files and row groups via parquet
+    min/max stats (the term-dictionary access pattern), and the write
+    parallelizes instead of funnelling through one task."""
+    post, lens = _index_rows(docs)
+    (
+        post.repartitionByRange(F.col("tok"))
+        .sortWithinPartitions("tok")
+        .write.mode("overwrite")
+        .parquet(f"{root}/nodes/index/postings/seg={seg}")
+    )
+    lens.write.mode("overwrite").parquet(f"{root}/nodes/index/lens/seg={seg}")
+    added = spark.read.parquet(f"{root}/nodes/index/lens/seg={seg}").agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dl"),
+    ).collect()[0]
+    stats = spark.createDataFrame(
+        [(base_stats[0] + added["n"], base_stats[1] + added["dl"])],
+        "n_docs bigint, total_dl bigint",
+    )
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/nodes/index/stats/seg={seg}"
+    )
+
+
+def _index_segments(spark, root: str) -> list[int]:
+    from ..fsutil import hadoop_ls
+
+    segs = []
+    for st in hadoop_ls(
+        spark, f"{root}/nodes/index/postings", dirs_only=True
+    ):
+        name = st.getPath().getName()
+        if name.startswith("seg="):
+            segs.append(int(name.split("=", 1)[1]))
+    return sorted(segs)
+
+
+def _core_tombstones(spark, root: str, kind: str = "nodes") -> DataFrame | None:
+    """(id, __tseg) union of every tombstone segment — the delta-sized
+    kill list ``read_solr_core`` and the postings probe both apply."""
+    from functools import reduce
+
+    segs = _core_segments(spark, root, kind)
+    tombs = [
+        spark.read.parquet(f"{root}/{kind}/tombstones/seg={s}").withColumn(
+            "__tseg", F.lit(s)
+        )
+        for s in segs
+        if s > 0
+    ]
+    if not tombs:
+        return None
+    return reduce(lambda a, b: a.unionByName(b), tombs)
+
+
+def _index_live_lens(spark, root: str, upto_seg: int) -> DataFrame:
+    """(node_id, dl) of the docs LIVE as of segment ``upto_seg``
+    (exclusive of any later segment/tombstone): lens segments ≤ upto
+    minus docs a higher tombstone ≤ upto covers."""
+    from functools import reduce
+
+    lens = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(
+                f"{root}/nodes/index/lens/seg={s}"
+            ).withColumn("__seg", F.lit(s))
+            for s in _index_segments(spark, root)
+            if s <= upto_seg
+        ],
+    )
+    tomb = _core_tombstones(spark, root, "nodes")
+    if tomb is not None:
+        tomb = tomb.filter(F.col("__tseg") <= upto_seg)
+        lens = lens.join(
+            F.broadcast(tomb),
+            (lens["node_id"] == tomb["id"]) & (tomb["__tseg"] > lens["__seg"]),
+            "left_anti",
+        )
+    return lens.select("node_id", "dl")
+
+
+def refresh_core_index(spark, root: str, new_seg: int) -> None:
+    """Delta-maintain the postings index for doc segment ``new_seg``
+    (already written, tombstones included): index the new segment's
+    docs, and roll the live stats snapshot forward — new = old − killed
+    + added, where killed = the previously-live docs this refresh's
+    tombstones cover. The killed lookup is one narrow (node_id, dl)
+    scan semi-joined against the delta-sized tombstone ids — per
+    REFRESH, not per request; requests never touch the corpus."""
+    prev = [s for s in _index_segments(spark, root) if s < new_seg]
+    if not prev:
+        raise ValueError(
+            f"no postings index under {root} — build_solr_core creates it"
+        )
+    old = spark.read.parquet(
+        f"{root}/nodes/index/stats/seg={max(prev)}"
+    ).collect()[0]
+    new_tomb = spark.read.parquet(
+        f"{root}/nodes/tombstones/seg={new_seg}"
+    ).select("id")
+    killed = (
+        _index_live_lens(spark, root, upto_seg=max(prev))
+        .join(F.broadcast(new_tomb), F.col("node_id") == F.col("id"),
+              "left_semi")
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dl"),
+        )
+        .collect()[0]
+    )
+    docs = spark.read.parquet(f"{root}/nodes/segments/seg={new_seg}")
+    _write_index_segment(
+        spark, root, new_seg, docs,
+        base_stats=(old["n_docs"] - killed["n"], old["total_dl"] - killed["dl"]),
+    )
+
+
+def bm25_index_scored(
+    spark,
+    root: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(node_id, score) for ``terms`` served FROM THE STORED INDEX —
+    the per-request plan Lucene actually runs: postings filtered to the
+    query terms (pushdown-pruned scan), tombstone visibility as a
+    broadcast anti-join (delta-sized), per-term df counted over the
+    probe itself (exact over live docs), and the one-row stored stats
+    snapshot. Identical scores to ``bm25_core_docs`` over the live doc
+    set (same formula, same fixed-order sum — suite- and
+    oracle-asserted); no request-time work is corpus-proportional."""
+    from functools import reduce
+
+    segs = _index_segments(spark, root)
+    if not segs:
+        raise ValueError(f"no postings index under {root}")
+    post = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            spark.read.parquet(f"{root}/nodes/index/postings/seg={s}")
+            .filter(F.col("tok").isin(*terms))
+            .withColumn("__seg", F.lit(s))
+            for s in segs
+        ],
+    )
+    tomb = _core_tombstones(spark, root, "nodes")
+    if tomb is not None:
+        post = post.join(
+            F.broadcast(tomb),
+            (post["node_id"] == tomb["id"]) & (tomb["__tseg"] > post["__seg"]),
+            "left_anti",
+        )
+    dfreq = post.groupBy("tok").agg(F.count_distinct("node_id").alias("df"))
+    stats = spark.read.parquet(f"{root}/nodes/index/stats/seg={max(segs)}")
+    w = (
+        post.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1
+                * (
+                    1.0
+                    - b
+                    + b * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+                )
+            ),
+        )
+    )
+    per_term = w.groupBy("node_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("tok") == t, F.col("w"))), F.lit(0.0)
+            ).alias(f"w_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        score = score + F.col(f"w_{i}")
+    return per_term.select("node_id", F.round(score, 4).alias("score"))
+
+
 def suggest_core_docs(docs: DataFrame, q: str, size: int = 10) -> DataFrame:
     """Q7 autocomplete over the maintained core's name field — the
     engine-side twin of the exported autocomplete core's suggester
@@ -574,8 +857,19 @@ def compact_solr_core(spark, root: str) -> int:
     """Segment merge (Lucene's background compaction): fold every
     segment's live docs into a fresh segment 0 and drop the tombstones.
     Returns the number of segments merged away. Content-identity
-    (read_solr_core before == after) is asserted by the suite."""
+    (read_solr_core before == after) is asserted by the suite.
+
+    In-flight-writer audit (the prune_state_versions race family): this
+    sweep deletes the segments/tombstones dirs wholesale and rebuilds
+    them, so it is SINGLE-WRITER by contract — a concurrent
+    refresh_solr_core racing it could land a segment in the window
+    between delete and rename and lose it. Core maintenance (refresh +
+    compact) must be serialized by the caller (one maintenance loop per
+    core), which matches the suite's and the facade's usage; concurrent
+    READERS are safe (they resolve the segment list per request and
+    read immutable files)."""
     merged_away = 0
+    compacted_nodes = False
     for kind in _CORE_KINDS:
         segs = _core_segments(spark, root, kind)
         if len(segs) <= 1:
@@ -594,6 +888,17 @@ def compact_solr_core(spark, root: str) -> int:
             jvm.org.apache.hadoop.fs.Path(f"{root}/{kind}/segments/seg=0"),
         )
         merged_away += len(segs) - 1
+        compacted_nodes = compacted_nodes or kind == "nodes"
+    # rebuild the postings index to match the compacted doc store (one
+    # tokenize pass — compaction is already a corpus-sized rewrite)
+    if compacted_nodes and _index_segments(spark, root):
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{root}/nodes/index"), True)
+        docs0 = spark.read.parquet(f"{root}/nodes/segments/seg=0")
+        _write_index_segment(spark, root, 0, docs0, base_stats=(0, 0))
     return merged_away
 
 

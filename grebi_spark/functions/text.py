@@ -644,28 +644,69 @@ LIMIT {_RARITY_TOPK}
 def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-decile curriculum bucketing: every document assigned to
     one of 10 equal-size difficulty tiers by quality score (curriculum
-    training consumes easy tiers first). ntile over the (q, doc_id)
-    TOTAL order — the tiebreak makes tier assignment deterministic in
-    any engine even where quality scores tie (they tie a lot: the score
-    is a 4-step ladder).
+    training consumes easy tiers first), over the (q, doc_id) TOTAL
+    order — the tiebreak makes tier assignment deterministic in any
+    engine even where quality scores tie (they tie a lot: the score is
+    a 4-step ladder).
 
-    Scale shape: ntile needs a global order; at 100 TB the same tiers
-    come from ONE quantile-sketch pass (kll/approx_percentile bounds)
-    plus a row-local bucket lookup — the quantile_sketch_check query is
-    that path's error-bound proof. Exact ntile here keeps the oracle
-    byte-exact."""
-    from pyspark.sql import Window
-
+    Scale shape — EXACT ntile with no single-partition window: a
+    ``repartitionByRange(q, doc_id)`` gives the global order across
+    partitions (Spark's range partitioner — the same machinery a global
+    orderBy uses, every partition a contiguous key range); rows are
+    sorted within partitions and numbered by
+    ``monotonically_increasing_id`` (partition ordinal in the high
+    bits, the within-partition sequence in the low 33 — so local rank
+    costs NO extra shuffle); per-partition counts (one tiny collect,
+    #partitions rows) turn local ranks into exact global ranks via
+    prefix offsets, and the ntile arithmetic on the global rank is a
+    row-local expression. One corpus shuffle total, every stage
+    parallel — vs ntile-over-Window.orderBy, which moves the whole
+    corpus to one task. The approx sibling (quantile_sketch_check)
+    remains the single-pass alternative where ±ε tier bounds are
+    acceptable."""
     d = load_tables(spark, sf_dir, ("documents",))["documents"]
     scored = d.select(
         "doc_id", F.round(quality_score(F.col("text")), 4).alias("q")
     )
-    tiered = scored.withColumn(
-        "tier",
-        F.ntile(10).over(Window.orderBy("q", "doc_id")).cast("int"),
+    ranged = (
+        scored.repartitionByRange(F.col("q"), F.col("doc_id"))
+        .sortWithinPartitions("q", "doc_id")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()  # pin partition contents: the counts collect
+        # and the final plan must see the SAME ids
     )
+    pid = F.shiftright(F.col("mid"), 33)
+    local = F.col("mid").bitwiseAND(F.lit((1 << 33) - 1))
+    counts = sorted(
+        (r["pid"], r["n"])
+        for r in ranged.groupBy(pid.alias("pid")).agg(
+            F.count("*").alias("n")
+        ).collect()
+    )
+    total = sum(n for _, n in counts)
+    offsets, acc = {}, 0
+    for p, n in counts:  # pid order IS range order: partition 0 holds
+        # the lowest (q, doc_id) range
+        offsets[p] = acc
+        acc += n
+    off_map = F.create_map(
+        *[F.lit(x) for p, o in offsets.items() for x in (p, o)]
+    )
+    gidx = F.element_at(off_map, pid) + local  # exact 0-based global rank
+    base, rem = divmod(total, 10)
+    if base == 0:  # fewer rows than tiles: one row per leading tile
+        tier = (gidx + 1).cast("int")
+    else:
+        head = rem * (base + 1)  # the first `rem` tiles carry base+1 rows
+        tier = (
+            F.when(gidx < head, F.floor(gidx / (base + 1)))
+            .otherwise(rem + F.floor((gidx - head) / base))
+            .cast("int")
+            + 1
+        )
     return (
-        tiered.groupBy("tier")
+        ranged.select("q", tier.alias("tier"))
+        .groupBy("tier")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("q").alias("min_q"),

@@ -589,6 +589,21 @@ def test_hybrid_rrf_legs_are_take_ordered(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_curriculum_buckets_no_unpartitioned_window(spark, sf_dir):
+    """Exact decile assignment must carry NO window at all: the global
+    order comes from a range repartition (every stage parallel), local
+    ranks from monotonically_increasing_id, global ranks from
+    prefix-offset arithmetic — never ntile over Window.orderBy, which
+    plans as a single-partition WindowExec over the corpus."""
+    from grebi_spark.functions.text import curriculum_buckets
+
+    plan = plan_of(curriculum_buckets(spark, sf_dir), mode="simple")
+    assert "Window" not in plan, plan
+    # the ranged scan is pinned by localCheckpoint; the visible plan is
+    # the rank arithmetic + rollup over the checkpointed rows
+    assert "HashAggregate" in plan
+
+
 def test_boilerplate_no_cartesian_one_span_shuffle(spark, sf_dir):
     """The span-df self-join must be an equi-join on the span key —
     never a product — and the rate must be a plain projection."""

@@ -820,7 +820,21 @@ def compact_ann_index(spark: SparkSession, root: str, max_files: int = 2) -> int
     Cell discovery goes through the Hadoop FileSystem API (not
     driver-local glob), so the sweep sees hdfs:// and s3a:// roots the
     same way the Spark reader does — a local-only glob would silently
-    find nothing on a remote index root."""
+    find nothing on a remote index root.
+
+    In-flight-writer audit (the prune_state_versions race family):
+    dynamic partition overwrite REPLACES a crowded cell's file set, so
+    an ``append_ann_index`` batch landing in the window between this
+    sweep's read-back and its write would be silently dropped — a
+    lost-update, not a dangling reference. Index MAINTENANCE (append,
+    compact, retrain) is therefore single-writer by contract — one
+    maintenance loop per index root, matching the suite's and the
+    serving tier's usage; concurrent READERS are safe at any point
+    (they resolved a version directory whose files this sweep rewrites
+    atomically per cell via the committed overwrite). Cross-VERSION
+    concurrency needs no grace here: retrain claims a fresh disjoint
+    directory (claim_version) and prune_ann_index_versions spares
+    uncommitted claims by default."""
     from ..fsutil import hadoop_ls
 
     root = _resolve_index_dir(spark, root)

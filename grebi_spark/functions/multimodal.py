@@ -6,14 +6,15 @@ need none are REAL: PNG pixel decode is stdlib zlib + the five PNG
 scanline filters (``decode_png_pixels``), baseline-sequential JPEG
 pixel decode is a full numpy entropy/dequant/IDCT pipeline
 (``decode_jpeg_pixels`` — Huffman scan decode, restart markers, DC
-prediction, vectorized 2-D IDCT, 4:4:4 color), WAV PCM decode is byte
+prediction, vectorized 2-D IDCT, 4:4:4 and subsampled 4:2:0/4:2:2
+color with replication upsampling), WAV PCM decode is byte
 arithmetic (``decode_wav_pcm``), and container parsing (PNG/JPEG/RIFF/
 ISO-BMFF) is exact per spec. Only the generic any-format decode and the
 resize step remain clearly-marked stubs (`decode_image_stub` /
 `resize_stub` raise NotImplementedError unless the deterministic fake is
 requested — swapping them for PIL/torchaudio is a one-function change
 that does not touch the plan), and the JPEG decoder raises honestly on
-progressive/arithmetic/subsampled inputs. Everything Spark-side —
+progressive/arithmetic/12-bit/non-integer-ratio inputs. Everything Spark-side —
 schema, binary column handling, ``mapInPandas`` batch shape, partition
 sizing — is real and tested.
 
@@ -1038,10 +1039,12 @@ def decode_png_pixels(payload: bytes) -> dict:
 # entropy-coded scan (byte unstuffing, restart markers, DC prediction,
 # EOB/ZRL run-length ACs) → dequantization in zigzag order → de-zigzag
 # → vectorized orthonormal 2-D IDCT over all blocks at once → level
-# shift + clamp → plane assembly/crop (+ YCbCr→RGB for 3-component
-# 4:4:4). Honest limits raise NotImplementedError: progressive (SOF2),
-# arithmetic coding, 12-bit precision, and subsampled chroma (any
-# sampling factor ≠ 1×1).
+# shift + clamp → per-component plane assembly/crop → integer-factor
+# replication upsampling of subsampled chroma (4:2:0 / 4:2:2 / any
+# h,v that divide hmax,vmax) → YCbCr→RGB for 3-component scans.
+# Honest limits raise NotImplementedError: progressive (SOF2),
+# arithmetic coding, 12-bit precision, and non-integer upsampling
+# ratios (e.g. luma 3×1 against chroma 2×1).
 #
 # Huffman/quantization constants below are the PUBLIC spec tables
 # (ITU T.81 Annex K: Tables K.1, K.3-K.5) — the ones virtually every
@@ -1071,9 +1074,49 @@ _STD_LUM_QUANT = (
     72, 92, 95, 98, 112, 100, 103, 99,
 )
 
+# Annex K Table K.2 — chrominance quantization (natural order)
+_STD_CHR_QUANT = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
 # Annex K Tables K.3/K.5 — luminance DC / AC Huffman specs (BITS, HUFFVAL)
 _STD_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
 _STD_DC_VALS = tuple(range(12))
+
+# Annex K Tables K.4/K.6 — chrominance DC / AC Huffman specs
+_STD_DC_CHR_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_STD_DC_CHR_VALS = tuple(range(12))
+_STD_AC_CHR_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_STD_AC_CHR_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
 _STD_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
 _STD_AC_VALS = (
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
@@ -1203,6 +1246,98 @@ def build_jpeg_image(doc_id: int) -> bytes:
     return out + seg(0xDA, sos) + bytes(wr.buf) + b"\xff\xd9"
 
 
+def build_jpeg_image_420(doc_id: int) -> bytes:
+    """A COMPLETE baseline-sequential 4:2:0 COLOR JPEG — the layout
+    virtually every camera and web encoder emits: luma sampled 2×2,
+    both chroma 1×1 (half resolution each way), interleaved MCUs of
+    four Y blocks + one Cb + one Cr covering 16×16 pixels, SEPARATE
+    luma/chroma quantization (Annex K Tables K.1/K.2) and Huffman
+    (K.3-K.6) tables — two tables per DQT/DHT segment, exercising the
+    decoder's multi-table walk. Odd ids carry DRI=2 with RST0-7.
+
+    Every plane is a grid of constant 8×8 blocks (DC-only, DC
+    quantizer 8 in both tables, so the quantized DC is exact and the
+    decode round-trips bit-exact through the full real pipeline):
+    Y block (bx, by) = (doc_id·37 + by·19 + bx·11) mod 256, Cb chroma
+    block (cx, cy) = (doc_id·23 + cy·11 + cx·5) mod 256, Cr =
+    (doc_id·29 + cy·7 + cx·3) mod 256. Under replication upsampling a
+    full-res pixel (x, y) therefore sees Y from block (x//8, y//8) and
+    Cb/Cr from (x//16, y//16) — a closed form of the id. When w or h
+    is not a multiple of 16 the luma grid carries padding blocks
+    (edge-replicated per T.81's recommendation) that the decoder must
+    crop — the part of subsampled JPEG naive decoders get wrong."""
+    import struct
+
+    w = 8 * (2 + doc_id % 3)
+    h = 8 * (2 + (doc_id * 2) % 3)
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    bw, bh = w // 8, h // 8  # visible luma blocks
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    lum_q = [8] + [_STD_LUM_QUANT[_ZIGZAG[k]] for k in range(1, 64)]
+    chr_q = [8] + [_STD_CHR_QUANT[_ZIGZAG[k]] for k in range(1, 64)]
+    dqt = bytes([0x00]) + bytes(lum_q) + bytes([0x01]) + bytes(chr_q)
+    sof = struct.pack(">BHHB", 8, h, w, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    dht = (
+        bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+        + bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
+        + bytes([0x01]) + bytes(_STD_DC_CHR_BITS) + bytes(_STD_DC_CHR_VALS)
+        + bytes([0x11]) + bytes(_STD_AC_CHR_BITS) + bytes(_STD_AC_CHR_VALS)
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dc_lum = {s: (c, ln) for s, c, ln in _huff_canonical(_STD_DC_BITS, _STD_DC_VALS)}
+    ac_lum = {s: (c, ln) for s, c, ln in _huff_canonical(_STD_AC_BITS, _STD_AC_VALS)}
+    dc_chr = {
+        s: (c, ln)
+        for s, c, ln in _huff_canonical(_STD_DC_CHR_BITS, _STD_DC_CHR_VALS)
+    }
+    ac_chr = {
+        s: (c, ln)
+        for s, c, ln in _huff_canonical(_STD_AC_CHR_BITS, _STD_AC_CHR_VALS)
+    }
+
+    dri = 2 if doc_id % 2 else 0
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+
+    def emit(val: int, ci: int, dc_codes: dict, ac_codes: dict) -> None:
+        dc = val - 128  # quantized DC (quantizer 8, FDCT scale 8)
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = abs(diff).bit_length()
+        wr.write(*dc_codes[s])
+        if s:
+            wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        wr.write(*ac_codes[0x00])  # EOB: the 63 ACs are all zero
+
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            wr.marker(0xD0 + rst % 8)
+            rst += 1
+            preds = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for v in range(2):  # four Y blocks, raster order within the MCU
+            for hh in range(2):
+                by = min(my * 2 + v, bh - 1)  # edge-replicated padding
+                bx = min(mx * 2 + hh, bw - 1)
+                emit((doc_id * 37 + by * 19 + bx * 11) % 256, 0, dc_lum, ac_lum)
+        emit((doc_id * 23 + my * 11 + mx * 5) % 256, 1, dc_chr, ac_chr)
+        emit((doc_id * 29 + my * 7 + mx * 3) % 256, 2, dc_chr, ac_chr)
+    wr.align()
+
+    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC0, sof)
+    out += seg(0xC4, dht)
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    return out + seg(0xDA, sos) + bytes(wr.buf) + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first bit reader over the entropy-coded scan: unstuffs
     FF 00, stops (raises) at any real marker so a malformed stream
@@ -1271,14 +1406,18 @@ def _extend(v: int, s: int) -> int:
 def decode_jpeg_pixels(payload: bytes) -> dict:
     """REAL baseline-sequential JPEG pixel decode, stdlib+numpy only —
     see the section comment for the pipeline. Supports SOF0/SOF1,
-    grayscale and 3-component 4:4:4 (all sampling factors 1×1,
-    interleaved MCUs), 8/16-bit DQT precision, multi-table DQT/DHT
-    segments, DRI restart intervals, byte stuffing. Raises
+    grayscale and 3-component color at ANY integer-ratio sampling
+    (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the T.81 §A.2.3 interleaved MCU
+    walk: each MCU carries h×v blocks per component in raster order,
+    each component decodes into its own subsampled block grid, and
+    subsampled planes upsample to full resolution by replication),
+    8/16-bit DQT precision, multi-table DQT/DHT segments, DRI restart
+    intervals (counted in MCUs), byte stuffing. Raises
     NotImplementedError for progressive (SOF2), arithmetic coding
-    (SOF9+), 12-bit sample precision, and subsampled chroma — honestly,
-    rather than guessing. Color output uses the JFIF (ITU-T T.871)
-    YCbCr→RGB matrix with round-half-up and clamp. Returns the same
-    stats envelope as ``decode_png_pixels``."""
+    (SOF9+), 12-bit sample precision, and non-integer upsampling
+    ratios — honestly, rather than guessing. Color output uses the
+    JFIF (ITU-T T.871) YCbCr→RGB matrix with round-half-up and clamp.
+    Returns the same stats envelope as ``decode_png_pixels``."""
     import struct
 
     import numpy as np
@@ -1339,12 +1478,12 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled chroma (sampling factors "
-                        f"{hv >> 4}x{hv & 15}) not supported — 4:4:4 only"
+                sh, sv = hv >> 4, hv & 15
+                if not (1 <= sh <= 4 and 1 <= sv <= 4):
+                    raise ValueError(
+                        f"sampling factors {sh}x{sv} outside T.81's 1-4"
                     )
-                comps.append({"id": cid, "tq": tq})
+                comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG (SOF2) not supported")
@@ -1366,16 +1505,44 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     order = []
     for cid, td, ta in scan_comps:
         c = by_id[cid]
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer chroma upsampling ratio (component "
+                f"{c['h']}x{c['v']} against max {hmax}x{vmax}) not "
+                "supported — replication upsampling needs h|hmax, v|vmax"
+            )
         order.append(
-            (c["tq"], htables[(0, td)], htables[(1, ta)])
+            {
+                "tq": c["tq"], "dct": htables[(0, td)],
+                "act": htables[(1, ta)], "h": c["h"], "v": c["v"],
+                # the component's visible sample dims (T.81 §A.1.1)
+                "cw": -(-w * c["h"] // hmax),
+                "ch": -(-h * c["v"] // vmax),
+            }
         )
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    n_mcu = bw * bh
+    single = len(order) == 1
+    if single:
+        # non-interleaved single-component scan: the MCU is ONE block
+        # of the component's own grid (T.81 §A.2.2)
+        c = order[0]
+        c["bx"], c["by"] = (c["cw"] + 7) // 8, (c["ch"] + 7) // 8
+        mcux, mcuy = c["bx"], c["by"]
+    else:
+        # interleaved: the MCU spans 8·hmax × 8·vmax pixels and carries
+        # h×v blocks per component (T.81 §A.2.3); every component's
+        # block grid is padded to full MCUs
+        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+        for c in order:
+            c["bx"], c["by"] = mcux * c["h"], mcuy * c["v"]
+    n_mcu = mcux * mcuy
     reader = _JpegBitReader(payload, scan_pos)
-    coeffs = np.zeros((len(order), n_mcu, 64), dtype=np.int64)
+    for c in order:
+        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
     preds = [0] * len(order)
     rst_seq = 0
     for m in range(n_mcu):
@@ -1383,23 +1550,35 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
             reader.restart(rst_seq)
             rst_seq += 1
             preds = [0] * len(order)
-        for ci, (_tq, dct, act) in enumerate(order):
-            s = _read_huff(reader, dct)
-            diff = _extend(reader.bits(s), s) if s else 0
-            preds[ci] += diff
-            coeffs[ci, m, 0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = _read_huff(reader, act)
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL: sixteen zeros
-                    k += 16
-                    continue
-                k += rs >> 4
-                ssss = rs & 15
-                coeffs[ci, m, k] = _extend(reader.bits(ssss), ssss)
-                k += 1
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(order):
+            dct, act, coef = c["dct"], c["act"], c["coef"]
+            # non-interleaved MCU = ONE block even if the frame declares
+            # h×v > 1 for this component (T.81 §A.2.2)
+            reps = ((0, 0),) if single else tuple(
+                (v, hh) for v in range(c["v"]) for hh in range(c["h"])
+            )
+            for v, hh in reps:
+                bidx = (
+                    m if single
+                    else (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
+                )
+                s = _read_huff(reader, dct)
+                diff = _extend(reader.bits(s), s) if s else 0
+                preds[ci] += diff
+                coef[bidx, 0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_huff(reader, act)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    ssss = rs & 15
+                    coef[bidx, k] = _extend(reader.bits(ssss), ssss)
+                    k += 1
 
     zig = np.array(_ZIGZAG)
     # orthonormal 8×8 DCT-II basis: spatial = Tᵀ S T (matches T.81's
@@ -1407,20 +1586,29 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     n = np.arange(8)
     tmat = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16) * 0.5
     tmat[0, :] = np.sqrt(1.0 / 8.0)
-    # vectorized IDCT over every block of every plane at once
+    # vectorized IDCT over every block of every plane at once; each
+    # plane assembles at ITS OWN subsampled resolution, crops to the
+    # component's visible dims, then replication-upsamples to full
+    # frame resolution (integer factors — validated at scan setup)
     out_planes = []
-    for ci, (tq, _dct, _act) in enumerate(order):
-        q = np.asarray(qtables[tq], dtype=np.int64)
-        deq = coeffs[ci] * q[None, :]  # dequant in zigzag order
+    for c in order:
+        q = np.asarray(qtables[c["tq"]], dtype=np.int64)
+        deq = c["coef"] * q[None, :]  # dequant in zigzag order
         nat = np.zeros_like(deq)
         nat[:, zig] = deq  # de-zigzag
-        s88 = nat.reshape(n_mcu, 8, 8).astype(np.float64)
+        s88 = nat.reshape(-1, 8, 8).astype(np.float64)
         spatial = np.einsum("un,buv,vm->bnm", tmat, s88, tmat)
         px = np.clip(np.floor(spatial + 128.0 + 0.5), 0, 255).astype(np.int64)
-        grid = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(
-            bh * 8, bw * 8
-        )
-        out_planes.append(grid[:h, :w])
+        grid = px.reshape(c["by"], c["bx"], 8, 8).transpose(
+            0, 2, 1, 3
+        ).reshape(c["by"] * 8, c["bx"] * 8)
+        plane = grid[:c["ch"], :c["cw"]]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1:
+            plane = np.repeat(plane, fy, axis=0)
+        if fx > 1:
+            plane = np.repeat(plane, fx, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         samples = out_planes[0].reshape(-1)
     elif len(out_planes) == 3:
@@ -1454,7 +1642,9 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column REAL too: stage 1 builds each doc's complete spec-valid
     image (doc_id mod 4 → gray / RGB / palette PNG, alternating
     Adam7-interlaced, or a baseline-sequential JPEG with a real
-    Huffman-coded scan — ``build_jpeg_image``) and MATERIALIZES it as a
+    Huffman-coded scan — alternating grayscale 4:4:4 and COLOR 4:2:0
+    with subsampled chroma, separate chroma quant/Huffman tables and
+    padded luma MCUs; ``build_jpeg_image``/``_420``) and MATERIALIZES it as a
     persisted `payload binary` column; stage 2 decodes FROM that column
     only (it never sees doc_id→bytes), SNIFFING the container signature
     per payload — the realistic shape: a curation pipeline's image
@@ -1480,8 +1670,14 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in batch["doc_id"]:
                 i = int(i)
-                if i % 4 == 3:  # kind 3 → baseline JPEG
-                    rows.append((i, build_jpeg_image(i)))
+                if i % 4 == 3:  # kind 3 → baseline JPEG; alternating
+                    # grayscale 4:4:4 / color 4:2:0 (the camera/web
+                    # layout: subsampled chroma, separate chroma
+                    # quant+Huffman tables, padded luma MCUs)
+                    if (i // 4) % 2:
+                        rows.append((i, build_jpeg_image_420(i)))
+                    else:
+                        rows.append((i, build_jpeg_image(i)))
                 else:
                     # every other PNG is Adam7-interlaced: same
                     # closed-form pixels, so the oracle is
@@ -1540,10 +1736,14 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _png_palette_entry: base_v = (doc_id·31 + y·17 + x·7) mod 256; gray
 # emits base_v, RGB emits (base_v + c·13) mod 256 per channel, palette
 # expands index base_v through PLTE entry (j, 7j mod 256, 13j mod 256).
-# JPEG (kind 3), mirrored from build_jpeg_image: a grid of constant
-# 8×8 blocks, block (bx, by) valued (doc_id·37 + by·19 + bx·11) mod 256
-# — DC-only with DC quantizer 8, so the REAL Huffman/dequant/IDCT
-# pipeline reproduces the constants bit-exactly.
+# JPEG (kind 3), mirrored from build_jpeg_image[_420]: a grid of
+# constant 8×8 blocks — DC-only with DC quantizer 8, so the REAL
+# Huffman/dequant/IDCT pipeline reproduces the constants bit-exactly.
+# Even id//4 → grayscale, block (bx, by) = (doc_id·37 + by·19 + bx·11)
+# mod 256. Odd id//4 → 4:2:0 color: pixel (x, y) sees Y from luma
+# block (x//8, y//8) and Cb/Cr from chroma block (x//16, y//16)
+# (replication upsampling), then the JFIF YCbCr→RGB matrix with
+# round-half-up — float64 on both sides, so the hash is exact.
 ORACLE_PIXEL_STATS = f"""
 WITH png AS (
   SELECT doc_id,
@@ -1574,7 +1774,30 @@ WITH png AS (
   FROM documents,
        unnest(range(0, 1 + (doc_id * 2) % 3)) AS by(by),
        unnest(range(0, 1 + doc_id % 3)) AS bx(bx)
-  WHERE doc_id % 4 = 3
+  WHERE doc_id % 4 = 3 AND (doc_id // 4) % 2 = 0
+), jpeg420 AS (
+  SELECT doc_id,
+         8 * (2 + doc_id % 3) AS width,
+         8 * (2 + (doc_id * 2) % 3) AS height,
+         (doc_id * 37 + (y.y // 8) * 19 + (x.x // 8) * 11) % 256 AS yv,
+         (doc_id * 23 + (y.y // 16) * 11 + (x.x // 16) * 5) % 256 AS cb,
+         (doc_id * 29 + (y.y // 16) * 7 + (x.x // 16) * 3) % 256 AS cr
+  FROM documents,
+       unnest(range(0, 8 * (2 + (doc_id * 2) % 3))) AS y(y),
+       unnest(range(0, 8 * (2 + doc_id % 3))) AS x(x)
+  WHERE doc_id % 4 = 3 AND (doc_id // 4) % 2 = 1
+), jpeg420_samples AS (
+  SELECT doc_id, width, height,
+         CASE c.c
+           WHEN 0 THEN least(255, greatest(0,
+             floor(yv + 1.402 * (cr - 128.0) + 0.5)))
+           WHEN 1 THEN least(255, greatest(0,
+             floor(yv - 0.344136 * (cb - 128.0)
+                      - 0.714136 * (cr - 128.0) + 0.5)))
+           ELSE least(255, greatest(0,
+             floor(yv + 1.772 * (cb - 128.0) + 0.5)))
+         END AS v
+  FROM jpeg420, unnest(range(0, 3)) AS c(c)
 ), stats AS (
   SELECT doc_id, width, height,
          sum(v)::bigint AS pixel_sum,
@@ -1588,6 +1811,13 @@ WITH png AS (
          min(v)::bigint AS pixel_min,
          max(v)::bigint AS pixel_max
   FROM jpeg_blocks
+  GROUP BY doc_id, width, height
+  UNION ALL
+  SELECT doc_id, width, height,
+         sum(v)::bigint AS pixel_sum,
+         min(v)::bigint AS pixel_min,
+         max(v)::bigint AS pixel_max
+  FROM jpeg420_samples
   GROUP BY doc_id, width, height
 )
 SELECT doc_id, width, height, pixel_sum, pixel_min, pixel_max

@@ -9,10 +9,13 @@ einsum path) — so a symmetric encoder/decoder bug in the vectorized
 pipeline cannot round-trip invisibly.
 """
 
+import math
+
 import pytest
 
 from grebi_spark.functions.multimodal import (
     build_jpeg_image,
+    build_jpeg_image_420,
     decode_jpeg_pixels,
     parse_jpeg_header,
 )
@@ -56,6 +59,88 @@ _COLOR_444_JPEG = bytes.fromhex(
 )
 
 
+# 24×32 4:2:0 (luma 2×2, chroma 1×1): build_jpeg_image_420(7) pinned —
+# 4 MCUs with DRI=2 (a real RST0 between MCU pairs), separate Annex K
+# chroma quant/Huffman tables (two tables per DQT/DHT segment), and a
+# padded luma column (24 not a multiple of 16) the decoder must crop.
+# Expected stats verified against an INDEPENDENT per-pixel closed-form
+# computation (no decoder/encoder code): sum 205568, min 0, max 201.
+_COLOR_420_JPEG = bytes.fromhex(
+    "ffd8ffe000104a46494600010200004800480000ffdb008400080b0c0e0c0a10"
+    "0e0d0e1211101318281a181616183123251d283a333d3c3933383740485c4e40"
+    "4457453738506d51575f626768673e4d71797064785c65676301081212181518"
+    "2f1a1a2f63423842636363636363636363636363636363636363636363636363"
+    "6363636363636363636363636363636363636363636363636363ffc000110800"
+    "20001803012200021101031101ffc401a2000001050101010101010000000000"
+    "0000000102030405060708090a0b100002010303020403050504040000017d01"
+    "020300041105122131410613516107227114328191a1082342b1c11552d1f024"
+    "33627282090a161718191a25262728292a3435363738393a434445464748494a"
+    "535455565758595a636465666768696a737475767778797a838485868788898a"
+    "92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6"
+    "c7c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9"
+    "fa0100030101010101010101010000000000000102030405060708090a0b1100"
+    "0201020404030407050404000102770001020311040521310612415107617113"
+    "22328108144291a1b1c109233352f0156272d10a162434e125f11718191a2627"
+    "28292a35363738393a434445464748494a535455565758595a63646566676869"
+    "6a737475767778797a82838485868788898a92939495969798999aa2a3a4a5a6"
+    "a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2"
+    "e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9faffdd00040002ffda000c0301000211"
+    "0311003f00f02ab7562add7d09fa595e8ad3a2b52cffd0f28ab7562add7d61fa"
+    "915e8ad3a2b52cffd9"
+)
+
+# 16×8 4:2:2 (luma 2×1, chroma 1×1) hand-built — a layout the corpus
+# encoder never emits, so the decoder's generic h×v MCU walk is pinned
+# independently of it: one MCU of two Y blocks (left 200, right 60) +
+# Cb=100 + Cr=50. T.871 conversion gives left half RGB (91, 255, 150)
+# (G clamps at 255) and right half (0, 125, 10) (R clamps at 0).
+_COLOR_422_JPEG = bytes.fromhex(
+    "ffd8ffe000104a46494600010200004800480000ffdb004300080b0c0e0c0a10"
+    "0e0d0e1211101318281a181616183123251d283a333d3c3933383740485c4e40"
+    "4457453738506d51575f626768673e4d71797064785c656763ffc00011080008"
+    "001003012100021100031100ffc400d200000105010101010101000000000000"
+    "00000102030405060708090a0b100002010303020403050504040000017d0102"
+    "0300041105122131410613516107227114328191a1082342b1c11552d1f02433"
+    "627282090a161718191a25262728292a3435363738393a434445464748494a53"
+    "5455565758595a636465666768696a737475767778797a838485868788898a92"
+    "939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7"
+    "c8c9cad2d3d4d5d6d7d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+    "ffda000c03010002000300003f00f48af9ceb0ebcc6bffd9"
+)
+
+
+def _expected_420(d: int) -> dict:
+    """Independent per-pixel brute force of the 4:2:0 closed form —
+    shares NO code with the builder or the decoder (integer closed
+    forms + T.871 floats, scalar math module, no numpy)."""
+    w, h = 8 * (2 + d % 3), 8 * (2 + (d * 2) % 3)
+    samples = []
+    for y in range(h):
+        for x in range(w):
+            yv = (d * 37 + (y // 8) * 19 + (x // 8) * 11) % 256
+            cb = (d * 23 + (y // 16) * 11 + (x // 16) * 5) % 256
+            cr = (d * 29 + (y // 16) * 7 + (x // 16) * 3) % 256
+            samples.append(
+                min(255, max(0, math.floor(yv + 1.402 * (cr - 128.0) + 0.5)))
+            )
+            samples.append(
+                min(255, max(0, math.floor(
+                    yv - 0.344136 * (cb - 128.0)
+                    - 0.714136 * (cr - 128.0) + 0.5
+                )))
+            )
+            samples.append(
+                min(255, max(0, math.floor(yv + 1.772 * (cb - 128.0) + 0.5)))
+            )
+    return {
+        "width": w,
+        "height": h,
+        "pixel_sum": sum(samples),
+        "pixel_min": min(samples),
+        "pixel_max": max(samples),
+    }
+
+
 def test_pinned_gray_ac_fixture():
     s = decode_jpeg_pixels(_GRAY_AC_JPEG)
     assert s == {
@@ -96,6 +181,46 @@ def test_builder_roundtrip_exact_including_restarts():
         assert (s["pixel_min"], s["pixel_max"]) == (min(vals), max(vals))
 
 
+def test_pinned_color_420_fixture():
+    """The pinned 4:2:0 bytes decode through the real subsampled path:
+    chroma tables, four-Y MCUs, a restart marker, luma padding crop."""
+    assert b"\xff\xd0" in _COLOR_420_JPEG  # a real RST0 is in the scan
+    assert decode_jpeg_pixels(_COLOR_420_JPEG) == {
+        "width": 24,
+        "height": 32,
+        "pixel_sum": 205568,
+        "pixel_min": 0,
+        "pixel_max": 201,
+    }
+
+
+def test_pinned_color_422_fixture():
+    """Horizontal-only subsampling (a layout the corpus encoder never
+    emits) pins the generic h×v walk: 64 px at (91, 255, 150) + 64 px
+    at (0, 125, 10), both chroma planes upsampled ×2 in x only."""
+    assert decode_jpeg_pixels(_COLOR_422_JPEG) == {
+        "width": 16,
+        "height": 8,
+        "pixel_sum": 64 * (91 + 255 + 150) + 64 * (0 + 125 + 10),
+        "pixel_min": 0,
+        "pixel_max": 255,
+    }
+
+
+def test_builder_420_roundtrip_vs_independent_brute_force():
+    """The 4:2:0 corpus builder round-trips bit-exact through the full
+    subsampled pipeline for a spread of ids — odd ids carry DRI=2 with
+    real RST markers (13 of these 40 have ≥3 MCUs so a RST actually
+    fires mid-scan), and w=24/h=24 ids carry padded luma MCUs."""
+    rst_seen = 0
+    for d in range(40):
+        payload = build_jpeg_image_420(d)
+        if any(bytes([0xFF, 0xD0 + k]) in payload for k in range(8)):
+            rst_seen += 1
+        assert decode_jpeg_pixels(payload) == _expected_420(d)
+    assert rst_seen >= 10
+
+
 def test_progressive_and_malformed_raise_honestly():
     p = bytearray(build_jpeg_image(4))
     # flip SOF0 → SOF2 (progressive): find the ffc0 marker
@@ -105,11 +230,13 @@ def test_progressive_and_malformed_raise_honestly():
         decode_jpeg_pixels(bytes(p))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"\x89PNG not a jpeg")
-    # subsampled chroma refuses rather than guessing
+    # a non-integer upsampling ratio (luma 3×1 against chroma 2×1)
+    # refuses rather than guessing — replication needs h | hmax
     q = bytearray(_COLOR_444_JPEG)
     j = bytes(q).find(b"\xff\xc0")
-    q[j + 11] = 0x22  # first component sampling 2x2
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    q[j + 11] = 0x31  # component 1 sampling 3x1
+    q[j + 14] = 0x21  # component 2 sampling 2x1
+    with pytest.raises(NotImplementedError, match="non-integer"):
         decode_jpeg_pixels(bytes(q))
 
 

@@ -7,14 +7,16 @@ scanline filters (``decode_png_pixels``), baseline-sequential JPEG
 pixel decode is a full numpy entropy/dequant/IDCT pipeline
 (``decode_jpeg_pixels`` — Huffman scan decode, restart markers, DC
 prediction, vectorized 2-D IDCT, 4:4:4 and subsampled 4:2:0/4:2:2
-color with replication upsampling), WAV PCM decode is byte
+color with replication upsampling, and full PROGRESSIVE multi-scan
+decode: spectral selection, successive approximation, EOB runs, AC
+refinement), WAV PCM decode is byte
 arithmetic (``decode_wav_pcm``), and container parsing (PNG/JPEG/RIFF/
 ISO-BMFF) is exact per spec. Only the generic any-format decode and the
 resize step remain clearly-marked stubs (`decode_image_stub` /
 `resize_stub` raise NotImplementedError unless the deterministic fake is
 requested — swapping them for PIL/torchaudio is a one-function change
 that does not touch the plan), and the JPEG decoder raises honestly on
-progressive/arithmetic/12-bit/non-integer-ratio inputs. Everything Spark-side —
+arithmetic/12-bit/non-integer-ratio inputs. Everything Spark-side —
 schema, binary column handling, ``mapInPandas`` batch shape, partition
 sizing — is real and tested.
 
@@ -1042,9 +1044,13 @@ def decode_png_pixels(payload: bytes) -> dict:
 # shift + clamp → per-component plane assembly/crop → integer-factor
 # replication upsampling of subsampled chroma (4:2:0 / 4:2:2 / any
 # h,v that divide hmax,vmax) → YCbCr→RGB for 3-component scans.
-# Honest limits raise NotImplementedError: progressive (SOF2),
-# arithmetic coding, 12-bit precision, and non-integer upsampling
-# ratios (e.g. luma 3×1 against chroma 2×1).
+# PROGRESSIVE (SOF2) decode is real too: the marker walk decodes every
+# scan in sequence against the same per-frame coefficient store —
+# DC first/refinement passes (successive approximation), non-
+# interleaved AC band scans with EOB-run coding, and AC refinement
+# with interleaved correction bits (T.81 §G.1.2.3). Honest limits
+# raise NotImplementedError: arithmetic coding, 12-bit precision, and
+# non-integer upsampling ratios (e.g. luma 3×1 against chroma 2×1).
 #
 # Huffman/quantization constants below are the PUBLIC spec tables
 # (ITU T.81 Annex K: Tables K.1, K.3-K.5) — the ones virtually every
@@ -1338,6 +1344,116 @@ def build_jpeg_image_420(doc_id: int) -> bytes:
     return out + seg(0xDA, sos) + bytes(wr.buf) + b"\xff\xd9"
 
 
+def build_jpeg_image_progressive(doc_id: int) -> bytes:
+    """A COMPLETE PROGRESSIVE (SOF2) grayscale JPEG carrying the SAME
+    closed-form pixels as ``build_jpeg_image`` — the Adam7 pattern: the
+    oracle is scan-structure-agnostic while the decoder must walk four
+    real progressive scans. Scan 1: DC first pass at successive
+    approximation Al=1 (diffs of DC>>1, interleaved MCU walk, DRI=2
+    with RST markers on odd ids). Scans 2+3: AC first passes over the
+    split spectral bands 1-5 and 6-63 — every block's band is empty
+    (constant blocks are DC-only), so each scan is pure EOB-run coding,
+    folding the whole block grid into ONE EOBn symbol with extension
+    bits (and restart-bounded runs on odd ids). Scan 4: DC refinement
+    (Ah=1, Al=0) appending bit 0 of each DC as one raw bit per block.
+    The reconstruction DC = ((DC>>1)<<1) | bit0 is exact in two's
+    complement, so the decode round-trips bit-exact."""
+    import struct
+
+    w = 8 * (1 + doc_id % 3)
+    h = 8 * (1 + (doc_id * 2) % 3)
+    bw, bh = w // 8, h // 8
+    nblocks = bw * bh
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00" + bytes([1, 2, 0]) + struct.pack(">HH", 72, 72) + b"\x00\x00"
+    quant = [8] + [_STD_LUM_QUANT[_ZIGZAG[k]] for k in range(1, 64)]
+    dqt = bytes([0x00]) + bytes(quant)
+    sof = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    # progressive AC scans need EOBn symbols (0x10/0x20/0x30 — run
+    # lengths 2-15 blocks), which Annex K's sequential table K.5 does
+    # not carry: real progressive encoders emit optimized custom
+    # tables, and so does this one (four 2-bit codes)
+    ac_bits = (0, 4) + (0,) * 14
+    ac_vals = (0x00, 0x10, 0x20, 0x30)
+    dht = (
+        bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+        + bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+    )
+    dc_codes = {s: (c, ln) for s, c, ln in _huff_canonical(_STD_DC_BITS, _STD_DC_VALS)}
+    ac_codes = {s: (c, ln) for s, c, ln in _huff_canonical(ac_bits, ac_vals)}
+    dri = 2 if doc_id % 2 else 0
+    dcs = [
+        (doc_id * 37 + by * 19 + bx * 11) % 256 - 128
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+
+    def sos_seg(ss: int, se: int, ah: int, al: int) -> bytes:
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, Al=1 — diffs of DC>>1, restart-aware
+    wr = _JpegBitWriter()
+    pred, rst = 0, 0
+    for m, dc in enumerate(dcs):
+        if dri and m and m % dri == 0:
+            wr.marker(0xD0 + rst % 8)
+            rst += 1
+            pred = 0
+        d1 = dc >> 1  # arithmetic shift: the DC point transform
+        diff = d1 - pred
+        pred = d1
+        s = abs(diff).bit_length()
+        wr.write(*dc_codes[s])
+        if s:
+            wr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    wr.align()
+    scan_dc_first = sos_seg(0, 0, 0, 1) + bytes(wr.buf)
+
+    # scans 2+3: AC first over split bands — pure EOB runs; restart
+    # intervals bound each run on odd ids
+    def ac_empty_scan(ss: int, se: int) -> bytes:
+        wr = _JpegBitWriter()
+        rst = 0
+        m = 0
+        while m < nblocks:
+            run = nblocks - m
+            if dri:
+                run = min(run, dri - m % dri)
+            # EOBn: largest power of two ≤ run, with extension bits
+            r = run.bit_length() - 1
+            wr.write(*ac_codes[r << 4])
+            if r:
+                wr.write(run - (1 << r), r)
+            m += run
+            if dri and m < nblocks and m % dri == 0:
+                wr.marker(0xD0 + rst % 8)
+                rst += 1
+        wr.align()
+        return sos_seg(ss, se, 0, 0) + bytes(wr.buf)
+
+    # scan 4: DC refinement — one raw bit (bit 0 of the DC) per block
+    wr = _JpegBitWriter()
+    rst = 0
+    for m, dc in enumerate(dcs):
+        if dri and m and m % dri == 0:
+            wr.marker(0xD0 + rst % 8)
+            rst += 1
+        wr.write(dc & 1, 1)
+    wr.align()
+    scan_dc_refine = sos_seg(0, 0, 1, 0) + bytes(wr.buf)
+
+    out = b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt) + seg(0xC2, sof)
+    out += seg(0xC4, dht)
+    if dri:
+        out += seg(0xDD, struct.pack(">H", dri))
+    out += scan_dc_first + ac_empty_scan(1, 5) + ac_empty_scan(6, 63)
+    out += scan_dc_refine
+    return out + b"\xff\xd9"
+
+
 class _JpegBitReader:
     """MSB-first bit reader over the entropy-coded scan: unstuffs
     FF 00, stops (raises) at any real marker so a malformed stream
@@ -1403,21 +1519,289 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _jpeg_scan_end(payload: bytes, pos: int) -> int:
+    """Offset of the first marker that TERMINATES an entropy-coded
+    segment starting at ``pos`` — skips stuffed FF 00 pairs, FF fill
+    bytes, and RST0-7 (all part of the scan's data)."""
+    n = len(payload)
+    i = pos
+    while True:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = payload[i + 1]
+        if nxt == 0x00:
+            i += 2
+        elif nxt == 0xFF:  # fill byte; the next byte may be the marker
+            i += 1
+        elif 0xD0 <= nxt <= 0xD7:
+            i += 2
+        else:
+            return i
+
+
+def _jpeg_layout(frame: dict) -> dict:
+    """Per-frame geometry + coefficient stores, shared by every scan:
+    each component gets its visible sample dims (T.81 §A.1.1), its
+    block-grid dims (padded to full MCUs when the frame interleaves,
+    §A.2.3), and a zeroed int64 coefficient array in zigzag order that
+    successive scans (baseline, or progressive spectral/approximation
+    passes) accumulate into."""
+    import numpy as np
+
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    out = []
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise NotImplementedError(
+                f"non-integer chroma upsampling ratio (component "
+                f"{c['h']}x{c['v']} against max {hmax}x{vmax}) not "
+                "supported — replication upsampling needs h|hmax, v|vmax"
+            )
+        cw, ch = -(-w * c["h"] // hmax), -(-h * c["v"] // vmax)
+        if len(comps) == 1:
+            bx, by = (cw + 7) // 8, (ch + 7) // 8
+        else:
+            bx, by = mcux * c["h"], mcuy * c["v"]
+        out.append(
+            {
+                **c, "cw": cw, "ch": ch, "bx": bx, "by": by,
+                "coef": np.zeros((by * bx, 64), dtype=np.int64),
+            }
+        )
+    return {
+        "w": w, "h": h, "comps": out,
+        "by_id": {c["id"]: c for c in out},
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+    }
+
+
+def _decode_baseline_scan(
+    payload: bytes,
+    pos: int,
+    layout: dict,
+    scan_comps: list,
+    htables: dict,
+    restart_interval: int,
+) -> None:
+    """One baseline-sequential scan (T.81 §F.2): interleaved MCUs when
+    the scan carries several components, the component's own visible
+    block grid (one block per MCU, §A.2.2) when it carries one."""
+    reader = _JpegBitReader(payload, pos)
+    comps = [layout["by_id"][cid] for cid, _td, _ta in scan_comps]
+    tabs = [
+        (htables[(0, td)], htables[(1, ta)]) for _cid, td, ta in scan_comps
+    ]
+    single = len(comps) == 1
+    if single:
+        c = comps[0]
+        mcux, mcuy = (c["cw"] + 7) // 8, (c["ch"] + 7) // 8
+    else:
+        mcux, mcuy = layout["mcux"], layout["mcuy"]
+    preds = [0] * len(comps)
+    rst_seq = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst_seq)
+            rst_seq += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dct, act = tabs[ci]
+            coef = c["coef"]
+            # non-interleaved MCU = ONE block even if the frame
+            # declares h×v > 1 for this component (T.81 §A.2.2)
+            reps = ((0, 0),) if single else tuple(
+                (v, hh) for v in range(c["v"]) for hh in range(c["h"])
+            )
+            for v, hh in reps:
+                bidx = (
+                    my * c["bx"] + mx if single
+                    else (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
+                )
+                s = _read_huff(reader, dct)
+                diff = _extend(reader.bits(s), s) if s else 0
+                preds[ci] += diff
+                coef[bidx, 0] = preds[ci]
+                k = 1
+                while k < 64:
+                    rs = _read_huff(reader, act)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL: sixteen zeros
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    ssss = rs & 15
+                    coef[bidx, k] = _extend(reader.bits(ssss), ssss)
+                    k += 1
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    pos: int,
+    layout: dict,
+    scan_comps: list,
+    htables: dict,
+    restart_interval: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> None:
+    """One progressive scan (T.81 §G.2): a DC scan (Ss=Se=0, MCU walk,
+    first pass codes diffs of DC>>Al, refinement appends one raw bit
+    per block), or a non-interleaved AC scan over one component's
+    spectral band Ss..Se (first pass codes values at precision Al with
+    EOB-run coding; refinement adds one magnitude bit per coefficient
+    — new significant values plus interleaved correction bits for
+    already-nonzero history, §G.1.2.3). Restart markers byte-align,
+    reset DC predictors and the EOB run, and renumber from RST0 per
+    scan."""
+    reader = _JpegBitReader(payload, pos)
+    comps = [layout["by_id"][cid] for cid, _td, _ta in scan_comps]
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        tabs = [htables[(0, td)] if ah == 0 else None
+                for _cid, td, _ta in scan_comps]
+        single = len(comps) == 1
+        if single:
+            c = comps[0]
+            mcux, mcuy = (c["cw"] + 7) // 8, (c["ch"] + 7) // 8
+        else:
+            mcux, mcuy = layout["mcux"], layout["mcuy"]
+        preds = [0] * len(comps)
+        rst_seq = 0
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.restart(rst_seq)
+                rst_seq += 1
+                preds = [0] * len(comps)
+            my, mx = divmod(m, mcux)
+            for ci, c in enumerate(comps):
+                coef = c["coef"]
+                reps = ((0, 0),) if single else tuple(
+                    (v, hh) for v in range(c["v"]) for hh in range(c["h"])
+                )
+                for v, hh in reps:
+                    bidx = (
+                        my * c["bx"] + mx if single
+                        else (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
+                    )
+                    if ah == 0:  # first pass: diffs of DC >> Al
+                        s = _read_huff(reader, tabs[ci])
+                        diff = _extend(reader.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        coef[bidx, 0] = preds[ci] << al
+                    else:  # refinement: append bit Al (two's complement)
+                        if reader.bit():
+                            coef[bidx, 0] |= 1 << al
+        return
+    # AC scan: non-interleaved by construction (T.81 §G.1.1.1)
+    if len(comps) != 1:
+        raise ValueError("progressive AC scan must carry one component")
+    c = comps[0]
+    act = htables[(1, scan_comps[0][2])]
+    coef = c["coef"]
+    n_x, n_y = (c["cw"] + 7) // 8, (c["ch"] + 7) // 8
+    p1, m1 = 1 << al, -(1 << al)
+    eobrun = 0
+    rst_seq = 0
+    for m in range(n_x * n_y):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.restart(rst_seq)
+            rst_seq += 1
+            eobrun = 0
+        row, col = divmod(m, n_x)
+        bidx = row * c["bx"] + col
+        if ah == 0:  # first pass for this band/precision
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_huff(reader, act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    # EOBn: run of (1<<r)+ext blocks INCLUDING this one
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                coef[bidx, k] = _extend(reader.bits(s), s) * p1
+                k += 1
+        else:  # refinement pass (T.81 §G.1.2.3)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _read_huff(reader, act)
+                    r, s = rs >> 4, rs & 15
+                    newval = 0
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break
+                        # ZRL: pass 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement magnitude must be 1 bit"
+                            )
+                        newval = p1 if reader.bit() else m1
+                    while k <= se:
+                        if coef[bidx, k]:
+                            # correction bit for nonzero history
+                            if reader.bit() and not (coef[bidx, k] & p1):
+                                coef[bidx, k] += (
+                                    p1 if coef[bidx, k] > 0 else m1
+                                )
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        coef[bidx, k] = newval
+                    k += 1
+            if eobrun:
+                # rest of the band: correction bits only
+                while k <= se:
+                    if coef[bidx, k]:
+                        if reader.bit() and not (coef[bidx, k] & p1):
+                            coef[bidx, k] += p1 if coef[bidx, k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+
 def decode_jpeg_pixels(payload: bytes) -> dict:
-    """REAL baseline-sequential JPEG pixel decode, stdlib+numpy only —
-    see the section comment for the pipeline. Supports SOF0/SOF1,
-    grayscale and 3-component color at ANY integer-ratio sampling
-    (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the T.81 §A.2.3 interleaved MCU
-    walk: each MCU carries h×v blocks per component in raster order,
-    each component decodes into its own subsampled block grid, and
-    subsampled planes upsample to full resolution by replication),
-    8/16-bit DQT precision, multi-table DQT/DHT segments, DRI restart
-    intervals (counted in MCUs), byte stuffing. Raises
-    NotImplementedError for progressive (SOF2), arithmetic coding
-    (SOF9+), 12-bit sample precision, and non-integer upsampling
-    ratios — honestly, rather than guessing. Color output uses the
-    JFIF (ITU-T T.871) YCbCr→RGB matrix with round-half-up and clamp.
-    Returns the same stats envelope as ``decode_png_pixels``."""
+    """REAL JPEG pixel decode, stdlib+numpy only — see the section
+    comment for the pipeline. Supports baseline/extended sequential
+    (SOF0/SOF1) AND progressive (SOF2, multi-scan spectral selection +
+    successive approximation), grayscale and 3-component color at ANY
+    integer-ratio sampling (4:4:4, 4:2:0, 4:2:2, 4:4:0 — the T.81
+    §A.2.3 interleaved MCU walk: each MCU carries h×v blocks per
+    component in raster order, each component decodes into its own
+    subsampled block grid, and subsampled planes upsample to full
+    resolution by replication), 8/16-bit DQT precision, multi-table
+    DQT/DHT segments (tables may be redefined between scans — each
+    scan decodes with the tables in effect at its SOS), DRI restart
+    intervals (counted in MCUs, renumbered per scan), byte stuffing.
+    Raises NotImplementedError for arithmetic coding (SOF9+), 12-bit
+    sample precision, and non-integer upsampling ratios — honestly,
+    rather than guessing. Color output uses the JFIF (ITU-T T.871)
+    YCbCr→RGB matrix with round-half-up and clamp. Returns the same
+    stats envelope as ``decode_png_pixels``."""
     import struct
 
     import numpy as np
@@ -1428,9 +1812,10 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
     qtables: dict[int, list[int]] = {}
     htables: dict[tuple[int, int], dict] = {}  # (class, id) → decode map
     frame = None
+    progressive = False
     restart_interval = 0
-    scan_pos = None
-    scan_comps = None
+    layout = None
+    saw_scan = False
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -1471,7 +1856,7 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                     for sym, code, ln_ in _huff_canonical(bits, vals)
                 }
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -1485,101 +1870,43 @@ def decode_jpeg_pixels(payload: bytes) -> dict:
                     )
                 comps.append({"id": cid, "h": sh, "v": sv, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC9, 0xCA, 0xCB):
             raise NotImplementedError("arithmetic-coded JPEG not supported")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS: entropy data follows the header
+        elif marker == 0xDA:  # SOS: entropy data follows; decode the
+            # scan with the tables in effect NOW, then resume the walk
+            # past its entropy data (progressive files carry many scans)
+            if frame is None:
+                raise ValueError("SOS before SOF — not a decodable JPEG")
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15)
                 for c in range(ns)
             ]
-            scan_pos = pos
-            break
-    if frame is None or scan_pos is None:
+            if layout is None:
+                layout = _jpeg_layout(frame)
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 15
+                _decode_progressive_scan(
+                    payload, pos, layout, scan_comps, htables,
+                    restart_interval, ss, se, ah, al,
+                )
+            else:
+                _decode_baseline_scan(
+                    payload, pos, layout, scan_comps, htables,
+                    restart_interval,
+                )
+            saw_scan = True
+            pos = _jpeg_scan_end(payload, pos)
+    if layout is None or not saw_scan:
         raise ValueError("no SOF/SOS found — not a decodable JPEG scan")
 
-    w, h = frame["w"], frame["h"]
-    comps = frame["comps"]
-    by_id = {c["id"]: c for c in comps}
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    order = []
-    for cid, td, ta in scan_comps:
-        c = by_id[cid]
-        if hmax % c["h"] or vmax % c["v"]:
-            raise NotImplementedError(
-                f"non-integer chroma upsampling ratio (component "
-                f"{c['h']}x{c['v']} against max {hmax}x{vmax}) not "
-                "supported — replication upsampling needs h|hmax, v|vmax"
-            )
-        order.append(
-            {
-                "tq": c["tq"], "dct": htables[(0, td)],
-                "act": htables[(1, ta)], "h": c["h"], "v": c["v"],
-                # the component's visible sample dims (T.81 §A.1.1)
-                "cw": -(-w * c["h"] // hmax),
-                "ch": -(-h * c["v"] // vmax),
-            }
-        )
-    single = len(order) == 1
-    if single:
-        # non-interleaved single-component scan: the MCU is ONE block
-        # of the component's own grid (T.81 §A.2.2)
-        c = order[0]
-        c["bx"], c["by"] = (c["cw"] + 7) // 8, (c["ch"] + 7) // 8
-        mcux, mcuy = c["bx"], c["by"]
-    else:
-        # interleaved: the MCU spans 8·hmax × 8·vmax pixels and carries
-        # h×v blocks per component (T.81 §A.2.3); every component's
-        # block grid is padded to full MCUs
-        mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-        for c in order:
-            c["bx"], c["by"] = mcux * c["h"], mcuy * c["v"]
-    n_mcu = mcux * mcuy
-    reader = _JpegBitReader(payload, scan_pos)
-    for c in order:
-        c["coef"] = np.zeros((c["by"] * c["bx"], 64), dtype=np.int64)
-    preds = [0] * len(order)
-    rst_seq = 0
-    for m in range(n_mcu):
-        if restart_interval and m and m % restart_interval == 0:
-            reader.restart(rst_seq)
-            rst_seq += 1
-            preds = [0] * len(order)
-        my, mx = divmod(m, mcux)
-        for ci, c in enumerate(order):
-            dct, act, coef = c["dct"], c["act"], c["coef"]
-            # non-interleaved MCU = ONE block even if the frame declares
-            # h×v > 1 for this component (T.81 §A.2.2)
-            reps = ((0, 0),) if single else tuple(
-                (v, hh) for v in range(c["v"]) for hh in range(c["h"])
-            )
-            for v, hh in reps:
-                bidx = (
-                    m if single
-                    else (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
-                )
-                s = _read_huff(reader, dct)
-                diff = _extend(reader.bits(s), s) if s else 0
-                preds[ci] += diff
-                coef[bidx, 0] = preds[ci]
-                k = 1
-                while k < 64:
-                    rs = _read_huff(reader, act)
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL: sixteen zeros
-                        k += 16
-                        continue
-                    k += rs >> 4
-                    ssss = rs & 15
-                    coef[bidx, k] = _extend(reader.bits(ssss), ssss)
-                    k += 1
-
+    w, h = layout["w"], layout["h"]
+    hmax, vmax = layout["hmax"], layout["vmax"]
+    order = layout["comps"]
     zig = np.array(_ZIGZAG)
     # orthonormal 8×8 DCT-II basis: spatial = Tᵀ S T (matches T.81's
     # ¼·C(u)C(v) normalization)
@@ -1641,10 +1968,13 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pixel decode REAL end to end for both codecs — and the binary
     column REAL too: stage 1 builds each doc's complete spec-valid
     image (doc_id mod 4 → gray / RGB / palette PNG, alternating
-    Adam7-interlaced, or a baseline-sequential JPEG with a real
-    Huffman-coded scan — alternating grayscale 4:4:4 and COLOR 4:2:0
-    with subsampled chroma, separate chroma quant/Huffman tables and
-    padded luma MCUs; ``build_jpeg_image``/``_420``) and MATERIALIZES it as a
+    Adam7-interlaced, or a JPEG with a real Huffman-coded scan —
+    alternating grayscale 4:4:4 and COLOR 4:2:0 with subsampled
+    chroma, separate chroma quant/Huffman tables and padded luma MCUs,
+    the grayscale half further alternating baseline and PROGRESSIVE
+    (four real SOF2 scans: successive-approximation DC, split-band
+    EOB-run ACs, DC refinement); ``build_jpeg_image``/``_420``/
+    ``_progressive``) and MATERIALIZES it as a
     persisted `payload binary` column; stage 2 decodes FROM that column
     only (it never sees doc_id→bytes), SNIFFING the container signature
     per payload — the realistic shape: a curation pipeline's image
@@ -1670,12 +2000,18 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for i in batch["doc_id"]:
                 i = int(i)
-                if i % 4 == 3:  # kind 3 → baseline JPEG; alternating
-                    # grayscale 4:4:4 / color 4:2:0 (the camera/web
-                    # layout: subsampled chroma, separate chroma
-                    # quant+Huffman tables, padded luma MCUs)
+                if i % 4 == 3:  # kind 3 → JPEG; alternating grayscale
+                    # / color 4:2:0 (the camera/web layout: subsampled
+                    # chroma, separate chroma quant+Huffman tables,
+                    # padded luma MCUs), and the grayscale half further
+                    # alternates baseline / PROGRESSIVE (SOF2, four
+                    # real scans: DC first at Al=1, split-band AC
+                    # EOB-run scans, DC refinement) with the same
+                    # closed-form pixels — the Adam7 pattern
                     if (i // 4) % 2:
                         rows.append((i, build_jpeg_image_420(i)))
+                    elif (i // 8) % 2:
+                        rows.append((i, build_jpeg_image_progressive(i)))
                     else:
                         rows.append((i, build_jpeg_image(i)))
                 else:
@@ -1739,7 +2075,8 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # JPEG (kind 3), mirrored from build_jpeg_image[_420]: a grid of
 # constant 8×8 blocks — DC-only with DC quantizer 8, so the REAL
 # Huffman/dequant/IDCT pipeline reproduces the constants bit-exactly.
-# Even id//4 → grayscale, block (bx, by) = (doc_id·37 + by·19 + bx·11)
+# Even id//4 → grayscale (baseline or, at odd id//8, progressive —
+# same pixels), block (bx, by) = (doc_id·37 + by·19 + bx·11)
 # mod 256. Odd id//4 → 4:2:0 color: pixel (x, y) sees Y from luma
 # block (x//8, y//8) and Cb/Cr from chroma block (x//16, y//16)
 # (replication upsampling), then the JFIF YCbCr→RGB matrix with

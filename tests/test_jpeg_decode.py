@@ -1,6 +1,8 @@
-"""Baseline-sequential JPEG pixel decode (functions.multimodal):
-real Huffman entropy decode, DC prediction, restart markers, dequant,
-vectorized IDCT, level shift, 4:4:4 color conversion — stdlib+numpy.
+"""JPEG pixel decode (functions.multimodal): real Huffman entropy
+decode, DC prediction, restart markers, dequant, vectorized IDCT,
+level shift, 4:4:4 color conversion, chroma-subsampled 4:2:0/4:2:2
+layouts, and progressive (SOF2) multi-scan reconstruction —
+stdlib+numpy.
 
 The pinned fixtures below are byte literals generated once and checked
 against an INDEPENDENT pure-python naive IDCT (direct double-loop over
@@ -16,6 +18,7 @@ import pytest
 from grebi_spark.functions.multimodal import (
     build_jpeg_image,
     build_jpeg_image_420,
+    build_jpeg_image_progressive,
     decode_jpeg_pixels,
     parse_jpeg_header,
 )
@@ -221,12 +224,66 @@ def test_builder_420_roundtrip_vs_independent_brute_force():
     assert rst_seen >= 10
 
 
-def test_progressive_and_malformed_raise_honestly():
+# 16×8 progressive (SOF2) with REAL nonzero ACs split across bands —
+# the hard paths no DC-only corpus image reaches: six scans (DC first
+# at Al=1; AC first over bands 1-5 and 6-63 at Al=1 with coded values
+# mid-run, a multi-block EOB1 run AFTER a coded coefficient, and a
+# custom EOBn-bearing Huffman table; AC refinement over both bands with
+# correction bits for nonzero history, a newly-significant ±1 behind an
+# r=15 zero run, and EOBRUN-tail corrections; DC refinement). Final
+# coefficients: block 0 {DC 37, zz1 5, zz5 -3, zz20 7}, block 1 {DC
+# 20, zz2 1, zz3 -4, zz21 -1}, quant all 2s. Expected stats from the
+# INDEPENDENT pure-python naive IDCT: sum 17287, min 131, max 141;
+# block-0 first row [139,140,140,140,139,138,137,136].
+_PROG_AC_JPEG = bytes.fromhex(
+    "ffd8ffe000104a46494600010200004800480000ffdb00430002020202020202"
+    "0202020202020202020202020202020202020202020202020202020202020202"
+    "02020202020202020202020202020202020202020202020202ffc2000b080008"
+    "001001011100ffc4003800000105010101010101000000000000000001020304"
+    "05060708090a0b100000000800000000000000000000000000023122e21011f1"
+    "ffda0008010100000001d2afffda0008010100010501188687ffda0008010100"
+    "063f014d5fffda00080101000105100da0ffda0008010100063f100b83ffda00"
+    "08010100000010bfffd9"
+)
+
+
+def test_pinned_progressive_ac_fixture():
+    """Six real progressive scans reconstruct the exact coefficients:
+    successive approximation (Al=1 → refine), split spectral bands,
+    EOB runs crossing block boundaries after coded values, correction
+    bits, and a new significant coefficient behind an r=15 run."""
+    assert decode_jpeg_pixels(_PROG_AC_JPEG) == {
+        "width": 16,
+        "height": 8,
+        "pixel_sum": 17287,
+        "pixel_min": 131,
+        "pixel_max": 141,
+    }
+
+
+def test_builder_progressive_matches_baseline_pixels():
+    """The progressive corpus builder carries the SAME closed-form
+    pixels as the baseline one (the Adam7 pattern): bit-identical
+    stats for a spread of ids, incl. odd ids whose DC-first, AC-band
+    and DC-refinement scans are all restart-interval-bounded."""
+    rst_seen = 0
+    for d in range(40):
+        payload = build_jpeg_image_progressive(d)
+        assert b"\xff\xc2" in payload  # really SOF2
+        if any(bytes([0xFF, 0xD0 + k]) in payload for k in range(8)):
+            rst_seen += 1
+        assert decode_jpeg_pixels(payload) == decode_jpeg_pixels(
+            build_jpeg_image(d)
+        )
+    assert rst_seen >= 10
+
+
+def test_arithmetic_and_malformed_raise_honestly():
     p = bytearray(build_jpeg_image(4))
-    # flip SOF0 → SOF2 (progressive): find the ffc0 marker
+    # flip SOF0 → SOF10 (arithmetic sequential): find the ffc0 marker
     i = bytes(p).find(b"\xff\xc0")
-    p[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    p[i + 1] = 0xCA
+    with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg_pixels(bytes(p))
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg_pixels(b"\x89PNG not a jpeg")

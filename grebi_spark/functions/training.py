@@ -1699,7 +1699,138 @@ ORDER BY a0.shard
 """
 
 
+# --- sequence packing (concat-and-chunk pretraining layout) -----------------
+
+_PACK_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sample packing: concatenate the corpus token stream in
+    doc_id order and split it into fixed ``_PACK_SEQ_LEN``-token
+    training sequences, documents spanning sequence boundaries — the
+    concat-and-chunk layout real pretraining loaders use (every
+    sequence exactly full, zero padding waste, vs per-doc truncation).
+    Returns the first 100 sequences with per-sequence packing stats:
+    how many documents each sequence draws from (``n_docs``), the token
+    count (``n_tokens`` — _PACK_SEQ_LEN everywhere but the tail), and
+    the contributing doc_id range.
+
+    Scale shape — the global running token offset with NO
+    single-partition window (the ``curriculum_buckets`` machinery, with
+    a SUM instead of a rank): ``repartitionByRange(doc_id)`` gives the
+    global document order across partitions; the within-partition
+    prefix sum is a window PARTITIONED by the range-partition ordinal
+    (parallel, from ``monotonically_increasing_id``'s high bits);
+    per-partition token totals (one tiny collect, #partitions rows)
+    convert local prefixes to exact global stream offsets. Each doc
+    then knows its [start, end) token span row-locally, explodes to
+    the sequences it overlaps (≤ n_tok/C + 1 rows — bounded fan-out,
+    no shuffle), and a final seq_id aggregation produces the stats.
+    One corpus shuffle + one partial-agg shuffle total at any scale."""
+    from pyspark.sql.window import Window
+
+    C = _PACK_SEQ_LEN
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    counted = (
+        d.select("doc_id", F.size(toks).alias("n_tok"))
+        .filter(F.col("n_tok") > 0)
+    )
+    ranged = (
+        counted.repartitionByRange(F.col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint()  # pin partition contents: the totals collect
+        # and the final plan must see the SAME partitioning
+    )
+    pid = F.shiftright(F.col("mid"), 33)
+    sums = sorted(
+        (r["pid"], r["s"])
+        for r in ranged.groupBy(pid.alias("pid"))
+        .agg(F.sum("n_tok").alias("s"))
+        .collect()
+    )
+    offsets, acc = {}, 0
+    for p, s in sums:  # pid order IS range order: partition 0 holds
+        # the lowest doc_id range
+        offsets[p] = acc
+        acc += s
+    off_map = F.create_map(
+        *[F.lit(x) for p, o in offsets.items() for x in (p, o)]
+    )
+    local_prefix = F.coalesce(
+        F.sum("n_tok").over(
+            Window.partitionBy(pid)
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    spans = ranged.select(
+        "doc_id",
+        "n_tok",
+        (F.element_at(off_map, pid) + local_prefix).alias("start"),
+    ).withColumn("end", F.col("start") + F.col("n_tok"))
+    # integer `div`, not floor(x/C): float division would lose token
+    # offsets past 2^53 — exact at any corpus size
+    seq = F.explode(
+        F.sequence(
+            F.expr(f"start div {C}"), F.expr(f"(end - 1) div {C}")
+        )
+    ).alias("seq_id")
+    hits = spans.select("doc_id", "start", "end", seq).withColumn(
+        "contrib",
+        F.least(F.col("end"), (F.col("seq_id") + 1) * C)
+        - F.greatest(F.col("start"), F.col("seq_id") * C),
+    )
+    return (
+        hits.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("contrib").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("seq_id")
+        .limit(100)
+    )
+
+
+ORACLE_PACK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), nz AS (
+  SELECT * FROM toks WHERE n_tok > 0
+), spans AS (
+  SELECT doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS s
+  FROM nz
+), hits AS (
+  SELECT doc_id, seq.seq AS seq_id,
+         least(s + n_tok, (seq.seq + 1) * {_PACK_SEQ_LEN})
+           - greatest(s, seq.seq * {_PACK_SEQ_LEN}) AS contrib
+  FROM spans,
+       unnest(range(s // {_PACK_SEQ_LEN},
+                    ((s + n_tok - 1) // {_PACK_SEQ_LEN}) + 1)) AS seq(seq)
+)
+SELECT seq_id,
+       count(*) AS n_docs,
+       sum(contrib)::bigint AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM hits
+GROUP BY seq_id
+ORDER BY seq_id
+LIMIT 100
+"""
+
+
 QUERIES = {
+    "pack_training_sequences": pack_training_sequences,
     "kmeans_assign_twolevel": kmeans_assign_twolevel,
     "epoch_shuffle": epoch_shuffle,
     "mixture_sample": mixture_sample,
@@ -1716,6 +1847,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "pack_training_sequences": ORACLE_PACK,
     "kmeans_assign_twolevel": _oracle_kmeans_twolevel(),
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,
     "mixture_sample": ORACLE_MIXTURE,

@@ -604,6 +604,21 @@ def test_curriculum_buckets_no_unpartitioned_window(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
+def test_pack_sequences_partitioned_window_only(spark, sf_dir):
+    """The global token prefix sum must never move the corpus to one
+    task: the window is PARTITIONED by the range-partition ordinal
+    (no Exchange SinglePartition anywhere), the sequence fan-out is a
+    Generate (no shuffle), the rollup partial-aggregates, and the
+    page is a TakeOrderedAndProject."""
+    from grebi_spark.functions.training import pack_training_sequences
+
+    plan = plan_of(pack_training_sequences(spark, sf_dir), mode="simple")
+    assert "SinglePartition" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
 def test_boilerplate_no_cartesian_one_span_shuffle(spark, sf_dir):
     """The span-df self-join must be an equi-join on the span key —
     never a product — and the rate must be a plain projection."""

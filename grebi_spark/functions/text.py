@@ -337,7 +337,10 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bins by prefix-sum — the greedy packing every LLM data pipeline runs
     before writing training shards. A document lands in the bin its
     running token count starts in (bin = floor(preceding_tokens /
-    budget)); output is per-bin document and token counts.
+    budget)); output is per-bin document and token counts. The
+    complement of ``training.pack_training_sequences``, which cuts
+    exact fixed-length sequences from the GLOBAL concatenated stream
+    (documents split across boundaries, no per-source partition).
 
     Scale shape: ONE window per source — at 100 TB the partition key
     becomes (source, shard) so no single window sees unbounded rows;

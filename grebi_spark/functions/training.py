@@ -1710,6 +1710,11 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     training sequences, documents spanning sequence boundaries — the
     concat-and-chunk layout real pretraining loaders use (every
     sequence exactly full, zero padding waste, vs per-doc truncation).
+    The complement of ``text.pack_sequences``: that one assigns WHOLE
+    documents to per-source token-budget bins (no doc ever split, bins
+    overflow); this one cuts exact fixed-length sequences from the
+    GLOBAL stream, so documents split across sequence boundaries and
+    the prefix sum cannot hide behind a per-source window partition.
     Returns the first 100 sequences with per-sequence packing stats:
     how many documents each sequence draws from (``n_docs``), the token
     count (``n_tokens`` — _PACK_SEQ_LEN everywhere but the tail), and

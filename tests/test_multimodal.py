@@ -445,3 +445,44 @@ def test_png_16bit_decode_gray_and_rgb(spark):
                 ), (d, ct, il)
     with pytest.raises(NotImplementedError):
         decode_png_pixels(_build_png(3, 3, depth=16))
+
+
+def test_resize_nearest_kernel_and_decode_array_shapes():
+    """The resize kernel is a pure integer-coordinate gather:
+    out[y, x] = in[(y*h)//oh, (x*w)//ow] — checked against a scalar
+    brute force on a non-square array; identity dims return the array
+    unchanged. decode_image_array sniffs containers and returns
+    (h, w, C) for every corpus member kind (gray PNG C=1, RGB/palette
+    C=3, gray JPEG C=1, 4:2:0 color C=3)."""
+    import numpy as np
+
+    from grebi_spark.functions.multimodal import (
+        _build_png,
+        build_jpeg_image,
+        build_jpeg_image_420,
+        build_jpeg_image_progressive,
+        decode_image_array,
+        resize_image_nearest,
+    )
+
+    rng = np.arange(7 * 5 * 3, dtype=np.int64).reshape(7, 5, 3) * 13 % 251
+    out = resize_image_nearest(rng, 3, 4)
+    for y in range(3):
+        for x in range(4):
+            assert (out[y, x] == rng[(y * 7) // 3, (x * 5) // 4]).all()
+    assert (resize_image_nearest(rng, 7, 5) == rng).all()
+
+    for payload, nch in (
+        (_build_png(8, 0), 1),
+        (_build_png(9, 2), 3),
+        (_build_png(10, 3), 3),
+        (build_jpeg_image(6), 1),
+        (build_jpeg_image_progressive(6), 1),
+        (build_jpeg_image_420(7), 3),
+    ):
+        arr = decode_image_array(payload)
+        assert arr.ndim == 3 and arr.shape[2] == nch
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown image container"):
+        decode_image_array(b"RIFFxxxxWAVE")

@@ -668,6 +668,128 @@ def multimodal_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def resample_pcm_2to1(samples):
+    """REAL 2:1 audio downsample over decoded int16 PCM: each output
+    sample is the box-filtered mean of an adjacent input pair — a
+    crude anti-aliasing low-pass, not bare decimation (which would
+    alias). The division runs in the unsigned u16 domain
+    (out = (u0 + u1) // 2 − 32768 with u = s + 32768) so floor and
+    truncate agree and the DuckDB oracle reproduces it exactly; a
+    trailing unpaired sample is dropped. Swapping in a windowed-sinc
+    resampler (torchaudio/scipy) would change only this function."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    n2 = (len(s) // 2) * 2
+    u = s[:n2] + 32768
+    return (u[0::2] + u[1::2]) // 2 - 32768
+
+
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio RESAMPLE over the binary column — the audio twin of
+    ``multimodal_resize_stats`` (decode → downsample → stats), closing
+    the brief's decode/feature-extract/resize/frame-sample quartet for
+    the audio modality with a REAL signal path: the RIFF/WAVE chunk
+    walk and int16 unpack of ``decode_wav_pcm``, then a 2:1
+    box-filtered downsample (``resample_pcm_2to1``) and exact integer
+    peak/energy over the RESAMPLED stream, rolled up per halved sample
+    rate. All arithmetic is integer-exact, so the closed-form oracle
+    proves decode + filter + stats sample-exact — an aliasing bug, a
+    dropped-pair off-by-one, or signed-division skew hash-mismatches."""
+    from ..session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    par = spark.sparkContext.defaultParallelism
+    ids = d.select("doc_id").repartition(par)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for batch in batches:
+            rows = []
+            for i in batch["doc_id"]:
+                i = int(i)
+                payload = build_wav_pcm(i)
+                f = decode_wav_pcm(payload)
+                # re-walk the chunks for the raw samples (decode_wav_pcm
+                # returns the stats envelope)
+                pos, data = 12, None
+                while pos + 8 <= len(payload):
+                    cid = payload[pos:pos + 4]
+                    (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+                    if cid == b"data":
+                        data = payload[pos + 8:pos + 8 + clen]
+                    pos += 8 + clen
+                samples = struct.unpack(f"<{len(data) // 2}h", data)
+                out = resample_pcm_2to1(samples)
+                rows.append(
+                    (
+                        i,
+                        f["sample_rate"] // 2,
+                        len(out),
+                        int(abs(out).max()),
+                        int((out * out).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "out_rate", "n_out", "peak_out", "energy_out",
+                ],
+            )
+
+    feats = ids.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, out_rate long, n_out long, peak_out long, "
+            "energy_out long"
+        ),
+    )
+    return (
+        feats.groupBy("out_rate")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_out").cast("long").alias("total_out"),
+            F.max("peak_out").alias("max_peak"),
+            F.sum("energy_out").cast("long").alias("energy_sum"),
+        )
+        .orderBy("out_rate")
+    )
+
+
+# resampled sample k = ((u(2k) + u(2k+1)) // 2) − 32768 with
+# u(j) = (doc·7919 + j·104729) mod 65536 — the u16-domain box filter
+# of resample_pcm_2to1, division exact on both engines because the
+# operands are non-negative.
+ORACLE_AUDIO_RESAMPLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         (8000 + (doc_id % 8) * 4000) // 2 AS out_rate,
+         (64 + doc_id % 64) // 2 AS n_out,
+         max(abs((((doc_id * 7919 + (2 * k) * 104729) % 65536)
+                + ((doc_id * 7919 + (2 * k + 1) * 104729) % 65536)) // 2
+                - 32768)) AS peak_out,
+         sum(((((doc_id * 7919 + (2 * k) * 104729) % 65536)
+             + ((doc_id * 7919 + (2 * k + 1) * 104729) % 65536)) // 2
+             - 32768)
+           * ((((doc_id * 7919 + (2 * k) * 104729) % 65536)
+             + ((doc_id * 7919 + (2 * k + 1) * 104729) % 65536)) // 2
+             - 32768)) AS energy_out
+  FROM documents, unnest(range(0, (64 + doc_id % 64) // 2)) AS t(k)
+  GROUP BY doc_id
+)
+SELECT out_rate,
+       count(*) AS n_docs,
+       CAST(sum(n_out) AS BIGINT) AS total_out,
+       CAST(max(peak_out) AS BIGINT) AS max_peak,
+       CAST(sum(energy_out) AS BIGINT) AS energy_sum
+FROM per_doc
+GROUP BY out_rate
+ORDER BY out_rate
+"""
+
+
 ORACLE_AUDIO_PCM = """
 WITH per_doc AS (
   SELECT doc_id,
@@ -2367,6 +2489,7 @@ QUERIES = {
     "multimodal_pixel_stats": multimodal_pixel_stats,
     "multimodal_resize_stats": multimodal_resize_stats,
     "multimodal_audio_pcm": multimodal_audio_pcm,
+    "multimodal_audio_resample": multimodal_audio_resample,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_image_headers": multimodal_image_headers,
     "multimodal_jpeg_headers": multimodal_jpeg_headers,
@@ -2377,6 +2500,7 @@ ORACLES = {
     "multimodal_pixel_stats": ORACLE_PIXEL_STATS,
     "multimodal_resize_stats": ORACLE_RESIZE,
     "multimodal_audio_pcm": ORACLE_AUDIO_PCM,
+    "multimodal_audio_resample": ORACLE_AUDIO_RESAMPLE,
     "multimodal_frame_sample": ORACLE_FRAME_SAMPLE,
     "multimodal_image_headers": ORACLE_IMAGE_HEADERS,
     "multimodal_jpeg_headers": ORACLE_JPEG_HEADERS,

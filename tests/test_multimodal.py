@@ -486,3 +486,22 @@ def test_resize_nearest_kernel_and_decode_array_shapes():
 
     with pytest.raises(ValueError, match="unknown image container"):
         decode_image_array(b"RIFFxxxxWAVE")
+
+
+def test_resample_pcm_2to1_kernel():
+    """The 2:1 box filter is pair-mean in the u16 domain: exact on
+    negatives (floor-vs-truncate skew would show at odd negative
+    sums), drops a trailing unpaired sample, and empty input yields
+    empty output."""
+    import numpy as np
+
+    from grebi_spark.functions.multimodal import resample_pcm_2to1
+
+    out = resample_pcm_2to1([-5, -4, 7, 8, -1, 2, 100])
+    # pairs: (-5,-4) -> u 32763+32764=65527//2=32763 -> -5 (floor mean
+    # of -4.5 is -5, NOT the truncated -4); (7,8) -> 7; (-1,2) -> 0;
+    # trailing 100 dropped
+    assert out.tolist() == [-5, 7, 0]
+    assert resample_pcm_2to1([]).tolist() == []
+    assert resample_pcm_2to1([32767, 32767]).tolist() == [32767]
+    assert resample_pcm_2to1([-32768, -32768]).tolist() == [-32768]

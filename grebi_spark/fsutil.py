@@ -65,13 +65,22 @@ def next_version(spark: SparkSession, root: str) -> str:
     return f"v{max(vs) + 1 if vs else 1}"
 
 
-def _atomic_create(spark: SparkSession, path: str) -> bool:
+def _atomic_create(spark: SparkSession, path: str, body: bytes = b"") -> bool:
     """Create ``path`` if and only if it does not already exist,
     atomically; True when THIS caller created it. HDFS/S3A-style
     filesystems: ``FileSystem.create(overwrite=false)`` is an atomic
     create-if-absent. file://: Hadoop's local FS implements that as a
     RACY exists-then-create, so route through
-    ``java.io.File.createNewFile`` (O_CREAT|O_EXCL — truly atomic)."""
+    ``java.io.File.createNewFile`` (O_CREAT|O_EXCL — truly atomic).
+
+    ``body`` is written INSIDE the claim (on file:// via a
+    truncate-in-place ``FileOutputStream`` on the file we just
+    created; on hdfs-style through the creating stream itself) — a
+    caller that claimed and then re-created the path with
+    ``create(overwrite=true)`` to write content would depend on the
+    filesystem's overwrite being truncate-in-place rather than
+    delete+create, and a delete+create overwrite would open a window
+    where the path is absent and a second claimer wins too."""
     jvm, fs = fs_of(spark, path)
     p = jvm.org.apache.hadoop.fs.Path(path)
     scheme = fs.getUri().getScheme()
@@ -80,9 +89,17 @@ def _atomic_create(spark: SparkSession, path: str) -> bool:
         parent = f.getParentFile()
         if parent is not None:
             parent.mkdirs()
-        return bool(f.createNewFile())
+        if not f.createNewFile():
+            return False
+        if body:
+            out = jvm.java.io.FileOutputStream(f)  # truncate-in-place
+            out.write(bytearray(body))
+            out.close()
+        return True
     try:
         out = fs.create(p, False)
+        if body:
+            out.write(bytearray(body))
         out.close()
         return True
     except Exception:
@@ -120,6 +137,11 @@ def _read_small(spark: SparkSession, path: str) -> str | None:
         return None
 
 
+# a break guard older than this belongs to a dead process: the guarded
+# section is stat+rename+delete (microseconds), never a held lock
+_BREAK_GUARD_STALE_SEC = 10.0
+
+
 def acquire_publish_lock(
     spark: SparkSession,
     root: str,
@@ -135,37 +157,33 @@ def acquire_publish_lock(
     Stale-break safety (two waiters observing the same stale lock must
     not cascade into deleting each other's FRESH locks): the break is a
     RENAME to a unique tombstone, not a delete — rename is atomic, so
-    of N racing breakers exactly one moves the stale file and the rest
-    fail and re-loop; a fresh lock created by the winner in the same
-    window is a different inode/path entry and is never the rename
-    source. Before renaming, the breaker re-stats and only proceeds if
-    the mtime still matches the stale observation (a holder that
-    released and a NEW holder that locked in between show a fresh
-    mtime). The owner token written into the lock body lets
-    ``release_publish_lock`` delete ONLY its own lock — a >stale_sec
-    holder whose lock was broken and replaced must not delete the
-    usurper's."""
+    of N racing breakers exactly one moves the stale file. The
+    stat→rename window itself is serialized behind a BREAK GUARD
+    (atomic create of _PUBLISH_LOCK.breaker): without it, a breaker
+    preempted between its stale re-stat and its rename can rename a
+    FRESH lock that another waiter broke-and-reclaimed in the gap —
+    check-then-act with an unbounded preemption window (observed under
+    a loaded machine). Inside the guard, the re-stat-then-rename is
+    preemption-safe because no other breaker may act until the guard
+    is released; claims (atomic create-if-absent) never harm a live
+    lock, so they stay outside the guard. A crashed breaker's guard is
+    aged out after ``_BREAK_GUARD_STALE_SEC`` (the guarded section is
+    microseconds — a stale guard means a dead process). The owner
+    token is written INSIDE the atomic claim (no second create), and
+    lets ``release_publish_lock`` delete ONLY its own lock — a
+    >stale_sec holder whose lock was broken and replaced must not
+    delete the usurper's."""
     import time as _time
     import uuid as _uuid
 
     jvm, fs = fs_of(spark, root)
     P = jvm.org.apache.hadoop.fs.Path
     lock = f"{root}/_PUBLISH_LOCK"
+    guard = f"{root}/_PUBLISH_LOCK.breaker"
     token = _uuid.uuid4().hex
     deadline = _time.monotonic() + timeout_sec
 
-    def claim() -> bool:
-        if not _atomic_create(spark, lock):
-            return False
-        # the CREATE is the atomic claim; the token body is identity
-        # metadata for release/break (nobody else can create while the
-        # path exists, so this overwrite only ever touches our own file)
-        out = fs.create(P(lock), True)
-        out.write(bytearray(token.encode()))
-        out.close()
-        return True
-
-    while not claim():
+    while not _atomic_create(spark, lock, body=token.encode()):
         if _time.monotonic() > deadline:  # checked EVERY iteration — the
             # stale-break/vanished branches must not starve it
             raise TimeoutError(
@@ -175,13 +193,35 @@ def acquire_publish_lock(
             st = fs.getFileStatus(P(lock))
             observed_mtime = st.getModificationTime()
             if _time.time() - observed_mtime / 1000.0 > stale_sec:
-                # re-stat immediately before the break: a release+relock
-                # since the first stat shows as a changed mtime
-                st2 = fs.getFileStatus(P(lock))
-                if st2.getModificationTime() == observed_mtime:
-                    tomb = P(f"{root}/_PUBLISH_LOCK.tomb.{_uuid.uuid4().hex}")
-                    if fs.rename(P(lock), tomb):  # exactly one breaker wins
-                        fs.delete(tomb, False)
+                if not _atomic_create(spark, guard):
+                    # another breaker is mid-break; age out a crashed
+                    # one, then re-loop (the next claim may already
+                    # succeed against the broken lock)
+                    try:
+                        gst = fs.getFileStatus(P(guard))
+                        if (
+                            _time.time() - gst.getModificationTime() / 1000.0
+                            > _BREAK_GUARD_STALE_SEC
+                        ):
+                            fs.delete(P(guard), False)
+                    except Exception:
+                        pass
+                    _time.sleep(0.01)
+                    continue
+                try:
+                    # guarded re-stat: only break if the lock is STILL
+                    # the stale file first observed
+                    st2 = fs.getFileStatus(P(lock))
+                    if st2.getModificationTime() == observed_mtime:
+                        tomb = P(
+                            f"{root}/_PUBLISH_LOCK.tomb.{_uuid.uuid4().hex}"
+                        )
+                        if fs.rename(P(lock), tomb):
+                            fs.delete(tomb, False)
+                except Exception:
+                    pass  # lock vanished mid-guard — nothing to break
+                finally:
+                    fs.delete(P(guard), False)
                 continue
         except Exception:
             continue  # lock vanished between create and stat — retry now

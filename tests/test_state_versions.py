@@ -758,6 +758,53 @@ def test_publish_lock_owner_token_and_stale_break_safety(spark):
     assert not os.path.exists(lock)
 
 
+def test_publish_lock_break_guard_serializes_and_ages(spark):
+    """The break guard closes the stat→rename preemption hole (a
+    breaker paused between its stale re-stat and its rename must not
+    be able to rename a lock rebuilt in the gap): while a LIVE guard
+    exists, a waiter facing a stale lock neither breaks nor acquires;
+    once the guard is released it breaks and enters. A CRASHED
+    breaker's guard (older than the guard-stale threshold) is aged out
+    rather than deadlocking every future break."""
+    import threading
+    import time
+
+    from grebi_spark.fsutil import acquire_publish_lock, release_publish_lock
+
+    root = tempfile.mkdtemp(prefix="grebi_lock_guard_")
+    lock = os.path.join(root, "_PUBLISH_LOCK")
+    guard = lock + ".breaker"
+    old = time.time() - 3600
+
+    # live guard: the waiter must stall on the stale lock
+    open(lock, "w").close()
+    os.utime(lock, (old, old))
+    open(guard, "w").close()  # another breaker mid-break, fresh mtime
+    got = []
+
+    def worker():
+        got.append(acquire_publish_lock(spark, root, timeout_sec=30))
+
+    t = threading.Thread(target=worker)
+    t.start()
+    time.sleep(2.0)
+    assert got == [] and os.path.exists(lock)  # guarded: no break yet
+    os.remove(guard)  # breaker finishes; waiter may now break + claim
+    t.join(timeout=30)
+    assert len(got) == 1
+    release_publish_lock(spark, root, got[0])
+    assert not os.path.exists(lock)
+
+    # crashed breaker's guard: aged out, the break proceeds
+    open(lock, "w").close()
+    os.utime(lock, (old, old))
+    open(guard, "w").close()
+    os.utime(guard, (old, old))  # stale guard = dead process
+    tok = acquire_publish_lock(spark, root, timeout_sec=30)
+    release_publish_lock(spark, root, tok)
+    assert not os.path.exists(lock) and not os.path.exists(guard)
+
+
 def test_publish_lock_contention_single_entry(spark):
     """Forced stale break under real thread contention: four waiters
     all observe the same crashed holder's stale lock; the rename-based

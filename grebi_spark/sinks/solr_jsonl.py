@@ -518,7 +518,13 @@ def bm25_core_docs(
     aggregates (no UDF); df and the one-row corpus stats broadcast;
     per-doc scores are fixed-order sums of per-term weights (one w row
     per (doc, term)), so parity cannot flip on FP accumulation order.
-    Returns (node_id, score) for docs matching ≥1 term."""
+    Returns (node_id, score) for docs matching ≥1 term — an EMPTY term
+    tuple (a query of only punctuation) matches nothing, mirroring a
+    Lucene query with zero clauses."""
+    if not terms:
+        return docs.sparkSession.createDataFrame(
+            [], "node_id string, score double"
+        )
     toks = F.filter(
         F.split(
             F.lower(F.array_join(F.col("grebi__name"), " ")), "[^a-z0-9]+"
@@ -775,9 +781,13 @@ def bm25_index_scored(
     probe itself (exact over live docs), and the one-row stored stats
     snapshot. Identical scores to ``bm25_core_docs`` over the live doc
     set (same formula, same fixed-order sum — suite- and
-    oracle-asserted); no request-time work is corpus-proportional."""
+    oracle-asserted); no request-time work is corpus-proportional.
+    An EMPTY term tuple matches nothing (zero-clause Lucene query),
+    not an error."""
     from functools import reduce
 
+    if not terms:
+        return spark.createDataFrame([], "node_id string, score double")
     segs = _index_segments(spark, root)
     if not segs:
         raise ValueError(f"no postings index under {root}")

@@ -140,3 +140,16 @@ def test_duplicate_query_terms_deduped(spark, core):
     assert sorted(map(tuple, page_dup.collect())) == sorted(
         map(tuple, page.collect())
     )
+
+
+def test_empty_and_punctuation_only_queries_match_nothing(spark, core):
+    """A q of only punctuation tokenizes to ZERO terms — a zero-clause
+    Lucene query matches nothing and must not error (the facade passes
+    the user's q verbatim). Both public scorers are total on an empty
+    term tuple too."""
+    live = read_solr_core(spark, core["root"], "nodes")
+    for q in ("", "!!! --- ???"):
+        page, _ = search_core_docs_bm25(live, q, index_root=core["root"])
+        assert page.count() == 0
+    assert bm25_index_scored(spark, core["root"], ()).count() == 0
+    assert bm25_core_docs(live, ()).count() == 0

@@ -978,6 +978,128 @@ FROM comp GROUP BY component ORDER BY cluster_id
     )
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative election — the selection rule real
+    curation pipelines (Gopher / FineWeb-style) apply AFTER near-dup
+    clustering: within each MinHash-LSH cluster keep the HIGHEST-QUALITY
+    member (ties broken by lowest doc_id), drop the rest. Complements
+    ``dedup_clusters`` (same components, min-id canonical): min-id is
+    the arbitrary-but-stable choice; this one is the content-aware
+    choice a training corpus actually wants. Output per ≥2-doc cluster:
+    canonical cluster_id (min doc), size, the kept doc + its quality
+    score, and the dropped members.
+
+    Scale shape: reuses the materialized LSH pair artifact and the CC
+    operator (no re-shingle, never all-pairs); the election is one
+    partial-agg shuffle on component — the argmax is a struct-max
+    (q, -doc), engine-exact because q is rounded to 4dp first and ties
+    resolve on the integer doc."""
+    pairs = _lsh_pairs(spark, sf_dir)
+    from ..operators.groups import connected_components
+    from .text import quality_score
+
+    edges = pairs.select(
+        F.col("doc_a").cast("string").alias("src"),
+        F.col("doc_b").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges).select(
+        F.col("id").cast("int").alias("doc"), "component"
+    )
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    dq = d.select(
+        F.col("doc_id").cast("int").alias("doc"),
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+    )
+    best = F.max(
+        F.struct(
+            F.col("q").alias("q"),
+            (-F.col("doc")).alias("nd"),
+            F.col("doc").alias("doc"),
+        )
+    )
+    return (
+        cc.join(dq, "doc")
+        .groupBy("component")
+        .agg(
+            F.min("doc").alias("cluster_id"),
+            F.count("*").alias("n_members"),
+            best.alias("best"),
+            F.array_sort(F.collect_list("doc")).alias("docs"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.col("best.doc").alias("kept_doc"),
+            F.col("best.q").alias("kept_q"),
+            F.array_join(
+                F.transform(
+                    F.array_remove(F.col("docs"), F.col("best.doc")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _oracle_keep_best() -> str:
+    # same reachability fixpoint as _oracle_clusters, then the quality
+    # formula from ORACLE_TEXT_QUALITY per doc and a rank-1 election
+    # (q DESC, id) per component — mirroring the Spark struct-argmax
+    return (
+        _minhash_bands_cte("WITH RECURSIVE")
+        + """
+, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), vertices AS (
+  SELECT DISTINCT src AS v FROM sym
+), reach AS (
+  SELECT v, v AS r FROM vertices
+  UNION
+  SELECT reach.v, sym.dst AS r FROM reach JOIN sym ON reach.r = sym.src
+), comp AS (
+  SELECT v AS id, min(r) AS component FROM reach GROUP BY v
+), feat AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '\\S+') AS t,
+         text
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         round((CASE WHEN len(t) >= 10 AND len(t) <= 10000 THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN len(t) > 0
+               AND length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t) >= 3
+               AND length(list_aggregate(t, 'string_agg', '')) * 1.0 / len(t) <= 10
+               THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN len(t) > 0
+               AND len(list_filter(t, x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0 / len(t) >= 0.05
+               THEN 0.25 ELSE 0.0 END)
+       + (CASE WHEN length(text) = 0
+               OR length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) * 1.0 / length(text) <= 0.1
+               THEN 0.25 ELSE 0.0 END), 4)::DOUBLE AS q
+  FROM feat
+), ranked AS (
+  SELECT comp.id, comp.component, q.q,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY q.q DESC, comp.id) AS rn
+  FROM comp JOIN q ON comp.id = q.doc_id
+)
+SELECT min(id) AS cluster_id,
+       count(*) AS n_members,
+       min(CASE WHEN rn = 1 THEN id END) AS kept_doc,
+       min(CASE WHEN rn = 1 THEN q END) AS kept_q,
+       array_to_string(list_sort(list(id) FILTER (WHERE rn > 1)), ',') AS dropped
+FROM ranked GROUP BY component ORDER BY cluster_id
+"""
+    )
+
+
 # --- cross-corpus decontamination -------------------------------------------
 
 DECON_NGRAM = 8  # the GPT-3/PaLM-style 8-gram contamination rule
@@ -1324,6 +1446,7 @@ QUERIES = {
     "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "dedup_clusters": dedup_clusters,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLES = {
@@ -1340,4 +1463,5 @@ ORACLES = {
     "dedup_containment": ORACLE_CONTAINMENT,
     "dedup_embedding_cosine": _oracle_embedding_cosine(),
     "dedup_clusters": _oracle_clusters(),
+    "dedup_keep_best": _oracle_keep_best(),
 }

@@ -1354,7 +1354,193 @@ else:
     }
 
 
+def docs_dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection AT ARRIVAL — the always-on crawl-ingest
+    service run as a real Structured Streaming job, the streaming twin
+    of ``dedup_incremental_probe``: arriving documents (doc_id % 5 = 0)
+    land in two mtime-ordered waves (doc_id % 10 = 0, then % 10 = 5);
+    each micro-batch computes its OWN LSH band keys (delta-sized,
+    broadcast), probes the STORED posting index — seeded with the
+    already-indexed corpus (% 5 ≠ 0), never re-shingled — verifies LSH
+    candidates with exact shingle Jaccard over just the candidate docs,
+    and then APPENDS its own band keys to the index, so wave 2 arrivals
+    are probed against corpus ∪ wave 1 (a near-dup between two crawl
+    increments is caught by the later one). Intra-batch duplicates are
+    deliberately out of scope here — deduping WITHIN an increment is
+    the batch operator's job (``dedup_minhash_lsh``); this operator's
+    contract is increment-vs-everything-already-indexed.
+
+    Exactly-once: both the per-batch result and the per-batch index
+    append write to a batch-id-keyed directory with overwrite (the
+    ``events_foreachbatch_sink`` idempotent-redelivery pattern), so a
+    replayed micro-batch rewrites its own files instead of
+    double-appending postings. Per-batch work: one stored-index scan
+    (bucket-pruned at 100 TB with a (band,bkey)-bucketed index) joined
+    BROADCAST against the arrival bands — the corpus side is never
+    shuffled; verification shingles only candidate documents. Output:
+    (new_doc, dup_of, jacc_pct ≥ 50) — the kill list each increment
+    applies before its docs enter the training corpus."""
+    import os
+    import shutil
+
+    from ..functions.dedup import PROBE_JACC_PCT, _band_table, word_shingles
+    from ..session import load_tables
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    arrivals = docs.filter(F.col("doc_id") % 5 == 0)
+
+    key = f"dedupprobe:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _SESSION_STAGE_CACHE:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stage = scratch_dir("grebi_dedupstream_")
+        pdf = arrivals.toPandas()
+        for i, wave in enumerate(
+            (pdf[pdf.doc_id % 10 == 0], pdf[pdf.doc_id % 10 != 0])
+        ):
+            path = os.path.join(stage, f"0{i}_wave.parquet")
+            pq.write_table(pa.Table.from_pandas(wave, preserve_index=False), path)
+            os.utime(path, (1_000_000 + i, 1_000_000 + i))
+        _SESSION_STAGE_CACHE[key] = stage
+    stage = _SESSION_STAGE_CACHE[key]
+
+    idx_root = scratch_dir("grebi_dedupidx_")
+    out_dir = scratch_dir("grebi_dedupout_")
+    shutil.rmtree(idx_root, ignore_errors=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    # seed the stored posting index with the already-indexed corpus —
+    # built ONCE; micro-batches only append their own delta
+    _band_table(docs.filter(F.col("doc_id") % 5 != 0)).write.parquet(
+        f"{idx_root}/batch=base"
+    )
+
+    def shingle_rows(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+        )
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_bands = _band_table(batch_df).localCheckpoint()
+        stored = spark.read.parquet(idx_root).select("doc_id", "band", "bkey")
+        cand = (
+            stored.join(
+                F.broadcast(
+                    new_bands.select(
+                        F.col("doc_id").alias("new_doc"), "band", "bkey"
+                    )
+                ),
+                ["band", "bkey"],
+            )
+            .select("new_doc", F.col("doc_id").alias("dup_of"))
+            .distinct()
+            .localCheckpoint()
+        )
+        ids = (
+            cand.select(F.col("new_doc").alias("doc_id"))
+            .union(cand.select("dup_of"))
+            .distinct()
+        )
+        sh = shingle_rows(docs.join(F.broadcast(ids), "doc_id")).persist()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+        inter = (
+            cand.join(
+                sh.select(F.col("doc_id").alias("new_doc"), "s"), "new_doc"
+            )
+            .join(sh.select(F.col("doc_id").alias("dup_of"), "s"), ["dup_of", "s"])
+            .groupBy("new_doc", "dup_of")
+            .agg(F.count("*").alias("ni"))
+        )
+        verified = (
+            inter.join(
+                sizes.select(F.col("doc_id").alias("new_doc"), F.col("n").alias("na")),
+                "new_doc",
+            )
+            .join(
+                sizes.select(F.col("doc_id").alias("dup_of"), F.col("n").alias("nb")),
+                "dup_of",
+            )
+            .select(
+                "new_doc",
+                "dup_of",
+                F.expr("ni * 100 DIV (na + nb - ni)").alias("jacc_pct"),
+            )
+            .filter(F.col("jacc_pct") >= PROBE_JACC_PCT)
+        )
+        verified.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        sh.unpersist()
+        # the arrivals join the index AFTER probing: idempotent
+        # batch-keyed append, visible to every later micro-batch
+        new_bands.write.mode("overwrite").parquet(f"{idx_root}/batch={batch_id}")
+
+    schema = arrivals.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream.writeStream.foreachBatch(probe_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", scratch_dir("grebi_dedupstream_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+    result = (
+        spark.read.parquet(out_dir)
+        .select("new_doc", "dup_of", "jacc_pct")
+        .orderBy("new_doc", "dup_of")
+    )
+    rows = result.collect()
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(idx_root, ignore_errors=True)
+    return spark.createDataFrame(rows, result.schema)
+
+
+def _oracle_dedup_probe_stream() -> str:
+    # the incremental-probe oracle widened by arrival order: wave 1
+    # (doc_id % 10 = 0) probes the corpus; wave 2 (% 10 = 5) probes
+    # corpus ∪ wave 1 — never its own wave (intra-increment dedup is
+    # the batch operator's contract)
+    from ..functions.dedup import PROBE_JACC_PCT, _minhash_bands_cte
+
+    return (
+        _minhash_bands_cte()
+        + f"""
+, cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS dup_of
+  FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+  WHERE n.doc_id % 5 = 0
+    AND ( c.doc_id % 5 <> 0
+          OR (n.doc_id % 10 = 5 AND c.doc_id % 10 = 0) )
+), ss AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+), sizes AS (
+  SELECT doc_id, len(sh) AS n FROM shingled
+), inter AS (
+  SELECT cand.new_doc, cand.dup_of, count(*) AS ni
+  FROM cand JOIN ss a ON a.doc_id = cand.new_doc
+            JOIN ss b ON b.doc_id = cand.dup_of AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT i.new_doc, i.dup_of,
+       (i.ni * 100) // (x.n + y.n - i.ni) AS jacc_pct
+FROM inter i JOIN sizes x ON x.doc_id = i.new_doc
+             JOIN sizes y ON y.doc_id = i.dup_of
+WHERE (i.ni * 100) // (x.n + y.n - i.ni) >= {PROBE_JACC_PCT}
+ORDER BY new_doc, dup_of
+"""
+    )
+
+
 QUERIES = {
+    "docs_dedup_probe_stream": docs_dedup_probe_stream,
     "events_late_data_stream": events_late_data_stream,
     "events_sliding_stream": events_sliding_stream,
     "events_outer_join_stream": events_outer_join_stream,
@@ -1372,6 +1558,7 @@ QUERIES = {
     **_TWS_EXTRA_QUERIES,
 }
 ORACLES = {
+    "docs_dedup_probe_stream": _oracle_dedup_probe_stream(),
     "events_late_data_stream": ORACLE_LATE_DATA,
     "events_sliding_stream": ORACLE_SLIDING_STREAM,
     "events_outer_join_stream": ORACLE_OUTER_JOIN_STREAM,

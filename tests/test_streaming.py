@@ -388,3 +388,28 @@ def test_parse_verb_file_rejects_unknown_verbs():
     assert _parse_verb_file("remove__crm.jsonl") == ("remove", "crm")
     with pytest.raises(ValueError, match="unknown maintenance verb"):
         _parse_verb_file("004_rename__crm.jsonl")
+
+
+def test_dedup_probe_stream_catches_cross_wave_duplicates(spark):
+    """The arrival-order contract of docs_dedup_probe_stream: a wave-2
+    arrival (doc_id % 10 = 5) whose near-dup is a WAVE-1 arrival — not
+    a corpus doc — must still be flagged, because wave 1's band keys
+    were appended to the stored index before wave 2 probed it. At
+    sf0.001 doc 5 ~ doc 450 is such a pair by construction of the
+    fixture corpus; a corpus-only probe (dedup_incremental_probe's
+    contract) cannot see it."""
+    from grebi_spark.functions.dedup import dedup_incremental_probe
+    from grebi_spark.streaming.ops import docs_dedup_probe_stream
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jacc_pct"]
+        for r in docs_dedup_probe_stream(spark, sf).collect()
+    }
+    assert got[(5, 450)] == 97  # wave-2 vs wave-1 — the streaming catch
+    batch_only = {
+        (r["new_doc"], r["dup_of"])
+        for r in dedup_incremental_probe(spark, sf).collect()
+    }
+    assert (5, 450) not in batch_only  # invisible to the corpus-only probe
+    assert batch_only <= set(got)  # everything the batch probe sees, plus

@@ -1379,7 +1379,14 @@ def docs_dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST against the arrival bands — the corpus side is never
     shuffled; verification shingles only candidate documents. Output:
     (new_doc, dup_of, jacc_pct ≥ 50) — the kill list each increment
-    applies before its docs enter the training corpus."""
+    applies before its docs enter the training corpus.
+
+    The ``toPandas`` below is the test harness's ARRIVAL SIMULATOR
+    (staging the fixture's arrival slice as two mtime-ordered files so
+    the file source replays them as ordered waves — driver-sized at
+    bench scales); a production deployment points the same readStream
+    at its real landing bucket / Kafka topic and stages nothing. The
+    JOB's plan never collects anything corpus-sized."""
     import os
     import shutil
 

@@ -1335,6 +1335,204 @@ SELECT * FROM (
 """
 
 
+def incremental_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL-INCREMENT curation report — ``corpus_funnel``'s
+    delta-only twin: the arriving slice (doc_id % 5 = 0, the same
+    arrival contract as ``dedup_incremental_probe`` /
+    ``docs_dedup_probe_stream``) flows through the increment's gates and
+    the funnel reports docs and tokens surviving each stage:
+
+      0 arrivals → 1 near-dup probe vs the ALREADY-INDEXED corpus
+      (drop arrivals whose exact shingle Jaccard against an indexed doc
+      is ≥ 50 — ``dedup_incremental_probe``'s verified kill list,
+      reused verbatim) → 2 language filter (en) → 3 quality gate
+      (≥ 0.75) → 4 decontaminate (drop held-out eval docs and anything
+      sharing a word 8-gram with the eval corpus).
+
+    Every gate reuses the SAME definition as its standalone operator
+    (the probe's LSH+verify, quality_score, the DECON 8-gram rule), so
+    the increment report is consistent with the per-stage queries by
+    construction — the publish-gate a continuous corpus build runs per
+    increment, where ``corpus_funnel`` is the from-scratch build's.
+
+    Scale shape — per-INCREMENT work only: the probe side is the stored
+    index scan joined broadcast against the delta's bands (the corpus is
+    never re-shingled); quality/lang are scan-side expressions over the
+    arrival slice; the contamination side broadcasts the eval corpus's
+    distinct 8-grams (benchmarks vs 100 TB — delta-sized) against the
+    arrivals only; the funnel itself is cumulative booleans on one
+    arrival-sized projection and ONE final aggregate."""
+    from .dedup import (
+        DECON_EVAL_MOD,
+        DECON_NGRAM,
+        dedup_incremental_probe,
+        word_shingles,
+    )
+    from .text import quality_score, token_count
+
+    d = load_tables(spark, sf_dir, ("documents",))["documents"]
+    arr = d.filter(F.col("doc_id") % 5 == 0)
+    kill = (
+        dedup_incremental_probe(spark, sf_dir)
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+        .withColumn("killed", F.lit(True))
+    )
+    eval_sh = (
+        d.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+        .select(F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("sh"))
+        .distinct()
+    )
+    contam = (
+        arr.select(
+            "doc_id",
+            F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("sh"),
+        )
+        .join(F.broadcast(eval_sh), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    feat = (
+        arr.select(
+            "doc_id",
+            "lang",
+            token_count(F.col("text")).alias("n_tok"),
+            F.round(quality_score(F.col("text")), 4).alias("q"),
+        )
+        .join(kill, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            "q",
+            F.coalesce("killed", F.lit(False)).alias("killed"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+    s1 = ~F.col("killed")
+    s2 = s1 & (F.col("lang") == "en")
+    s3 = s2 & (F.col("q") >= 0.75)
+    s4 = (
+        s3
+        & (F.col("doc_id") % DECON_EVAL_MOD != 0)
+        & ~F.col("contaminated")
+    )
+    stages = [
+        ("0_arrivals", F.lit(True)),
+        ("1_dedup_probe", s1),
+        ("2_lang", s2),
+        ("3_quality", s3),
+        ("4_decontaminate", s4),
+    ]
+    aggs = []
+    for name, flag in stages:
+        aggs.append(F.sum(flag.cast("long")).alias(f"d_{name}"))
+        aggs.append(
+            F.sum(F.when(flag, F.col("n_tok")).otherwise(0)).cast("long").alias(
+                f"t_{name}"
+            )
+        )
+    wide = feat.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', d_{name}, t_{name}" for name, _ in stages)
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(stages)}, {stack_args}) as (stage, n_docs, n_tokens)"
+            )
+        )
+        .orderBy("stage")
+    )
+
+
+def _oracle_incremental_funnel() -> str:
+    from .dedup import (
+        DECON_EVAL_MOD,
+        DECON_NGRAM,
+        PROBE_JACC_PCT,
+        _minhash_bands_cte,
+    )
+
+    n = DECON_NGRAM
+    terms = " || ' ' || ".join([f"t[i+{j}]" for j in range(n)])
+    stage_preds = [
+        ("0_arrivals", "TRUE"),
+        ("1_dedup_probe", "NOT killed"),
+        ("2_lang", "NOT killed AND lang = 'en'"),
+        ("3_quality", "NOT killed AND lang = 'en' AND q >= 0.75"),
+        (
+            "4_decontaminate",
+            f"NOT killed AND lang = 'en' AND q >= 0.75 "
+            f"AND doc_id % {DECON_EVAL_MOD} <> 0 AND NOT contaminated",
+        ),
+    ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS stage,"
+        f" count(*) FILTER (WHERE {pred}) AS n_docs,"
+        f" coalesce(sum(n_tok) FILTER (WHERE {pred}), 0)::bigint AS n_tokens"
+        f" FROM afeat"
+        for name, pred in stage_preds
+    )
+    return (
+        _minhash_bands_cte()
+        + f"""
+, cand AS (
+  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS dup_of
+  FROM bands n JOIN bands c ON n.band = c.band AND n.bkey = c.bkey
+  WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+), ss AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled
+), psizes AS (
+  SELECT doc_id, len(sh) AS pn FROM shingled
+), inter AS (
+  SELECT cand.new_doc, cand.dup_of, count(*) AS ni
+  FROM cand JOIN ss a ON a.doc_id = cand.new_doc
+            JOIN ss b ON b.doc_id = cand.dup_of AND b.s = a.s
+  GROUP BY 1, 2
+), killset AS (
+  SELECT DISTINCT i.new_doc AS doc_id
+  FROM inter i JOIN psizes x ON x.doc_id = i.new_doc
+               JOIN psizes y ON y.doc_id = i.dup_of
+  WHERE (i.ni * 100) // (x.pn + y.pn - i.ni) >= {PROBE_JACC_PCT}
+), sh8 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(t) >= {n}
+         THEN list_distinct(list_transform(range(1, len(t) - {n - 2}),
+              i -> {terms}))
+         ELSE [] END) AS sh
+  FROM toks
+), contamset AS (
+  SELECT DISTINCT tr.doc_id
+  FROM sh8 tr JOIN sh8 ev ON tr.sh = ev.sh
+  WHERE tr.doc_id % 5 = 0 AND ev.doc_id % {DECON_EVAL_MOD} = 0
+), afeat AS (
+  SELECT d.doc_id, d.lang,
+         len(t.t) AS n_tok,
+         round((CASE WHEN len(t.t) >= 10 AND len(t.t) <= 10000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(t.t) > 0
+                      AND length(list_aggregate(t.t, 'string_agg', '')) * 1.0 / len(t.t) >= 3
+                      AND length(list_aggregate(t.t, 'string_agg', '')) * 1.0 / len(t.t) <= 10
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN len(t.t) > 0
+                      AND len(list_filter(t.t, x -> x IN ('the','a','and','of','to','in','is','it'))) * 1.0 / len(t.t) >= 0.05
+                     THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN length(d.text) = 0
+                      OR length(regexp_replace(d.text, '[^!-/:-@\\[-`{{-~]', '', 'g')) * 1.0 / length(d.text) <= 0.1
+                     THEN 0.25 ELSE 0.0 END), 4) AS q,
+         d.doc_id IN (SELECT doc_id FROM killset) AS killed,
+         d.doc_id IN (SELECT doc_id FROM contamset) AS contaminated
+  FROM documents d
+  JOIN (SELECT doc_id, t FROM toks) t ON d.doc_id = t.doc_id
+  WHERE d.doc_id % 5 = 0
+)
+SELECT * FROM (
+{union}
+) ORDER BY stage
+"""
+    )
+
+
 _BPE_TOPK = 20
 
 
@@ -1835,6 +2033,7 @@ LIMIT 100
 
 
 QUERIES = {
+    "incremental_curation_funnel": incremental_curation_funnel,
     "pack_training_sequences": pack_training_sequences,
     "kmeans_assign_twolevel": kmeans_assign_twolevel,
     "epoch_shuffle": epoch_shuffle,
@@ -1852,6 +2051,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "incremental_curation_funnel": _oracle_incremental_funnel(),
     "pack_training_sequences": ORACLE_PACK,
     "kmeans_assign_twolevel": _oracle_kmeans_twolevel(),
     "epoch_shuffle": ORACLE_EPOCH_SHUFFLE,

@@ -1093,3 +1093,31 @@ def test_ann_index_rollback_shares_state_machinery(spark, sf_dir, tmp_path):
     v1 = _resolve_index_dir(spark, root)
     assert v1.endswith("/v1")
     assert spark.read.parquet(f"{v1}/lists").count() > 0
+
+
+def test_keep_best_election_partial_agg_no_cartesian(spark, sf_dir):
+    """dedup_keep_best's representative election must plan as a partial
+    + final aggregate on component (map-side combine before the
+    shuffle) with hash joins only — no quadratic pair blow-up and no
+    single-point election."""
+    from grebi_spark.functions.dedup import dedup_keep_best
+
+    plan = plan_of(dedup_keep_best(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final election
+    spark.catalog.clearCache()
+
+
+def test_incremental_funnel_broadcasts_delta_sides(spark, sf_dir):
+    """incremental_curation_funnel's per-increment contract: the probe
+    kill list and the eval 8-gram set join the arrival slice broadcast
+    (delta- and benchmark-sized); nothing plans a cartesian or a
+    corpus-side shuffle-for-broadcast."""
+    from grebi_spark.functions.training import incremental_curation_funnel
+
+    plan = plan_of(incremental_curation_funnel(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    spark.catalog.clearCache()

@@ -51,11 +51,18 @@ _PR_TOPK = 20
 _EDGES_CACHE: dict[str, DataFrame] = {}
 
 
-def copurchase_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oriented co-purchase edge list (u < v): parts sharing an order,
-    distinct. One self-equi-join on the order key — never all-pairs
-    across orders (relational.py:802's projection)."""
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+def weighted_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented co-purchase edge list WITH multiplicity (u < v, w =
+    co-occurrence count): ONE lineitem self-equi-join on the order key,
+    aggregated once, serving every graph query. The unweighted
+    projection is ``select(u, v)`` (the group keys are exactly the
+    distinct pairs), the strong-tie graph is ``filter(w >= t)``, and
+    the SSSP cost is ``1e6 div w`` — so the three families
+    (PageRank/BFS/k-core/triangles, label propagation, weighted paths)
+    share one artifact instead of re-running the self-join per variant
+    (guide §2.4: two operations keyed the same way share one exchange;
+    here they share the whole projection build)."""
+    key = f"whalf:{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _EDGES_CACHE:
         return _EDGES_CACHE[key]
     li = (
@@ -69,15 +76,23 @@ def copurchase_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_partkey").cast("long").alias("u"),
             F.col("b.l_partkey").cast("long").alias("v"),
         )
-        .distinct()
+        .agg(F.count("*").alias("w"))
         .localCheckpoint()
     )
     _EDGES_CACHE[key] = half
     return half
+
+
+def copurchase_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oriented co-purchase edge list (u < v): parts sharing an order,
+    distinct. A narrow projection of the shared weighted artifact —
+    the groupBy keys are exactly the distinct pairs (relational.py:802's
+    projection)."""
+    return weighted_half_edges(spark, sf_dir).select("u", "v")
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,23 +497,10 @@ _STRONG_EDGES_SQL = f"""
 
 def _strong_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-purchase edges weighted ≥2 shared orders, symmetric — the
-    sparser 'strong-tie' graph where community structure survives."""
-    li = (
-        load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
+    sparser 'strong-tie' graph where community structure survives. A
+    filter over the shared weighted artifact: no second self-join."""
     half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").cast("long").alias("u"),
-            F.col("b.l_partkey").cast("long").alias("v"),
-        )
-        .agg(F.count("*").alias("w"))
+        weighted_half_edges(spark, sf_dir)
         .filter(F.col("w") >= _LP_MIN_SHARED)
         .select("u", "v")
     )
@@ -611,27 +613,12 @@ def weighted_paths_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. Bounded rounds = bounded cost; for full convergence swap the
     round count for a fixpoint check exactly like
     operators/groups.py's CC loop."""
-    li = (
-        load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-        .select("l_orderkey", "l_partkey")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").cast("long").alias("u"),
-            F.col("b.l_partkey").cast("long").alias("v"),
-        )
-        .agg(F.count("*").alias("w"))
-        .select("u", "v", F.expr(f"{_SSSP_COST_NUM} div w").alias("cost"))
+    half = weighted_half_edges(spark, sf_dir).select(
+        "u", "v", F.expr(f"{_SSSP_COST_NUM} div w").alias("cost")
     )
     edges = half.unionAll(
         half.select(F.col("v").alias("u"), F.col("u").alias("v"), "cost")
-    ).localCheckpoint()
+    )
     dist = (
         spark.range(1)
         .select(

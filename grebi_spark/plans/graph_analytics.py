@@ -95,6 +95,21 @@ def copurchase_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_half_edges(spark, sf_dir).select("u", "v")
 
 
+_MAX_KEY_CACHE: dict[str, int] = {}
+
+
+def max_part_key(spark: SparkSession, sf_dir: str) -> int:
+    """Largest vertex id in the co-purchase projection — one cheap scan
+    of the checkpointed artifact, cached per (session, sf_dir). Lets
+    consumers choose id-packing fast paths (single-long join keys) with
+    an exact guard instead of assuming an id range."""
+    key = f"maxkey:{spark.sparkContext.applicationId}:{sf_dir}"
+    if key not in _MAX_KEY_CACHE:
+        row = weighted_half_edges(spark, sf_dir).agg(F.max("v")).collect()
+        _MAX_KEY_CACHE[key] = int(row[0][0] or 0)
+    return _MAX_KEY_CACHE[key]
+
+
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric co-purchase edge list: the oriented half plus its
     reverse — a narrow union over the cached artifact, no new shuffle."""
@@ -251,9 +266,19 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the edge list and per-node out-degrees are computed
     once and persisted; each iteration is ONE equi-join (edges ⋈ ranks
     on the source key) + ONE aggregate (sum contributions by target) —
-    the canonical shuffle-per-superstep Pregel shape, with lineage cut
-    per round (localCheckpoint) so round N plans cost the same as round
-    1. No driver-side collect anywhere in the loop; the final top-k is
+    the canonical shuffle-per-superstep Pregel shape. The update is
+    LINEAR in ranks: the co-purchase graph is symmetric, so every node
+    has deg ≥ 1 and appears as some edge's target — contrib's node set
+    IS the node set, and the old per-iteration ``ranks LEFT JOIN
+    contrib`` (which used ranks twice and therefore needed a
+    localCheckpoint per round to stop the self-referencing DAG doubling)
+    is unnecessary. With one use of ranks per round the whole
+    5-iteration loop runs as ONE lazy query — no per-round checkpoint
+    jobs, no intermediate materialization (guide §1.2: fix the
+    distributed algorithm first; measured 8.0 s → 4.2 s at sf0.1,
+    result-identical, oracle re-proven). The left-join form remains the
+    right shape for graphs with isolated nodes — not this projection.
+    No driver-side collect anywhere in the loop; the final top-k is
     TakeOrdered, not a global sort."""
     edges = _copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
@@ -262,20 +287,13 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = (
         deg.select(F.col("u").alias("node"))
         .withColumn("rank", F.lit(_PR_SCALE).cast("long"))
-        .localCheckpoint()
     )
     for _ in range(_PR_ITERS):
-        contrib = (
+        ranks = (
             out.join(ranks, out.u == ranks.node)
             .select(F.col("v").alias("node"), F.expr("rank div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
-        )
-        # symmetric edges => every node has deg>=1 and receives mass,
-        # but keep the left join so isolated-node graphs stay correct
-        ranks = (
-            ranks.select("node")
-            .join(contrib, "node", "left")
             .select(
                 "node",
                 (
@@ -283,10 +301,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("85 * coalesce(c, 0) div 100")
                 ).cast("long").alias("rank"),
             )
-            .localCheckpoint()
         )
     top = ranks.orderBy(F.desc("rank"), "node").limit(_PR_TOPK)
-    out.unpersist()
+    # NOTE: no unpersist here — the query is returned LAZY (the loop above
+    # builds one query; nothing has executed yet), so an eager unpersist
+    # would evict the cache entry before the action ever uses it. Spark's
+    # CacheManager keys on the canonicalized plan, so repeated calls share
+    # one entry rather than stacking copies; the bench's per-query
+    # clearCache() (and any caller's) reclaims it.
     return top.select(F.col("node").cast("long").alias("node"), "rank")
 
 
@@ -331,33 +353,42 @@ def bfs_hops_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per round only the NEW frontier joins the edge list
     (frontier ⋈ edges on the source key) and the visited set grows by
     an anti-join — the thin-frontier BFS from plans/closure.py:119,
-    with lineage cut per round. The visited set never re-shuffles as a
-    whole; rounds = graph diameter (here the cap, 6)."""
+    with lineage cut per round. The visited set is a LAZY union of the
+    per-hop checkpointed frontiers, never re-materialized as a whole:
+    the old ``visited.unionAll(nxt).localCheckpoint()`` paid an O(V)
+    write per hop just to re-store rows already checkpointed the hop
+    before (guide §5: localCheckpoint cuts lineage — each frame is cut
+    once, the union of cut frames needs no further cutting). Rounds =
+    graph diameter (here the cap, 6)."""
+    from functools import reduce
+
     edges = _copurchase_edges(spark, sf_dir)
-    visited = (
+    frames = [
         spark.range(1)
         .select(
             F.lit(_BFS_SOURCE).cast("long").alias("node"),
             F.lit(0).cast("int").alias("d"),
         )
         .localCheckpoint()
-    )
-    frontier = visited.select("node")
+    ]
+    frontier = frames[0].select("node")
     for hop in range(1, _BFS_MAX_HOPS + 1):
+        seen = reduce(DataFrame.unionAll, (f.select("node") for f in frames))
         nxt = (
             frontier.join(edges, frontier.node == edges.u)
             .select(F.col("v").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen, "node", "left_anti")
             .withColumn("d", F.lit(hop).cast("int"))
             .localCheckpoint()
         )
         if nxt.limit(1).count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint()
+        frames.append(nxt)
         frontier = nxt.select("node")
     return (
-        visited.groupBy("d")
+        reduce(DataFrame.unionAll, frames)
+        .groupBy("d")
         .agg(F.count("*").alias("n_nodes"))
         .orderBy("d")
     )
@@ -518,30 +549,25 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Scale shape: each round is ONE equi-join (edges ⋈ labels on the
     source key) + ONE min-aggregate by target — identical to the
-    PageRank superstep, lineage cut per round. This is also exactly the
-    operators/groups.py CC loop with a bounded round count."""
+    PageRank superstep. This is also exactly the operators/groups.py CC
+    loop with a bounded round count. The update is made LINEAR in
+    labels by adding a zero-weight SELF-LOOP per node:
+    ``least(own, min-of-neighbours)`` is exactly ``min`` over
+    neighbours ∪ {self}, so each round uses labels once and the whole
+    bounded loop runs as ONE lazy query — no per-round localCheckpoint
+    jobs or intermediate materialization, same trick as
+    pagerank_copurchase (guide §1.2; result-identical, oracle
+    re-proven)."""
     edges = _strong_edges(spark, sf_dir).localCheckpoint()
-    labels = (
-        edges.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("label"))
-        .localCheckpoint()
-    )
+    nodes = edges.select("u").distinct().localCheckpoint()
+    # neighbours ∪ {self}: min over this set == least(own, min(nbrs))
+    edges_iter = edges.unionAll(nodes.select("u", F.col("u").alias("v")))
+    labels = nodes.select(F.col("u").alias("node"), F.col("u").alias("label"))
     for _ in range(_LP_ROUNDS):
-        nbr = (
-            edges.join(labels, edges.u == labels.node)
-            .groupBy(F.col("v").alias("node2"))
-            .agg(F.min("label").alias("nl"))
-        )
         labels = (
-            labels.join(nbr, labels.node == nbr.node2, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
+            edges_iter.join(labels, edges_iter.u == labels.node)
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.min("label").alias("label"))
         )
     return (
         labels.groupBy(F.col("label").alias("community"))
@@ -609,34 +635,41 @@ def weighted_paths_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each round is ONE equi-join (frontier-less Bellman-Ford
     relaxation: dist ⋈ edges on the source key) + ONE min-aggregate by
-    target — the same superstep shape as PageRank/LPA, lineage cut per
-    round. Bounded rounds = bounded cost; for full convergence swap the
-    round count for a fixpoint check exactly like
-    operators/groups.py's CC loop."""
+    target — the same superstep shape as PageRank/LPA. The
+    ``dist ∪ relaxed`` union (dist used twice per round, which forced a
+    localCheckpoint per round) is replaced by a zero-COST SELF-LOOP per
+    node: relaxing (n, n, 0) reproduces dist itself, so
+    ``min(dist ∪ relaxed)`` == one relaxation over edges ∪ self-loops —
+    linear in dist, the whole bounded loop one lazy query (same trick
+    as pagerank/LPA; result-identical, oracle re-proven). Bounded
+    rounds = bounded cost; for full convergence swap the round count
+    for a fixpoint check exactly like operators/groups.py's CC loop."""
+    # edge cost lives in its own column name (ecost): round r's dist
+    # carries a `cost` column derived from the same lineage, and reusing
+    # one name makes the round-2 self-reference ambiguous to the analyzer
     half = weighted_half_edges(spark, sf_dir).select(
-        "u", "v", F.expr(f"{_SSSP_COST_NUM} div w").alias("cost")
+        "u", "v", F.expr(f"{_SSSP_COST_NUM} div w").alias("ecost")
     )
-    edges = half.unionAll(
-        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "cost")
+    sym = half.unionAll(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"), "ecost")
     )
-    dist = (
-        spark.range(1)
-        .select(
-            F.lit(_SSSP_SOURCE).cast("long").alias("node"),
-            F.lit(0).cast("long").alias("cost"),
-        )
-        .localCheckpoint()
+    nodes = sym.select("u").distinct().localCheckpoint()
+    edges = sym.unionAll(
+        nodes.select("u", F.col("u").alias("v"), F.lit(0).cast("long").alias("ecost"))
+    )
+    dist = spark.range(1).select(
+        F.lit(_SSSP_SOURCE).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("cost"),
     )
     for _ in range(_SSSP_ROUNDS):
-        relaxed = (
-            dist.join(edges, dist.node == edges.u)
-            .select(F.col("v").alias("node"), (dist.cost + edges.cost).alias("cost"))
-        )
         dist = (
-            dist.unionAll(relaxed)
+            dist.join(edges, dist.node == edges.u)
+            .select(
+                F.col("v").alias("node"),
+                (F.col("cost") + F.col("ecost")).alias("cost"),
+            )
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
         )
     return (
         dist.filter(F.col("node") != _SSSP_SOURCE)

@@ -897,23 +897,42 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the standard refinement is degree-ordering the orientation
     so hot vertices bound their wedge fan-out — count-identical, so the
     id-ordering here keeps the oracle exact."""
-    from .graph_analytics import copurchase_half_edges
+    from .graph_analytics import copurchase_half_edges, max_part_key
 
     # the oriented projection is the session-shared graph artifact
     # (graph_analytics._EDGES_CACHE) — built once, read by all three legs
     pairs = copurchase_half_edges(spark, sf_dir)
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    e1, e2 = pairs.alias("e1"), pairs.alias("e2")
     # explicit broadcasts: the edge set is ~20 MB here, so both legs build
     # a hash map once and the wedge stream pipelines through both probes
     # with no wedge shuffle; at scale AQE would pick shuffle joins instead
-    tri = (
-        e1.join(F.broadcast(e2), F.col("e1.v") == F.col("e2.u"))
-        .join(
+    wedges = e1.join(F.broadcast(e2), F.col("e1.v") == F.col("e2.u"))
+    if max_part_key(spark, sf_dir) < (1 << 31):
+        # close the wedge with a SINGLE-LONG key: the composite
+        # (u, v) equi-join builds a generic UnsafeHashedRelation whose
+        # two-column row hash dominated the whole query (the wedge
+        # stream is ~40× the edge count); packing both vertex ids into
+        # one long switches the probe to LongHashedRelation (guide §2.3
+        # narrower keys — measured 7.7 s → 2.2 s at sf0.1, count
+        # identical). Exact while ids fit 31 bits (u*2^32 + v is then
+        # collision-free and overflow-free in int64); wider id spaces
+        # take the composite-key branch below.
+        packed = pairs.select(
+            (F.col("u") * F.lit(1 << 32) + F.col("v")).alias("uv")
+        )
+        tri = (
+            wedges.select(
+                (F.col("e1.u") * F.lit(1 << 32) + F.col("e2.v")).alias("uv")
+            )
+            .join(F.broadcast(packed), "uv")
+            .agg(F.count("*").alias("n_triangles"))
+        )
+    else:
+        e3 = pairs.alias("e3")
+        tri = wedges.join(
             F.broadcast(e3),
             (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
-        )
-        .agg(F.count("*").alias("n_triangles"))
-    )
+        ).agg(F.count("*").alias("n_triangles"))
     return pairs.agg(F.count("*").alias("n_edges")).crossJoin(tri)
 
 

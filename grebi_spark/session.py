@@ -79,6 +79,39 @@ def get_spark(
 
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def bounded_drain_conf(
+    spark: SparkSession,
+    state_partitions: int | None = None,
+    no_data_batches: bool = False,
+):
+    """Session conf for a bounded availableNow drain, restored on exit:
+    right-size the state-store partition count to the drain's key
+    cardinality, and skip the trailing EMPTY micro-batch availableNow
+    appends for watermark-only progress — every bounded drain in this
+    engine that needs watermark-driven emission gets it from a REAL
+    sentinel batch (see streaming.ops._run_to_memory_sink), so the
+    empty batch re-runs the stateful pipeline to emit nothing. Callers
+    whose sinks DO rely on the trailing batch pass
+    ``no_data_batches=True``."""
+    saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+            "true" if no_data_batches else "false",
+        )
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", saved_ndb)
+
+
 # --- per-session scratch space ----------------------------------------------
 
 _SCRATCH_ROOT: str | None = None

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..session import scratch_dir
+from ..session import bounded_drain_conf, scratch_dir
 from ..sources.jsonl import JsonlTransform, jsonl_to_nodes
 
 
@@ -233,7 +233,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory_sink(
-    df: DataFrame, prefix: str, output_mode: str, state_partitions: int = 8
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    state_partitions: int = 8,
+    no_data_batches: bool = False,
 ) -> str:
     """Execute a bounded stream to completion into a memory sink; returns
     the sink table name.
@@ -244,13 +248,29 @@ def _run_to_memory_sink(
     default (32) pays 4× the per-batch state overhead for nothing —
     measured 2–7× drain-time reduction at 8. At production scale this
     is the knob sized to key cardinality, set before the query starts
-    (state partitioning is fixed for the life of a streaming query)."""
+    (state partitioning is fixed for the life of a streaming query).
+
+    ``no_data_batches`` (default off): availableNow appends a trailing
+    EMPTY micro-batch after the last file batch so watermark-only
+    progress can emit. Every drain here that needs watermark-driven
+    emission gets it from a REAL sentinel batch (the staging protocol's
+    far-future files), so the empty batch re-runs the whole stateful
+    pipeline — state load, per-key iteration (13 s of Python-side
+    re-iteration for the applyInPandasWithState sessionizer at sf0.1),
+    commit — to emit nothing: measured 4.5 → 3.7 s on the full-outer
+    drain, 18 → 5 s on the custom sessionizer, output row-identical
+    across all 15 drains (and re-proven per run by the DuckDB parity
+    suite). ``events_sessionize_stream`` is the one drain whose final
+    session_window CLOSE genuinely needs the trailing batch (its stage
+    has no post-sentinel batch left to observe the advanced watermark)
+    — it passes True, as does the env-skipped transformWithState twin
+    (untestable here, so semantics preserved)."""
     spark = df.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
     _STREAM_RUN[0] += 1
     name = f"{prefix}_{_STREAM_RUN[0]}"
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    with bounded_drain_conf(
+        spark, state_partitions=state_partitions, no_data_batches=no_data_batches
+    ):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -259,8 +279,6 @@ def _run_to_memory_sink(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
     return name
 
 
@@ -430,7 +448,11 @@ def events_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
-    name = _run_to_memory_sink(sess, "events_sessionize_stream", "append")
+    # session_window close of the LAST sessions needs the trailing
+    # no-data batch (this stage has no post-sentinel batch): keep it on
+    name = _run_to_memory_sink(
+        sess, "events_sessionize_stream", "append", no_data_batches=True
+    )
     from ..session import load_tables
 
     max_us = (
@@ -1050,9 +1072,7 @@ def events_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with bounded_drain_conf(spark, state_partitions=8):
         q = (
             stream.writeStream.foreachBatch(write_batch)
             .trigger(availableNow=True)
@@ -1063,8 +1083,6 @@ def events_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
     written = spark.read.parquet(out_dir)
     result = (
@@ -1164,7 +1182,9 @@ def events_tws_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
-        name = _run_to_memory_sink(out, "events_tws", "update")
+        # transformWithState timers are untestable here (env skip):
+        # keep the trailing batch so semantics are exactly stock
+        name = _run_to_memory_sink(out, "events_tws", "update", no_data_batches=True)
     finally:
         if saved is None:
             spark.conf.unset(provider_key)
@@ -1302,10 +1322,8 @@ def statestore_read_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = _events_stream(spark, sf_dir)
         agg = stream.groupBy("event_type").agg(F.count("*").alias("n_events"))
         ckpt = scratch_dir("grebi_ss_ckpt_")
-        saved = spark.conf.get("spark.sql.shuffle.partitions")
         _STREAM_RUN[0] += 1
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        with bounded_drain_conf(spark, state_partitions=8):
             q = (
                 agg.writeStream.format("memory")
                 .queryName(f"statestore_seed_{_STREAM_RUN[0]}")
@@ -1315,8 +1333,6 @@ def statestore_read_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", saved)
         _SS_CKPT[key] = ckpt
     state = spark.read.format("statestore").load(_SS_CKPT[key])
     return (
@@ -1486,9 +1502,7 @@ def docs_dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+    with bounded_drain_conf(spark, state_partitions=8):
         q = (
             stream.writeStream.foreachBatch(probe_batch)
             .trigger(availableNow=True)
@@ -1496,8 +1510,6 @@ def docs_dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
     result = (
         spark.read.parquet(out_dir)

@@ -739,18 +739,34 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cur = copurchase_half_edges(spark, sf_dir)  # (u, v), u < v, checkpointed
     kdf = None
-    out = []
+    node_counts: list[DataFrame] = []
+    edge_counts: list[DataFrame] = []
     for r in range(1, _KCORE_ROUNDS + 1):
+        # persisted: ONE restricted-edge scan per round serves the keep
+        # filter, the K derivation (round 1), and — via sum(deg) DIV 2,
+        # every edge contributes exactly two endpoints — the PREVIOUS
+        # round's n_edges stat, which used to be its own full re-scan of
+        # the restricted list through all accumulated survivor probes
+        # (guide §1.2: don't compute things twice). The keep checkpoint
+        # below materializes the cache.
         deg = (
             cur.select(F.explode(F.array("u", "v")).alias("node"))
             .groupBy("node")
             .agg(F.count("*").alias("deg"))
+            .persist()
         )
         if kdf is None:
             # mean degree = sum(deg)/|V|, both exact ints over round-1 degrees
             kdf = deg.agg(
                 F.expr("sum(deg) DIV count(*) * 3 DIV 4").alias("k")
             ).localCheckpoint()
+        else:
+            edge_counts.append(
+                # coalesce: a fully peeled graph has an EMPTY degree frame,
+                # where sum() is NULL but the old count(*) (and the oracle)
+                # say 0
+                deg.agg(F.expr("coalesce(sum(deg), 0) DIV 2").alias("n_edges"))
+            )
         keep = (
             deg.crossJoin(kdf)
             .filter(F.col("deg") >= F.col("k"))
@@ -762,11 +778,15 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(keep.withColumnRenamed("node", "v"), "v")
             .select("u", "v")
         )
-        out.append(
-            keep.agg(F.count("*").alias("n_nodes")).crossJoin(
-                cur.agg(F.count("*").alias("n_edges"))
-            ).select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        node_counts.append(keep.agg(F.count("*").alias("n_nodes")))
+    # the final round has no successor degree pass; count its edges once
+    edge_counts.append(cur.agg(F.count("*").alias("n_edges")))
+    out = [
+        node_counts[r].crossJoin(edge_counts[r]).select(
+            F.lit(r + 1).alias("round"), "n_nodes", "n_edges"
         )
+        for r in range(_KCORE_ROUNDS)
+    ]
     res = out[0]
     for frame in out[1:]:
         res = res.unionAll(frame)

@@ -55,11 +55,16 @@ def connected_components(
     )
     sym = sym.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
+    # Initial label = min(self ∪ neighbours): the same one-shuffle
+    # aggregate the old identity init paid for its distinct (sym is
+    # symmetric, so every vertex appears as src), but it IS round one's
+    # result — the first propagation round is free. (Round 1's pointer
+    # jump over identity labels was `least(x, x)`, a no-op, so this is
+    # exactly equal to the old init plus one round; saves one full
+    # join+agg+jump round per CC invocation, guide §1.2.)
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .unionAll(sym.select(F.col("dst").alias("id")))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy(F.col("src").alias("id"))
+        .agg(F.least(F.min("dst"), F.col("id")).alias("component"))
         .localCheckpoint()
     )
 

@@ -44,6 +44,15 @@ def get_spark(
         # static planning cannot know per-key cardinalities.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalescePartitions.parallelismFirst stays at its default (true):
+        # an A/B measured `false` (the byte-targeting mode) faster on 8/10
+        # shuffle-light queries, but it coalesces the CPU-dense stages —
+        # Python decode (multimodal_*, python_datasource_*), shingle
+        # containment, the walk-step joins — down to ONE post-shuffle
+        # partition at bench scale (stages visibly ran 1/1 vs 16/32),
+        # serializing exactly the work that needs the cores. Bytes are the
+        # wrong cost proxy for those stages at any scale, so the
+        # parallelism-preserving default is the deliberate choice.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")

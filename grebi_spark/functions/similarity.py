@@ -194,24 +194,59 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )[:N_PROBE]
 
-    v = as_double(F.col("embedding"))
+    import math
+
+    # Cell assignment, restructured for one evaluation per row (the old
+    # form cost ~3× the folds it needed — guide §1.2 "don't compute
+    # things twice", §7.2 duplicated-subtree check):
+    # - the double-cast vector and its norm are projected ONCE and shared
+    #   by all N_CELLS cell cosines and the final query cosine (before,
+    #   every cosine() re-ran the cast transform and the dot(v,v) fold);
+    # - centroid/query arrays are literal DOUBLES — the old
+    #   as_double(lit_array) wrapped every per-row dot in a 128-element
+    #   cast transform that constant folding cannot remove (lambdas are
+    #   never folded), a no-op double→double cast paid per row per cell;
+    # - centroid/query norms are driver-side floats built with the SAME
+    #   sequential IEEE fold the engine's aggregate() runs (0.0 + x*y in
+    #   array order, then sqrt), so every cosine stays bit-identical to
+    #   dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c))) — unchanged values
+    #   and multiplication order, oracle hash unchanged;
+    # - the persist() pins the assignment so the probe filter reads the
+    #   computed `cell` instead of being pushed below the projection and
+    #   re-evaluating the whole 16-cosine argmax per row (the plan showed
+    #   the full array_max duplicated into the Filter). In-query persist
+    #   only — rebuilt on every invocation (the bench clears cache per
+    #   query); production serves assignments from the cell-partitioned
+    #   stored index (ann_index_persist_topk), not this in-session frame.
+    cent_norms = [math.sqrt(pydot(c, c)) for c in cents]
+    q_norm = math.sqrt(pydot(qv, qv))
+    nv = F.col("_nv")
+    vd = F.col("_vd")
     cos_cells = F.array(
         *[
             F.struct(
-                cosine(v, as_double(F.array(*[F.lit(x) for x in cents[i - 1]]))).alias("cs"),
+                (
+                    dot(vd, F.array(*[F.lit(float(x)) for x in cents[i - 1]]))
+                    / (nv * F.lit(cent_norms[i - 1]))
+                ).alias("cs"),
                 F.lit(i).alias("cell"),
             )
             for i in range(1, N_CELLS + 1)
         ]
     )
-    q = F.array(*[F.lit(x) for x in qv])
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    assigned = (
+        e.select("vec_id", as_double(F.col("embedding")).alias("_vd"))
+        .withColumn("_nv", F.sqrt(dot(vd, vd)))
+        .withColumn("cell", F.array_max(cos_cells)["cell"])
+        .persist()
+    )
     return (
-        e.withColumn("cell", F.array_max(cos_cells)["cell"])
-        .filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
+        assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
         .select(
             "vec_id",
             "cell",
-            F.round(cosine(v, as_double(q)), 4).alias("cos_sim"),
+            F.round(dot(vd, q) / (nv * F.lit(q_norm)), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(5)

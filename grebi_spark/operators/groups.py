@@ -155,6 +155,12 @@ def connected_components_star(
         .localCheckpoint()
     )
     prev_mat = None
+    # each round's |edges| is carried forward: round r's e.count() IS
+    # round r-1's ss.count(), so recounting the checkpointed frame was
+    # one redundant job per round (guide §1.2: don't compute things
+    # twice). Python's `and` keeps the expensive subtract gated on the
+    # counts matching first.
+    n_e = e.count()
     for _ in range(max_iterations):
         # LARGE-STAR over the symmetric neighbourhood
         sym = e.unionAll(_swap(e))
@@ -190,14 +196,13 @@ def connected_components_star(
             .localCheckpoint()
         )
         # fixpoint: the round was an identity on the edge set
-        same = (
-            ss.count() == e.count()
-            and ss.subtract(e).limit(1).count() == 0
-        )
+        n_ss = ss.count()
+        same = n_ss == n_e and ss.subtract(e).limit(1).count() == 0
         if prev_mat is not None:
             prev_mat.unpersist()
         prev_mat = ss
         e = ss
+        n_e = n_ss
         if same:
             break
     # stars read off as labels; roots label themselves

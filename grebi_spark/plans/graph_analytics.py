@@ -53,15 +53,20 @@ _EDGES_CACHE: dict[str, DataFrame] = {}
 
 def weighted_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oriented co-purchase edge list WITH multiplicity (u < v, w =
-    co-occurrence count): ONE lineitem self-equi-join on the order key,
-    aggregated once, serving every graph query. The unweighted
-    projection is ``select(u, v)`` (the group keys are exactly the
-    distinct pairs), the strong-tie graph is ``filter(w >= t)``, and
-    the SSSP cost is ``1e6 div w`` — so the three families
-    (PageRank/BFS/k-core/triangles, label propagation, weighted paths)
-    share one artifact instead of re-running the self-join per variant
-    (guide §2.4: two operations keyed the same way share one exchange;
-    here they share the whole projection build)."""
+    co-occurrence count, wd = DISTINCT shared orders): ONE lineitem
+    self-equi-join on the order key, aggregated once, serving every
+    graph query. The unweighted projection is ``select(u, v)`` (the
+    group keys are exactly the distinct pairs), the strong-tie graph is
+    ``filter(w >= t)``, the SSSP cost is ``1e6 div w``, and the Jaccard
+    numerator is ``wd`` (a raw join row exists for (o,u,v) exactly when
+    order o contains both parts, so countDistinct(orderkey) per pair ==
+    the distinct-(part,order) self-join count node_jaccard_similar used
+    to pay its own shuffle-join for) — so all four families
+    (PageRank/BFS/k-core/triangles, label propagation, weighted paths,
+    node similarity) share one artifact instead of re-running the
+    self-join per variant (guide §2.4: two operations keyed the same
+    way share one exchange; here they share the whole projection
+    build)."""
     key = f"whalf:{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _EDGES_CACHE:
         return _EDGES_CACHE[key]
@@ -80,7 +85,10 @@ def weighted_half_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").cast("long").alias("u"),
             F.col("b.l_partkey").cast("long").alias("v"),
         )
-        .agg(F.count("*").alias("w"))
+        .agg(
+            F.count("*").alias("w"),
+            F.countDistinct("a.l_orderkey").alias("wd"),
+        )
         .localCheckpoint()
     )
     _EDGES_CACHE[key] = half
@@ -440,10 +448,16 @@ def node_jaccard_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     `gds.nodeSimilarity` shape, computed as set algebra).
 
     Scale shape: candidates come ONLY from the order-key self-join
-    (pairs that share >= 1 order) — never all part pairs; the per-part
-    set sizes broadcast onto the candidate stream. Determinism: the
-    similarity is one IEEE division of two exact integers, identical in
-    any engine, so the ORDER BY boundary cannot flip."""
+    (pairs that share >= 1 order) — never all part pairs; the pair
+    numerator is read off the shared weighted co-purchase artifact's
+    ``wd`` column (countDistinct(orderkey) per raw-join pair == the
+    distinct-(part,order) self-join count — every other graph query
+    already shares that one self-join, guide §2.4), so the only work
+    left here is the per-part set sizes (one distinct + aggregate) and
+    the size joins, which broadcast onto the candidate stream.
+    Determinism: the similarity is one IEEE division of two exact
+    integers, identical in any engine, so the ORDER BY boundary cannot
+    flip."""
     li = (
         load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
         .select(
@@ -451,14 +465,11 @@ def node_jaccard_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey").cast("long").alias("o"),
         )
         .distinct()
-        .persist()
     )
     sizes = li.groupBy("p").agg(F.count("*").alias("n"))
-    a, b = li.alias("a"), li.alias("b")
     shared = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
-        .agg(F.count("*").alias("shared"))
+        weighted_half_edges(spark, sf_dir)
+        .select("u", "v", F.col("wd").alias("shared"))
         .filter(F.col("shared") >= _JACCARD_MIN_SHARED)
     )
     sa = sizes.select(F.col("p").alias("u"), F.col("n").alias("nu"))

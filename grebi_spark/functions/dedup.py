@@ -1318,6 +1318,12 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(word_shingles(F.col("text"), BP_NGRAM)).alias("sh"),
     )
+    # NOT persisted, deliberately (r9 A/B): the plan runs the shingle
+    # Generate twice (df side + join side), but caching the exploded
+    # spans measured SLOWER (warm 2.2 s -> 3.6-5.0 s) — the columnar
+    # cache build of ~500k span strings costs more than re-running the
+    # explode across 32 cores. Recompute wins; guide §5 ("caching is
+    # only worth it when recomputing is more expensive").
     df = sh.groupBy("sh").agg(F.count("*").alias("df"))
     per_doc = (
         sh.join(df, "sh")

@@ -75,3 +75,34 @@ def test_jaccard_bounds(spark, sf_dir):
     """0 < jaccard <= 1 and shared <= min(set sizes) by construction."""
     rows = ga.node_jaccard_similar(spark, sf_dir).collect()
     assert all(0 < r["jaccard"] <= 1 for r in rows)
+
+
+def test_weighted_artifact_wd_is_distinct_order_count(spark, sf_dir):
+    """The artifact's wd column (node_jaccard_similar's numerator since
+    r9) must equal the distinct-(part,order) self-join count it
+    replaced, for EVERY pair — and never exceed the raw multiplicity w."""
+    from pyspark.sql import functions as F
+
+    from grebi_spark.session import load_tables
+
+    half = ga.weighted_half_edges(spark, sf_dir).select("u", "v", "w", "wd")
+    li = (
+        load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+        .select(
+            F.col("l_partkey").cast("long").alias("p"),
+            F.col("l_orderkey").cast("long").alias("o"),
+        )
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    truth = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count("*").alias("t"))
+    )
+    joined = half.join(truth, ["u", "v"], "full_outer")
+    mismatch = joined.filter(
+        F.col("wd").isNull() | F.col("t").isNull() | (F.col("wd") != F.col("t"))
+    )
+    assert mismatch.limit(1).count() == 0
+    assert half.filter(F.col("wd") > F.col("w")).limit(1).count() == 0

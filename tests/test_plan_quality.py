@@ -1121,3 +1121,34 @@ def test_incremental_funnel_broadcasts_delta_sides(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     spark.catalog.clearCache()
+
+
+def test_lsh_cluster_labelling_is_shared(spark, sf_dir):
+    """dedup_clusters and dedup_keep_best must consume ONE component
+    labelling over the LSH pairs (r9: each ran its own CC loop). The
+    artifact cache must hold the same checkpointed frame after both."""
+    from grebi_spark.functions import dedup as dd
+
+    dd.dedup_clusters(spark, sf_dir).collect()
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    first = dd._LSH_CC_CACHE[key]
+    dd.dedup_keep_best(spark, sf_dir).collect()
+    assert dd._LSH_CC_CACHE[key] is first
+    spark.catalog.clearCache()
+
+
+def test_ann_ivf_cell_assignment_not_duplicated_into_filter(spark, sf_dir):
+    """ann_ivf_topk's probe filter must read the computed `cell` column,
+    not re-evaluate the 16-cosine argmax below the projection (r9: the
+    pushed-down filter duplicated the whole array_max per row). The
+    persist barrier pins the assignment, so no Filter condition may
+    contain the argmax expression."""
+    import re
+
+    from grebi_spark.functions.similarity import ann_ivf_topk
+
+    plan = plan_of(ann_ivf_topk(spark, sf_dir))
+    conditions = re.findall(r"Condition : .*", plan)
+    assert conditions, "expected at least one Filter in the plan"
+    assert all("array_max" not in c for c in conditions)
+    spark.catalog.clearCache()

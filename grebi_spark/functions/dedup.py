@@ -924,6 +924,14 @@ ORDER BY vec_a, vec_b
 _LSH_CC_CACHE: dict[str, DataFrame] = {}
 
 
+def lsh_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The session-scoped CC-labelling artifact, or None when it has not
+    been built yet — the observable accessor tests use to assert the
+    labelling is shared, instead of reaching into the private memo and
+    reconstructing its key format (r9 ADVICE)."""
+    return _LSH_CC_CACHE.get(f"{spark.sparkContext.applicationId}:{sf_dir}")
+
+
 def _lsh_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
     if key in _LSH_CC_CACHE:

@@ -148,6 +148,13 @@ LIMIT 5
 N_CELLS = 16   # IVF cells (seed vectors stand in for k-means centroids)
 N_PROBE = 4    # cells probed per query
 _IVF_SEED_CACHE: dict[str, dict[int, list[float]]] = {}
+# one persisted cell-assignment HANDLE per (session, sf_dir): repeated
+# invocations in a long-lived session reuse a single persisted frame
+# instead of stacking a new persist() per call (r9 ADVICE). The bench's
+# per-query clearCache() still evicts the DATA, so every timed run
+# recomputes the assignment — only the handle (and thus the storage
+# entry) is shared.
+_IVF_ASSIGN_CACHE: dict[str, DataFrame] = {}
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,12 +242,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     q = F.array(*[F.lit(float(x)) for x in qv])
-    assigned = (
-        e.select("vec_id", as_double(F.col("embedding")).alias("_vd"))
-        .withColumn("_nv", F.sqrt(dot(vd, vd)))
-        .withColumn("cell", F.array_max(cos_cells)["cell"])
-        .persist()
-    )
+    assigned = _IVF_ASSIGN_CACHE.get(seed_key)
+    if assigned is None:
+        assigned = (
+            e.select("vec_id", as_double(F.col("embedding")).alias("_vd"))
+            .withColumn("_nv", F.sqrt(dot(vd, vd)))
+            .withColumn("cell", F.array_max(cos_cells)["cell"])
+            .persist()
+        )
+        _IVF_ASSIGN_CACHE[seed_key] = assigned
     return (
         assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
         .select(

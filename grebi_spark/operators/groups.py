@@ -45,6 +45,15 @@ def id_score(col: Column) -> Column:
     )
 
 
+# Label tables at or under this row count take the broadcast round (the
+# whole per-round update as ONE shuffle + two map-side hash joins against
+# the broadcast labels); larger graphs keep the shuffle-join round. The
+# guard is exact (a count of the materialized init frame), the same
+# pattern as graph_analytics.max_part_key: fast path only when provably
+# safe, identical results either way.
+_CC_BCAST_MAX_LABELS = 2_000_000
+
+
 def connected_components(
     edges: DataFrame, max_iterations: int = 25
 ) -> DataFrame:
@@ -68,42 +77,90 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # Broadcast fast path guard: the label table is |V|-sized; counting
+    # the just-materialized checkpoint is one cheap job. (The r8/r9
+    # profiling showed the loop is sequential-stage-latency-bound, not
+    # data-bound: each shuffle-join round runs ~4 AQE stages back to
+    # back. Broadcasting the labels turns the propagate join and the
+    # pointer jump into map-side probes — one shuffle stage per round.)
+    n_labels = labels.count()
+    bcast = n_labels <= _CC_BCAST_MAX_LABELS
+
     prev_mat = None  # previous round's materialized frame (for unpersist)
     for i in range(max_iterations):
-        # candidate labels flowing along edges: neighbour's current label
-        propagated = (
-            sym.join(labels, sym.dst == labels.id)
-            .select(sym.src.alias("id"), "component")
-        )
-        new_labels = (
-            labels.select("id", F.col("component").alias("old_component"))
-            .join(
-                labels.select("id", "component")
-                .unionAll(propagated)
-                .groupBy("id")
-                .agg(F.min("component").alias("component")),
-                "id",
+        if bcast:
+            # min over neighbours' labels, grouped by the receiving
+            # vertex: ONE exchange; the labels side rides as a broadcast
+            # hash relation. sym is symmetric, so nbr covers every id
+            # and the join back to labels is inner-complete.
+            nbr = (
+                sym.join(F.broadcast(labels), sym.dst == labels.id)
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-        )
-        # pointer jumping: replace each label by its label's label, so a
-        # chain's distance-to-root halves every round and convergence is
-        # O(log diameter) rounds instead of O(diameter). Every component
-        # value is itself a vertex id, so the self-join always resolves.
-        # The lookup side is the PREVIOUS round's materialized labels —
-        # self-joining the unmaterialized new_labels would recompute it.
-        lbl_of = labels.select(
-            F.col("id").alias("component"), F.col("component").alias("comp2")
-        )
-        new_labels = (
-            new_labels.join(lbl_of, "component", "left")
-            .select(
+            cand = nbr.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("id").alias("_lid"),
+                        F.col("component").alias("old_component"),
+                    )
+                ),
+                nbr.id == F.col("_lid"),
+            ).select(
                 "id",
                 "old_component",
-                F.least(
-                    F.col("component"), F.coalesce("comp2", F.col("component"))
-                ).alias("component"),
+                F.least("nbr_min", "old_component").alias("component"),
             )
-        )
+            # pointer jumping, as below — the lookup side is the same
+            # broadcast labels relation (component values are vertex ids)
+            lbl_of = labels.select(
+                F.col("id").alias("component"), F.col("component").alias("comp2")
+            )
+            new_labels = (
+                cand.join(F.broadcast(lbl_of), "component", "left")
+                .select(
+                    "id",
+                    "old_component",
+                    F.least(
+                        F.col("component"), F.coalesce("comp2", F.col("component"))
+                    ).alias("component"),
+                )
+            )
+        else:
+            # candidate labels flowing along edges: neighbour's current label
+            propagated = (
+                sym.join(labels, sym.dst == labels.id)
+                .select(sym.src.alias("id"), "component")
+            )
+            new_labels = (
+                labels.select("id", F.col("component").alias("old_component"))
+                .join(
+                    labels.select("id", "component")
+                    .unionAll(propagated)
+                    .groupBy("id")
+                    .agg(F.min("component").alias("component")),
+                    "id",
+                )
+            )
+            # pointer jumping: replace each label by its label's label, so a
+            # chain's distance-to-root halves every round and convergence is
+            # O(log diameter) rounds instead of O(diameter). Every component
+            # value is itself a vertex id, so the self-join always resolves.
+            # The lookup side is the PREVIOUS round's materialized labels —
+            # self-joining the unmaterialized new_labels would recompute it.
+            lbl_of = labels.select(
+                F.col("id").alias("component"), F.col("component").alias("comp2")
+            )
+            new_labels = (
+                new_labels.join(lbl_of, "component", "left")
+                .select(
+                    "id",
+                    "old_component",
+                    F.least(
+                        F.col("component"), F.coalesce("comp2", F.col("component"))
+                    ).alias("component"),
+                )
+            )
         # ONE job per round: materializing the frame and the fixpoint
         # check share it — the old label rides along, so no separate
         # change-detection join. Lineage is cut every few rounds.

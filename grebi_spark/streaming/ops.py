@@ -85,18 +85,35 @@ _SESSION_GAP_S = 30 * 60
 
 
 def _session_df(sessions: list, user_id) -> pd.DataFrame:
+    """Row layout for the sessionizer's emissions. Vectorized: the old
+    per-element ``pd.Timestamp(s, unit="us")`` list comprehensions built
+    ~2 Python timestamp objects per emitted session (~4 s of pure object
+    churn per drain at sf0.1 — the profiler showed batch 0's addBatch at
+    5.4 s with only 0.7 s of state commit); a single
+    int64→datetime64[us]→[ns] numpy cast is value-identical (exact
+    microseconds, ×1000 into nanos — no rounding anywhere until year
+    2262) and two orders of magnitude cheaper (guide §4.2: hand whole
+    batches to vectorized native code)."""
+    import numpy as np
+
+    n = len(sessions)
+    start_us = np.fromiter((s[0] for s in sessions), dtype="int64", count=n)
+    end_us = np.fromiter((s[1] for s in sessions), dtype="int64", count=n)
+    counts = np.fromiter((s[2] for s in sessions), dtype="int64", count=n)
+    return _session_df_arrays(start_us, end_us, counts, user_id)
+
+
+def _session_df_arrays(start_us, end_us, counts, user_id) -> pd.DataFrame:
+    import numpy as np
+
     return pd.DataFrame(
         {
-            "user_id": pd.Series([user_id] * len(sessions), dtype="int64"),
-            "session_start": pd.Series(
-                [pd.Timestamp(s[0], unit="us") for s in sessions],
-                dtype="datetime64[ns]",
+            "user_id": np.full(len(counts), user_id, dtype="int64"),
+            "session_start": start_us.astype("datetime64[us]").astype(
+                "datetime64[ns]"
             ),
-            "session_end": pd.Series(
-                [pd.Timestamp(s[1], unit="us") for s in sessions],
-                dtype="datetime64[ns]",
-            ),
-            "n_events": pd.Series([s[2] for s in sessions], dtype="int64"),
+            "session_end": end_us.astype("datetime64[us]").astype("datetime64[ns]"),
+            "n_events": counts.astype("int64"),
         }
     )
 
@@ -115,40 +132,56 @@ def _session_fn(
     session is held in state, with an event-time timeout at
     (session_end + gap) so the watermark — not wall clock — closes it.
     State per key is one (start, end, n) triple: bounded."""
+    import numpy as np
+
     gap_us = _SESSION_GAP_S * 1_000_000
     if state.hasTimedOut:
         start_us, end_us, n = state.get
         state.remove()
         yield _session_df([(start_us, end_us, n)], key[0])
         return
-    rows = pd.concat(list(batches))
-    ts = sorted(rows["ts"].astype("int64") // 1000)  # exact microseconds
-    sessions: list[tuple[int, int, int]] = []
-    cur = [ts[0], ts[0], 1]
-    for t in ts[1:]:
-        if t - cur[1] >= gap_us:
-            sessions.append(tuple(cur))
-            cur = [t, t, 1]
-        else:
-            cur[1] = t
-            cur[2] += 1
+    frames = list(batches)
+    rows = frames[0] if len(frames) == 1 else pd.concat(frames)
+    # exact microseconds; np.sort of int64 == the old sorted() order
+    ts = np.sort(rows["ts"].to_numpy().astype("int64") // 1000)
+    # session boundaries — identical to the old per-event loop: a new
+    # session starts exactly where the gap to the previous event is
+    # >= gap_us (diff[i] = ts[i+1] - ts[i], the same comparison)
+    brk = np.flatnonzero(np.diff(ts) >= gap_us)
+    starts_i = np.concatenate((np.zeros(1, dtype="int64"), brk + 1))
+    ends_i = np.concatenate((brk, np.array([ts.size - 1], dtype="int64")))
+    start_us_a = ts[starts_i]
+    end_us_a = ts[ends_i]
+    counts_a = ends_i - starts_i + 1
+    # the LAST run is the open tail session (held in state, not emitted)
+    cur = [int(start_us_a[-1]), int(end_us_a[-1]), int(counts_a[-1])]
+    start_us_a, end_us_a, counts_a = start_us_a[:-1], end_us_a[:-1], counts_a[:-1]
+    prepend: tuple[int, int, int] | None = None
     if state.exists:
         s0, e0, n0 = state.get
-        head = sessions[0] if sessions else tuple(cur)
+        if counts_a.size:
+            head = (int(start_us_a[0]), int(end_us_a[0]), int(counts_a[0]))
+        else:
+            head = tuple(cur)
         if head[0] - e0 < gap_us:  # batch head continues the carried session
             merged = (min(s0, head[0]), max(e0, head[1]), n0 + head[2])
-            if sessions:
-                sessions[0] = merged
+            if counts_a.size:
+                start_us_a[0], end_us_a[0], counts_a[0] = merged
             else:
                 cur = list(merged)
         else:  # carried session is provably closed by the new data
-            sessions.insert(0, (s0, e0, n0))
+            prepend = (s0, e0, n0)
     state.update((int(cur[0]), int(cur[1]), int(cur[2])))
     # close the tail when event time (the watermark) passes end + gap;
     # the timestamp must sit above the current watermark or Spark rejects it
     wm = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(max(wm + 1, cur[1] // 1000 + _SESSION_GAP_S * 1000))
-    yield _session_df(sessions, key[0])
+    if prepend is not None:
+        start_us_a = np.concatenate(([prepend[0]], start_us_a))
+        end_us_a = np.concatenate(([prepend[1]], end_us_a))
+        counts_a = np.concatenate(([prepend[2]], counts_a))
+    if counts_a.size:  # a key whose only session stays in state emits nothing
+        yield _session_df_arrays(start_us_a, end_us_a, counts_a, key[0])
 
 
 def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
@@ -200,12 +233,31 @@ _SCHEMA_CACHE: dict[tuple, "object"] = {}
 def _parquet_schema(spark: SparkSession, path: str):
     import os
 
-    mt = os.path.getmtime(path)
-    key = (spark.sparkContext.applicationId, path, mt)
-    sch = _SCHEMA_CACHE.get(key)
-    if sch is None:
-        sch = spark.read.parquet(path).schema
-        _SCHEMA_CACHE[key] = sch
+    # For a directory-shaped table the DIRECTORY mtime need not change
+    # when a part file is rewritten in place — key on the max mtime over
+    # the dir's parquet files instead. Entries are stored per (app, path)
+    # and replaced when the mtime moves, so superseded schemas are
+    # dropped rather than accumulated (r9 ADVICE).
+    if os.path.isdir(path):
+        try:
+            mt = max(
+                (
+                    e.stat().st_mtime
+                    for e in os.scandir(path)
+                    if e.name.endswith(".parquet")
+                ),
+                default=os.path.getmtime(path),
+            )
+        except OSError:
+            mt = os.path.getmtime(path)
+    else:
+        mt = os.path.getmtime(path)
+    key = (spark.sparkContext.applicationId, path)
+    ent = _SCHEMA_CACHE.get(key)
+    if ent is not None and ent[0] == mt:
+        return ent[1]
+    sch = spark.read.parquet(path).schema
+    _SCHEMA_CACHE[key] = (mt, sch)
     return sch
 
 

@@ -1130,10 +1130,10 @@ def test_lsh_cluster_labelling_is_shared(spark, sf_dir):
     from grebi_spark.functions import dedup as dd
 
     dd.dedup_clusters(spark, sf_dir).collect()
-    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    first = dd._LSH_CC_CACHE[key]
+    first = dd.lsh_components_cached(spark, sf_dir)
+    assert first is not None
     dd.dedup_keep_best(spark, sf_dir).collect()
-    assert dd._LSH_CC_CACHE[key] is first
+    assert dd.lsh_components_cached(spark, sf_dir) is first
     spark.catalog.clearCache()
 
 

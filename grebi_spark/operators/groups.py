@@ -230,7 +230,11 @@ def connected_components_star(
                 F.least(F.col("mn"), F.col("src")).alias("dst"),
             )
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
+            # no distinct here: ls feeds ONLY the hi projection below,
+            # whose own distinct dedups the same rows (its partial
+            # aggregate already combines duplicates map-side) — the
+            # extra Exchange + dedup pass bought nothing (guide §2.4:
+            # a distinct on data that is deduped again right after)
         )
         # SMALL-STAR over the (hi → lo) orientation
         hi = (

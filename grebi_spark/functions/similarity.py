@@ -248,9 +248,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.select("vec_id", as_double(F.col("embedding")).alias("_vd"))
             .withColumn("_nv", F.sqrt(dot(vd, vd)))
             .withColumn("cell", F.array_max(cos_cells)["cell"])
-            .persist()
         )
         _IVF_ASSIGN_CACHE[seed_key] = assigned
+    if not (assigned.storageLevel.useMemory or assigned.storageLevel.useDisk):
+        # (re-)register the persist: a catalog.clearCache() (the bench
+        # runs one per query) evicts the entry from the CacheManager,
+        # and without an ACTIVE registration the persist barrier
+        # disappears from the plan — the probe filter would be pushed
+        # below the projection and re-evaluate the whole argmax per row
+        # (the r9 defect this persist exists to prevent, plan-gated by
+        # test_ann_ivf_cell_assignment_not_duplicated_into_filter).
+        assigned.persist()
     return (
         assigned.filter(F.col("cell").isin(probe) & (F.col("vec_id") != 0))
         .select(

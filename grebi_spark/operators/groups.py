@@ -311,7 +311,11 @@ def build_groups(
         )
     )
     groups = comps.join(canon, "component").select("id", "group_id", "n_members")
-    oversized = groups.filter(F.col("n_members") > clique_warn_size)
+    # the canary's predicate is fully determined by the component-sized
+    # canon frame — checking it there skips re-evaluating the
+    # vertex-sized comps⋈canon join just to probe existence (guide
+    # §1.2; the warning fires for exactly the same components)
+    oversized = canon.filter(F.col("n_members") > clique_warn_size)
     n_big = oversized.limit(1).count()
     if n_big:
         # the reference's correctness canary (main.rs:131-133); stderr —
